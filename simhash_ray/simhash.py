@@ -1,0 +1,315 @@
+"""64-bit SimHash document encoder — pinned spec, oracle + vectorized impl.
+
+Reproduces the reference encoder's *semantics* (token/shingle hashing →
+weighted ±1 bit-vector accumulation → threshold), per SURVEY.md §2.6:
+the reference chains tokenize → per-token digest (plus per-character
+digests when ``token_similarity``) → integer adder of length ``size``
+(+w if digest bit set, −w if clear) → activate top columns
+(/root/reference/cxx-src/sdr.cpp:63-79 configures it; algorithm in the
+htm.core submodule, public knowledge).  The new engine pins ``bits=64``
+and the sign threshold (the sparsity-0.5 degenerate case).
+
+Two implementations, bit-identical by construction and by test
+(tests/test_simhash.py):
+
+- :func:`simhash_oracle` — slow, obviously-correct pure Python.  THE SPEC.
+- :func:`simhash_batch`  — vectorized numpy path used by the Ray stage
+  (simhash_ray/stages/encode.py); per-unique-token hashing with a cache,
+  flat-array shingle folding, ``np.add.reduceat`` accumulation.
+
+Pinned primitives (all keyed by ``SimHashConfig.hash_seed``):
+
+- token hash      = blake2b(token_utf8, digest_size=8, key=seed8)          → u64 LE
+- char-gram hash  = blake2b(gram_utf8, digest_size=8, key=seed8, person=b"cg")
+- shingle hash    = splitmix64_finalize(fold) where
+                    fold = ((...((SEED ^ h0)·M ^ h1)·M ...) ^ h_{k-1})·M  (mod 2^64)
+- M = 0x9E3779B97F4A7C15 (golden-ratio odd constant)
+
+Document digest multiset = {shingle hash for every word k-gram}
+∪ {char-n-gram hashes of every token occurrence} (when char_ngram > 0).
+Rows with fewer than k tokens contribute one shingle over all their
+tokens; empty docs → signature 0.  Accumulate ±1 per bit over the
+multiset; bit j of the signature is set iff adder[j] > 0 (ties → 0).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .config import SimHashConfig
+
+_M = np.uint64(0x9E3779B97F4A7C15)
+_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def _seed_key(cfg: SimHashConfig) -> bytes:
+    return int(cfg.hash_seed).to_bytes(8, "little")
+
+
+def _seed_const(cfg: SimHashConfig) -> int:
+    """Fold-seed derived from hash_seed (domain-separated from token hashes)."""
+    return int.from_bytes(
+        hashlib.blake2b(b"fold", digest_size=8, key=_seed_key(cfg)).digest(), "little"
+    )
+
+
+def _splitmix64_py(z: int) -> int:
+    z &= 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def _splitmix64_np(z: np.ndarray) -> np.ndarray:
+    z = z.astype(np.uint64, copy=True)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def token_hash(token: str, cfg: SimHashConfig) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(
+            token.encode("utf-8"), digest_size=8, key=_seed_key(cfg)
+        ).digest(),
+        "little",
+    )
+
+
+def chargram_hashes(token: str, cfg: SimHashConfig) -> list[int]:
+    """Char n-gram digests of one (normalized) token; whole token when
+    shorter than n.  The ``token_similarity`` analogue (SURVEY.md §2.6
+    step 2)."""
+    n = cfg.char_ngram
+    if n <= 0:
+        return []
+    grams = [token[i : i + n] for i in range(max(1, len(token) - n + 1))]
+    key = _seed_key(cfg)
+    return [
+        int.from_bytes(
+            hashlib.blake2b(
+                g.encode("utf-8"), digest_size=8, key=key, person=b"cg"
+            ).digest(),
+            "little",
+        )
+        for g in grams
+    ]
+
+
+def _tokens(text: str, cfg: SimHashConfig) -> list[str]:
+    toks = text.split()
+    if cfg.lowercase:
+        toks = [t.lower() for t in toks]
+    return toks
+
+
+def simhash_oracle(text: str, cfg: SimHashConfig = SimHashConfig()) -> int:
+    """Pure-Python spec implementation.  O(len) per doc — test oracle only."""
+    toks = _tokens(text, cfg)
+    if not toks:
+        return 0
+    k = min(cfg.shingle_k, len(toks))
+    seed = _seed_const(cfg)
+    digests: list[int] = []
+    for i in range(len(toks) - k + 1):
+        acc = seed
+        for t in toks[i : i + k]:
+            acc = ((acc ^ token_hash(t, cfg)) * int(_M)) & 0xFFFFFFFFFFFFFFFF
+        digests.append(_splitmix64_py(acc))
+    if cfg.char_ngram > 0:
+        for t in toks:  # per occurrence, like the reference's streaming encode
+            digests.extend(chargram_hashes(t, cfg))
+    adder = [0] * 64
+    for h in digests:
+        for j in range(64):
+            adder[j] += 1 if (h >> j) & 1 else -1
+    sig = 0
+    for j in range(64):
+        if adder[j] > 0:
+            sig |= 1 << j
+    return sig
+
+
+class TokenHashCache:
+    """Per-actor cache: raw token → (u64 hash of normalized token,
+    64-lane char-gram contribution vector).  Natural-language token reuse
+    makes the hit rate high; this is the state the encoder actor holds
+    (the analogue of the reference's per-runner model replica,
+    /root/reference/src/Htm/Runner.hs:37-48)."""
+
+    def __init__(self, cfg: SimHashConfig, max_size: int = 1_000_000):
+        self.cfg = cfg
+        self.max_size = max_size
+        self._hash: dict[str, int] = {}
+        self._contrib: dict[str, np.ndarray] = {}
+
+    def lookup(self, raw_tokens: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Vector of token hashes (u64) and matrix of char-gram
+        contributions (int32, n×64) for a list of *unique* raw tokens."""
+        cfg = self.cfg
+        hashes = np.empty(len(raw_tokens), dtype=np.uint64)
+        contribs = np.zeros((len(raw_tokens), 64), dtype=np.int32)
+        for i, raw in enumerate(raw_tokens):
+            h = self._hash.get(raw)
+            if h is None:
+                norm = raw.lower() if cfg.lowercase else raw
+                h = token_hash(norm, cfg)
+                if cfg.char_ngram > 0:
+                    c = np.zeros(64, dtype=np.int32)
+                    for g in chargram_hashes(norm, cfg):
+                        bits = (np.uint64(g) >> _SHIFTS) & np.uint64(1)
+                        c += bits.astype(np.int32) * 2 - 1
+                    cv = c
+                else:
+                    cv = _ZERO64
+                if len(self._hash) < self.max_size:
+                    self._hash[raw] = h
+                    self._contrib[raw] = cv
+            else:
+                cv = self._contrib[raw]
+            hashes[i] = h
+            contribs[i] = cv
+        return hashes, contribs
+
+
+_ZERO64 = np.zeros(64, dtype=np.int32)
+
+
+def _segment_sum(arr: np.ndarray, starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Row-segment sums of an (N, 64) matrix via np.add.reduceat with
+    widening dtype and the empty-segment fixup (reduceat yields
+    arr[start], not 0, for zero-length segments)."""
+    n_rows = len(counts)
+    if len(arr) == 0:
+        return np.zeros((n_rows, 64), dtype=np.int64)
+    idx = np.minimum(starts, len(arr) - 1)
+    out = np.add.reduceat(arr, idx, axis=0, dtype=np.int64)
+    out[counts == 0] = 0
+    return out
+
+
+def _unpack_bits64(h: np.ndarray) -> np.ndarray:
+    """(N,) uint64 → (N, 64) uint8 of bits, LSB-first (lane j = bit j)."""
+    if len(h) == 0:
+        return np.empty((0, 64), dtype=np.uint8)
+    bytes_ = h.astype("<u8", copy=False).view(np.uint8).reshape(-1, 8)
+    return np.unpackbits(bytes_, axis=1, bitorder="little")
+
+
+def simhash_batch(
+    texts: pa.Array | pa.ChunkedArray,
+    cfg: SimHashConfig = SimHashConfig(),
+    cache: TokenHashCache | None = None,
+) -> np.ndarray:
+    """Vectorized SimHash of a string column → uint64 signatures.
+
+    Tokenization stays in Arrow (zero-copy from the object store);
+    per-token work touches only the batch's *unique* tokens via
+    dictionary encoding + the actor's cache; shingle folding and bit
+    accumulation are flat numpy array ops.
+    """
+    if cache is None:
+        cache = TokenHashCache(cfg)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+
+    toks = pc.utf8_split_whitespace(texts.cast(pa.string()))
+    flat = pc.list_flatten(toks)
+    # Arrow emits empty tokens at whitespace boundaries — drop to match str.split().
+    nonempty = pc.not_equal(flat, "")
+    tok_in_row = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
+    keep = nonempty.to_numpy(zero_copy_only=False)
+    # per-row count of kept tokens
+    row_of_tok = np.repeat(np.arange(n), tok_in_row)
+    counts = np.bincount(row_of_tok[keep], minlength=n).astype(np.int64)
+    flat = flat.filter(nonempty)
+
+    dict_arr = flat.dictionary_encode()
+    uniq = dict_arr.dictionary.to_pylist()
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uhash, ucontrib = cache.lookup(uniq)
+
+    h = uhash[codes]  # flat token hashes in row order
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    starts = offsets[:-1]
+
+    k = cfg.shingle_k
+    seed = np.uint64(_seed_const(cfg))
+
+    # --- shingle hashes -------------------------------------------------
+    # shingle counts: L==0 → 0; 1<=L<k → 1 (whole-row shingle); L>=k → L-k+1
+    sh_counts = np.where(
+        counts == 0, 0, np.where(counts < k, 1, counts - k + 1)
+    ).astype(np.int64)
+    total_sh = int(sh_counts.sum())
+    sh_flat = np.empty(total_sh, dtype=np.uint64)
+    sh_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sh_counts, out=sh_starts[1:])
+
+    if len(h) > 0 and k >= 1:
+        # full-width shingles computed on the flat array with shifted views
+        if len(h) >= k:
+            acc = np.full(len(h) - k + 1, seed, dtype=np.uint64)
+            for j in range(k):
+                acc = (acc ^ h[j : j + len(acc)]) * _M
+            full = _splitmix64_np(acc)
+        else:
+            full = np.empty(0, dtype=np.uint64)
+        # a flat position i starts a valid shingle iff i+k-1 is in the same row
+        tok_rows = np.repeat(np.arange(n), counts)
+        if len(full) > 0:
+            valid = tok_rows[: len(full)] == tok_rows[k - 1 :]
+            full_in_order = full[valid]
+        else:
+            full_in_order = full
+        long_rows = counts >= k
+        # scatter: short rows (0<L<k) occupy one slot each at sh_starts[row]
+        short_rows = (counts > 0) & (counts < k)
+        slot_is_short = np.zeros(total_sh, dtype=bool)
+        slot_is_short[sh_starts[:-1][short_rows]] = True
+        assert long_rows.sum() == 0 or len(full_in_order) == (~slot_is_short).sum()
+        sh_flat[~slot_is_short] = full_in_order
+        if short_rows.any():
+            for L in range(1, k):
+                rows_L = np.flatnonzero(counts == L)
+                if len(rows_L) == 0:
+                    continue
+                acc = np.full(len(rows_L), seed, dtype=np.uint64)
+                for j in range(L):
+                    acc = (acc ^ h[starts[rows_L] + j]) * _M
+                sh_flat[sh_starts[:-1][rows_L]] = _splitmix64_np(acc)
+
+    # --- accumulate -----------------------------------------------------
+    # adder = Σ(±1 per digest bit) = 2·Σbits − n_digests, so sum raw 0/1
+    # bits (cheap uint8 unpack) and correct with the shingle counts.
+    bitsum = _segment_sum(_unpack_bits64(sh_flat), sh_starts[:-1], sh_counts)
+    adder = 2 * bitsum - sh_counts[:, None]
+    if cfg.char_ngram > 0:
+        tok_contrib = ucontrib[codes]  # (n_tokens, 64) int32
+        adder += _segment_sum(tok_contrib, starts, counts)
+
+    sig = ((adder > 0).astype(np.uint64) << _SHIFTS[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return sig
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount(a XOR b) for uint64 arrays."""
+    x = (np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64)).view(np.uint8)
+    return _POPCNT[x.reshape(-1, 8)].sum(axis=1).astype(np.int64)
+
+
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)

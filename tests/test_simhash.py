@@ -1,0 +1,144 @@
+"""Golden-oracle tests for the 64-bit SimHash encoder (SURVEY.md §5.1).
+
+The pure-Python :func:`simhash_oracle` is the spec; the vectorized
+:func:`simhash_batch` must match it bit-for-bit on every input shape.
+Pure numpy/pyarrow — no Ray needed here.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from simhash_ray.config import SimHashConfig
+from simhash_ray.simhash import (
+    TokenHashCache,
+    hamming64,
+    simhash_batch,
+    simhash_oracle,
+)
+
+CFG = SimHashConfig()
+
+SAMPLES = [
+    "",
+    "   ",
+    "one",
+    "one two",
+    "one two three four five",
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",
+    "The QUICK brown FOX",
+    "  leading and trailing  ",
+    "tabs\tand\nnewlines here",
+    "repeat repeat repeat repeat",
+    "unicode tøkens füß İstanbul",
+    "a, b, c, commas, inside",
+    "x" * 300,
+    " ".join(f"w{i}" for i in range(100)),
+]
+
+
+def test_batch_matches_oracle_default_config():
+    sigs = simhash_batch(pa.array(SAMPLES), CFG)
+    expected = np.array([simhash_oracle(t, CFG) for t in SAMPLES], dtype=np.uint64)
+    np.testing.assert_array_equal(sigs, expected)
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        SimHashConfig(shingle_k=1),
+        SimHashConfig(shingle_k=3),
+        SimHashConfig(char_ngram=0),
+        SimHashConfig(char_ngram=2),
+        SimHashConfig(lowercase=False),
+        SimHashConfig(hash_seed=12345),
+    ],
+)
+def test_batch_matches_oracle_config_sweep(cfg):
+    sigs = simhash_batch(pa.array(SAMPLES), cfg)
+    expected = np.array([simhash_oracle(t, cfg) for t in SAMPLES], dtype=np.uint64)
+    np.testing.assert_array_equal(sigs, expected)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+            max_size=40,
+        ),
+        max_size=8,
+    )
+)
+def test_batch_matches_oracle_property(texts):
+    sigs = simhash_batch(pa.array(texts, type=pa.string()), CFG)
+    expected = np.array([simhash_oracle(t, CFG) for t in texts], dtype=np.uint64)
+    np.testing.assert_array_equal(sigs, expected)
+
+
+def test_deterministic_and_cache_invariant():
+    cache = TokenHashCache(CFG)
+    a = simhash_batch(pa.array(SAMPLES), CFG, cache)
+    b = simhash_batch(pa.array(SAMPLES), CFG, cache)  # warm cache
+    c = simhash_batch(pa.array(SAMPLES), CFG)  # cold cache
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
+
+
+def test_nulls_and_chunked():
+    arr = pa.chunked_array([["a b c", None], ["", "d e"]])
+    sigs = simhash_batch(arr, CFG)
+    assert sigs[1] == 0 and sigs[2] == 0
+    assert sigs[0] == simhash_oracle("a b c", CFG)
+    assert sigs[3] == simhash_oracle("d e", CFG)
+
+
+def test_single_edit_is_near():
+    """A one-word substitution in a long caption stays within a small
+    Hamming ball — the property LSH banding relies on."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    edited = base.replace("golf", "gulf")
+    d = hamming64(
+        np.array([simhash_oracle(base, CFG)], dtype=np.uint64),
+        np.array([simhash_oracle(edited, CFG)], dtype=np.uint64),
+    )[0]
+    assert 0 < d <= 16
+
+
+def test_disjoint_texts_are_far():
+    a = simhash_oracle("alpha bravo charlie delta echo foxtrot golf hotel", CFG)
+    b = simhash_oracle("zulu yankee xray whiskey victor uniform tango sierra", CFG)
+    d = hamming64(np.array([a], dtype=np.uint64), np.array([b], dtype=np.uint64))[0]
+    assert d > 16
+
+
+def test_char_ngram_divergence():
+    """token_similarity analogue: with char n-grams on, near-spellings are
+    closer than with it off (SURVEY.md §2.6 step 2)."""
+    on, off = SimHashConfig(char_ngram=3), SimHashConfig(char_ngram=0)
+    t1, t2 = "misspelling of a wordd here today", "misspelling of a words here today"
+
+    def d(cfg):
+        return hamming64(
+            np.array([simhash_oracle(t1, cfg)], dtype=np.uint64),
+            np.array([simhash_oracle(t2, cfg)], dtype=np.uint64),
+        )[0]
+
+    assert simhash_oracle(t1, on) != simhash_oracle(t1, off)
+    assert d(on) <= d(off) + 2  # overlapping char-grams shouldn't push apart
+
+
+def test_shingle_order_sensitivity():
+    """k>=2 word shingles make word order matter."""
+    a = simhash_oracle("one two three four five six", CFG)
+    b = simhash_oracle("six five four three two one", CFG)
+    assert a != b
+
+
+def test_hamming64_known_values():
+    a = np.array([0, 0xFFFFFFFFFFFFFFFF, 0b1010], dtype=np.uint64)
+    b = np.array([0, 0, 0b0101], dtype=np.uint64)
+    np.testing.assert_array_equal(hamming64(a, b), [0, 64, 4])
