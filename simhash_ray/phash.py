@@ -1,0 +1,61 @@
+"""64-bit perceptual hash (8×8 DCT-sign) — pinned implementation.
+
+The north-rule input table carries ``phash:int64`` as a *precomputed*
+column (BASELINE.json input_hint); the pipeline treats it as opaque
+signature bits.  This module is the fixture generator's pinned
+implementation, and also backs the per-row invariant check
+(recompute-phash-of-decoded-representative == phash column).
+
+Pinned spec:
+1. grayscale = 0.299 R + 0.587 G + 0.114 B (float64)
+2. downsample to 32×32 by exact block mean (fixture sizes are
+   multiples of 32: 32/64/96)
+3. orthonormal 2-D DCT-II: D @ G @ D.T with D the 32×32 DCT matrix
+4. take the low-frequency top-left 8×8 block, median over all 64
+   coefficients, bit[r*8+c] = 1 iff coeff[r,c] > median
+5. pack LSB-first into a uint64 (returned as int64 two's-complement)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_N = 32
+_LOW = 8
+
+
+def _dct_matrix(n: int = _N) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    d = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+_D = _dct_matrix()
+_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def phash64(rgb: np.ndarray) -> int:
+    """Perceptual hash of an (h, w, 3) uint8 RGB array → int64 bits."""
+    h, w, _ = rgb.shape
+    if h % _N or w % _N:
+        raise ValueError(f"dimensions must be multiples of {_N}, got {h}x{w}")
+    gray = (
+        0.299 * rgb[..., 0].astype(np.float64)
+        + 0.587 * rgb[..., 1]
+        + 0.114 * rgb[..., 2]
+    )
+    small = gray.reshape(_N, h // _N, _N, w // _N).mean(axis=(1, 3))
+    coeffs = _D @ small @ _D.T
+    low = coeffs[:_LOW, :_LOW]
+    med = np.median(low)
+    bits = (low > med).reshape(-1)
+    sig = np.uint64(0)
+    sig = (bits.astype(np.uint64) << _SHIFTS).sum(dtype=np.uint64)
+    return int(np.int64(sig))
+
+
+def phash_to_uint64(phash: np.ndarray) -> np.ndarray:
+    """int64 column → uint64 bit view (for Hamming math)."""
+    return np.asarray(phash, dtype=np.int64).view(np.uint64)

@@ -1,0 +1,100 @@
+"""Tests for the pinned phash and the stdlib image codecs."""
+
+import numpy as np
+import pytest
+
+from simhash_ray.imgcodec import FORMATS, decode_image, encode_image
+from simhash_ray.phash import phash64, phash_to_uint64
+from simhash_ray.simhash import hamming64
+
+
+def _img(seed, h=64, w=64):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("fmt", FORMATS)
+@pytest.mark.parametrize("h,w", [(32, 32), (64, 32), (96, 64)])
+def test_codec_roundtrip_lossless(fmt, h, w):
+    rgb = _img(1, h, w)
+    data = encode_image(rgb, fmt)
+    back = decode_image(data, fmt, w, h)
+    np.testing.assert_array_equal(back, rgb)
+
+
+def test_png_filters_decode():
+    """Our decoder must handle filtered PNGs, not just our own filter-0
+    output: synthesize scanlines with each filter type and round-trip."""
+    import struct
+    import zlib
+
+    from simhash_ray.imgcodec import _PNG_SIG, _chunk
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    # build filtered scanlines manually (filters 0..4, one per row)
+    prev = np.zeros(w * 3, dtype=np.int32)
+    lines = []
+    for y in range(h):
+        cur = rgb[y].reshape(-1).astype(np.int32)
+        ftype = y % 5
+        enc = cur.copy()
+        if ftype == 1:
+            enc[3:] = (cur[3:] - cur[:-3]) % 256
+        elif ftype == 2:
+            enc = (cur - prev) % 256
+        elif ftype == 3:
+            for x in range(w * 3):
+                left = cur[x - 3] if x >= 3 else 0
+                enc[x] = (cur[x] - ((left + prev[x]) >> 1)) % 256
+        elif ftype == 4:
+            for x in range(w * 3):
+                a = cur[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (cur[x] - pred) % 256
+        lines.append(bytes([ftype]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_image(png, "png", w, h), rgb)
+
+
+def test_phash_deterministic_and_fmt_invariant():
+    rgb = _img(2)
+    p = phash64(rgb)
+    assert p == phash64(rgb)
+    for fmt in FORMATS:  # lossless re-encode must not move the phash
+        back = decode_image(encode_image(rgb, fmt), fmt, 64, 64)
+        assert phash64(back) == p
+
+
+def test_phash_small_perturbation_is_near():
+    rgb = _img(3).astype(np.int16)
+    noisy = np.clip(rgb + np.random.default_rng(4).integers(-2, 3, rgb.shape), 0, 255)
+    d = hamming64(
+        phash_to_uint64(np.array([phash64(rgb.astype(np.uint8))])),
+        phash_to_uint64(np.array([phash64(noisy.astype(np.uint8))])),
+    )[0]
+    assert d <= 6
+
+
+def test_phash_different_images_far():
+    d = hamming64(
+        phash_to_uint64(np.array([phash64(_img(5))])),
+        phash_to_uint64(np.array([phash64(_img(6))])),
+    )[0]
+    assert d > 10
+
+
+def test_phash_rejects_bad_dims():
+    with pytest.raises(ValueError):
+        phash64(np.zeros((33, 32, 3), dtype=np.uint8))
