@@ -1,0 +1,223 @@
+"""Flagship pipeline: near-duplicate detection + clustering over the
+image+caption table (BASELINE.json north_rule).
+
+    read (pruned: image_id, caption, phash)
+      → map_batches(SimHashEncoder actor pool)          [stages/encode]
+      → exact-(simhash,phash) collapse                  [stages/collapse]
+      → band expansion (text + image spaces, one pass)  [stages/lsh]
+      → ONE coarse groupby → vectorized bucket pairing  [stages/lsh]
+      → Hamming verify (popcount ≤ τ per space)         [stages/lsh]
+      → iterative min-label propagation → clusters      [stages/cluster]
+      → cluster attach (broadcast small label map, else
+        hash join) → assignment / representatives / survivors
+
+Shuffle inventory (scale notes):
+  1. collapse groupby     — narrow (id, 2×int64) rows
+  2. band-bucket groupby  — 56 narrow rows per *distinct* signature
+  3. CC rounds            — only nodes with verified edges
+  4. survivor rejoin      — broadcast of the dup-id set when small,
+                            hash `Dataset.join` on image_id otherwise;
+                            the wide `bytes` column moves exactly once.
+
+The caller owns `ray.init` (driver contract, /root/repo/__ray_entry__.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..config import DEFAULT_CONFIG, DedupConfig
+from ..stages.collapse import collapse_exact
+from ..stages.cluster import connected_components
+from ..stages.encode import encode_signatures
+from ..stages.lsh import (
+    IMAGE_SPACE,
+    TEXT_SPACE,
+    candidate_pairs,
+    make_band_expander,
+    make_verifier,
+)
+
+BROADCAST_LIMIT = 2_000_000  # rows; above this fall back to Dataset.join
+
+
+@dataclass
+class DedupResult:
+    assignment: rd.Dataset  # (image_id, cluster_id, is_representative)
+    edges: rd.Dataset  # verified dup pairs (a, b, space)
+    n_clusters_with_dups: int
+    n_nodes_clustered: int
+
+
+def signatures(
+    images: rd.Dataset, cfg: DedupConfig = DEFAULT_CONFIG, concurrency=None
+) -> rd.Dataset:
+    """(image_id, caption, phash) → (image_id, simhash, phash)."""
+    return encode_signatures(
+        images.select_columns(["image_id", "caption", "phash"]),
+        cfg.simhash,
+        concurrency=concurrency,
+    ).select_columns(["image_id", "simhash", "phash"])
+
+
+def dedup_images(
+    images: rd.Dataset,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    n_parts: int = 64,
+    concurrency=None,
+) -> DedupResult:
+    sigs = signatures(images, cfg, concurrency=concurrency)
+    # member→rep mapping reused twice below; narrow columns only.
+    # (At petabyte scale this materialize becomes a parquet stage
+    # checkpoint — see state/manifest.py runner.)
+    collapsed = collapse_exact(sigs, n_parts).materialize()
+    reps = collapsed.filter(expr="is_rep == True").select_columns(
+        ["image_id", "simhash", "phash"]
+    )
+
+    expander = make_band_expander(
+        [(TEXT_SPACE, "simhash", cfg.text_lsh), (IMAGE_SPACE, "phash", cfg.image_lsh)],
+        id_col="image_id",
+        n_parts=n_parts,
+    )
+    bands = reps.map_batches(expander, batch_format="pyarrow")
+    pairs = candidate_pairs(bands)
+    verified = pairs.map_batches(
+        make_verifier(
+            {TEXT_SPACE: cfg.text_lsh.hamming_tau, IMAGE_SPACE: cfg.image_lsh.hamming_tau}
+        ),
+        batch_format="pyarrow",
+    )
+    edges = verified.select_columns(["a", "b"]).materialize()
+
+    labels = connected_components(edges, cfg.max_cluster_rounds, n_parts)
+    n_nodes = labels.count()
+
+    if n_nodes <= BROADCAST_LIMIT:
+        label_df = labels.to_pandas()
+        label_ref = ray.put(dict(zip(label_df["node"], label_df["label"])))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            lm = ray.get(label_ref)
+            rep = batch["rep_id"].to_pylist()
+            cluster = [lm.get(r, r) for r in rep]
+            ids = batch["image_id"].to_pylist()
+            return pa.table(
+                {
+                    "image_id": batch["image_id"],
+                    "cluster_id": pa.array(cluster, type=pa.string()),
+                    "is_representative": pa.array(
+                        [i == c for i, c in zip(ids, cluster)]
+                    ),
+                }
+            )
+
+        assignment = collapsed.select_columns(["image_id", "rep_id"]).map_batches(
+            attach, batch_format="pyarrow"
+        )
+        n_clusters = len(set(label_df["label"]))
+    else:  # pragma: no cover - exercised only at cluster scale
+        joined = collapsed.select_columns(["image_id", "rep_id"]).join(
+            labels.map_batches(
+                lambda t: t.rename_columns(["rep_id", "label"]),
+                batch_format="pyarrow",
+            ),
+            join_type="left_outer",
+            num_partitions=n_parts,
+            on=("rep_id",),
+        )
+
+        def finish(batch: pa.Table) -> pa.Table:
+            label = batch["label"].to_pylist()
+            rep = batch["rep_id"].to_pylist()
+            cluster = [l if l is not None else r for l, r in zip(label, rep)]
+            ids = batch["image_id"].to_pylist()
+            return pa.table(
+                {
+                    "image_id": batch["image_id"],
+                    "cluster_id": pa.array(cluster, type=pa.string()),
+                    "is_representative": pa.array(
+                        [i == c for i, c in zip(ids, cluster)]
+                    ),
+                }
+            )
+
+        assignment = joined.map_batches(finish, batch_format="pyarrow")
+        n_clusters = len(labels.unique("label"))
+
+    return DedupResult(
+        assignment=assignment.materialize(),
+        edges=edges,
+        n_clusters_with_dups=n_clusters,
+        n_nodes_clustered=n_nodes,
+    )
+
+
+def survivors(
+    images: rd.Dataset, result: DedupResult, n_parts: int = 64
+) -> rd.Dataset:
+    """Semi-join the byte-bearing table down to cluster representatives.
+
+    Ships the small side (non-representative ids) as a broadcast set;
+    the wide ``bytes`` rows are filtered in place, never shuffled."""
+    dup_ids_ds = result.assignment.filter(expr="is_representative == False")
+    n_dups = dup_ids_ds.count()
+    if n_dups <= BROADCAST_LIMIT:
+        dup_df = dup_ids_ds.select_columns(["image_id"]).to_pandas()
+        dup_ref = ray.put(set(dup_df["image_id"]))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            dups = ray.get(dup_ref)
+            ids = batch["image_id"].to_pylist()
+            mask = pa.array([i not in dups for i in ids])
+            return batch.filter(mask)
+
+        return images.map_batches(keep, batch_format="pyarrow")
+    # large-scale path: hash semi-join on image_id  # pragma: no cover
+    reps = result.assignment.filter(expr="is_representative == True").select_columns(
+        ["image_id"]
+    )
+    return images.join(
+        reps, join_type="inner", num_partitions=n_parts, on=("image_id",)
+    )
+
+
+def planted_pair_recall(
+    assignment_df, truth_df
+) -> tuple[float, float, int]:
+    """Driver-side scoring vs the fixture truth table.
+
+    Returns (dup_pair_recall, cluster_merge_precision, n_truth_pairs):
+    recall = fraction of planted same-cluster pairs that the pipeline
+    co-clustered; precision = fraction of found co-clustered planted
+    pairs that are planted pairs (computed over planted rows only).
+    """
+    import pandas as pd
+
+    df = truth_df.merge(assignment_df, on="image_id", how="left")
+    n_pairs = 0
+    n_hit = 0
+    for _, grp in df.groupby("cluster_id_x"):
+        if len(grp) < 2:
+            continue
+        n = len(grp)
+        n_pairs += n * (n - 1) // 2
+        counts = grp.groupby("cluster_id_y").size()
+        n_hit += int((counts * (counts - 1) // 2).sum())
+    found_pairs = 0
+    found_true = 0
+    for _, grp in df.groupby("cluster_id_y"):
+        if len(grp) < 2:
+            continue
+        n = len(grp)
+        found_pairs += n * (n - 1) // 2
+        counts = grp.groupby("cluster_id_x").size()
+        found_true += int((counts * (counts - 1) // 2).sum())
+    recall = n_hit / n_pairs if n_pairs else 1.0
+    precision = found_true / found_pairs if found_pairs else 1.0
+    return recall, precision, n_pairs

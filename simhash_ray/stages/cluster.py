@@ -1,0 +1,182 @@
+"""Distributed connected components: iterative min-label propagation.
+
+The north rule's "distributed union-find implemented as iterative
+groupby/min-label-propagation rounds".  Design follows the logarithmic-
+round map-reduce CC literature (Rastogi et al., "Finding connected
+components in map-reduce in logarithmic rounds", ICDE 2013 — see
+/root/repo/PAPERS.md); round 1 ships plain neighbor min-propagation,
+which converges in O(diameter) rounds — duplicate clusters are
+star-shaped around an original, so diameter is small and bounded by
+``max_rounds`` with a convergence assertion.
+
+Each round is two coarse-partition groupby shuffles over *narrow*
+tables (node:string, label:string):
+
+  stage 1  partition by node: join labels→edges within the partition,
+           emit (neighbor, my_label) messages + the self row
+  stage 2  partition by target: new_label = min(messages ∪ {old}),
+           changed = new < old
+
+The changed-count aggregate drives the fixpoint loop on the driver.
+Only nodes that appear in at least one verified edge participate —
+singleton rows never enter the shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.hashing import part_of_strings
+
+
+def _dedupe_edges(batch: pa.Table) -> pa.Table:
+    """Batch-local edge dedupe (cross-band duplicates are common)."""
+    df = batch.select(["a", "b"]).to_pandas().drop_duplicates()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def init_labels(edges: rd.Dataset, n_parts: int = 64) -> rd.Dataset:
+    """Distinct nodes of the edge set, labelled with themselves."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                np.asarray(batch["a"].to_numpy(zero_copy_only=False), dtype=object),
+                np.asarray(batch["b"].to_numpy(zero_copy_only=False), dtype=object),
+            ]
+        )
+        nodes = np.unique(nodes)
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.string()),
+                "part": pa.array(part_of_strings(nodes, n_parts), type=pa.int32()),
+            }
+        )
+
+    def distinct(group: pa.Table) -> pa.Table:
+        nodes = np.unique(
+            np.asarray(group["node"].to_numpy(zero_copy_only=False), dtype=object)
+        )
+        return pa.table(
+            {
+                "node": pa.array(nodes, type=pa.string()),
+                "label": pa.array(nodes, type=pa.string()),
+            }
+        )
+
+    return (
+        edges.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(distinct, batch_format="pyarrow")
+    )
+
+
+def _tag_labels(n_parts: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        node = np.asarray(batch["node"].to_numpy(zero_copy_only=False), dtype=object)
+        return pa.table(
+            {
+                "node": pa.array(node, type=pa.string()),
+                "payload": batch["label"].cast(pa.string()),
+                "is_label": pa.array(np.ones(len(node), dtype=bool)),
+                "part": pa.array(part_of_strings(node, n_parts), type=pa.int32()),
+            }
+        )
+
+    return fn
+
+
+def _tag_edges(n_parts: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False), dtype=object)
+        b = np.asarray(batch["b"].to_numpy(zero_copy_only=False), dtype=object)
+        node = np.concatenate([a, b])  # both directions
+        payload = np.concatenate([b, a])
+        return pa.table(
+            {
+                "node": pa.array(node, type=pa.string()),
+                "payload": pa.array(payload, type=pa.string()),
+                "is_label": pa.array(np.zeros(len(node), dtype=bool)),
+                "part": pa.array(part_of_strings(node, n_parts), type=pa.int32()),
+            }
+        )
+
+    return fn
+
+
+def _propagate(n_parts: int):
+    """Stage 1: within a node-partition, send my label to my neighbors."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        labels = df[df["is_label"]][["node", "payload"]].rename(
+            columns={"payload": "label"}
+        )
+        edges = df[~df["is_label"]][["node", "payload"]].rename(
+            columns={"payload": "nbr"}
+        )
+        msgs = edges.merge(labels, on="node", how="inner")[["nbr", "label"]].rename(
+            columns={"nbr": "node"}
+        )
+        msgs["is_self"] = False
+        self_rows = labels.copy()
+        self_rows["is_self"] = True
+        out = pd.concat([msgs, self_rows], ignore_index=True)
+        out["part"] = part_of_strings(out["node"].to_numpy(), n_parts)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return fn
+
+
+def _minimize(group: pa.Table) -> pa.Table:
+    """Stage 2: new label = min(messages ∪ {old}); flag changes."""
+    node = np.asarray(group["node"].to_numpy(zero_copy_only=False), dtype=object)
+    label = np.asarray(group["label"].to_numpy(zero_copy_only=False), dtype=object)
+    is_self = group["is_self"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((label, node))
+    node, label, is_self = node[order], label[order], is_self[order]
+    new_run = np.ones(len(node), dtype=bool)
+    new_run[1:] = node[1:] != node[:-1]
+    run_id = np.cumsum(new_run) - 1
+    new_label = label[new_run][run_id]  # min label per node (label-sorted)
+    old_rows = np.flatnonzero(is_self)
+    out_node = node[old_rows]
+    out_new = new_label[old_rows]
+    changed = out_new < label[old_rows]
+    return pa.table(
+        {
+            "node": pa.array(out_node, type=pa.string()),
+            "label": pa.array(out_new, type=pa.string()),
+            "changed": pa.array(changed.astype(np.int64)),
+        }
+    )
+
+
+def connected_components(
+    edges: rd.Dataset, max_rounds: int = 12, n_parts: int = 64
+) -> rd.Dataset:
+    """(a, b) edge Dataset → (node, label) with label = min node id of
+    the component.  Raises if not converged within ``max_rounds``."""
+    edges = edges.map_batches(_dedupe_edges, batch_format="pyarrow").materialize()
+    labels = init_labels(edges, n_parts).materialize()
+    tagged_edges = edges.map_batches(_tag_edges(n_parts), batch_format="pyarrow")
+    for _ in range(max_rounds):
+        tagged = labels.map_batches(_tag_labels(n_parts), batch_format="pyarrow").union(
+            tagged_edges
+        )
+        msgs = tagged.groupby("part").map_groups(
+            _propagate(n_parts), batch_format="pyarrow"
+        )
+        new_labels = msgs.groupby("part").map_groups(
+            _minimize, batch_format="pyarrow"
+        ).materialize()
+        n_changed = new_labels.sum("changed") or 0
+        labels = new_labels.drop_columns(["changed"]).materialize()
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )

@@ -1,0 +1,68 @@
+"""Exact-signature collapse (dedup fast path + skew shield).
+
+Groups rows with identical ``(simhash, phash)`` and elects the minimum
+``image_id`` as the group representative.  Two jobs at once:
+
+- the exact-dup short-circuit of SURVEY.md §2.5 ("group identical
+  (simhash, phash), keep first");
+- the skew shield for LSH: a hot caption repeated in 10% of rows (the
+  stressor fixture) collapses to ONE node before banding, so no LSH
+  bucket ever sees the hot key's full multiplicity.
+
+Implementation is the same coarse-partition pattern as stages/lsh.py:
+one groupby shuffle on a hash partition of the signature pair, then
+vectorized run detection inside the partition — no per-group Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.hashing import part_of_ints
+
+
+def add_sig_partition(n_parts: int = 64):
+    def fn(batch: pa.Table) -> pa.Table:
+        part = part_of_ints(
+            n_parts,
+            batch["simhash"].to_numpy(zero_copy_only=False),
+            batch["phash"].to_numpy(zero_copy_only=False),
+        )
+        return batch.append_column("part", pa.array(part, type=pa.int32()))
+
+    return fn
+
+
+def _collapse_group(group: pa.Table) -> pa.Table:
+    ids = np.asarray(group["image_id"].to_numpy(zero_copy_only=False), dtype=object)
+    sim = group["simhash"].to_numpy(zero_copy_only=False)
+    ph = group["phash"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, ph, sim))
+    ids, sim, ph = ids[order], sim[order], ph[order]
+    n = len(ids)
+    new_run = np.ones(n, dtype=bool)
+    new_run[1:] = (sim[1:] != sim[:-1]) | (ph[1:] != ph[:-1])
+    run_id = np.cumsum(new_run) - 1
+    rep = ids[new_run][run_id]  # first id of each run = min (ids sorted within run)
+    return pa.table(
+        {
+            "image_id": pa.array(ids, type=pa.string()),
+            "rep_id": pa.array(rep, type=pa.string()),
+            "simhash": pa.array(sim, type=pa.int64()),
+            "phash": pa.array(ph, type=pa.int64()),
+            "is_rep": pa.array(new_run),
+        }
+    )
+
+
+def collapse_exact(sig_ds: rd.Dataset, n_parts: int = 64) -> rd.Dataset:
+    """(image_id, simhash, phash) → (image_id, rep_id, simhash, phash,
+    is_rep).  Filter ``is_rep`` for the distinct-signature node table;
+    the full output is the member→rep mapping."""
+    return (
+        sig_ds.map_batches(add_sig_partition(n_parts), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_collapse_group, batch_format="pyarrow")
+    )

@@ -1,0 +1,208 @@
+"""Hamming-ball LSH: band expansion → bucket pair generation → verify.
+
+The reference has no candidate-generation machinery (it is a linear
+per-record classifier chain, SURVEY.md §2.5); this is the new engine's
+design for the north rule's "LSH banding → Hamming verification":
+
+1. ``expand_bands`` (map_batches, stateless): per signature space emit
+   C(n_blocks, combo_m) narrow rows ``(id, space, band, key, sig)``.
+   Pigeonhole guarantee (config.LSHConfig): any pair within
+   ``hamming_tau`` shares at least one exact band key.
+2. ``candidate_pairs``: ONE coarse groupby shuffle on a hash partition
+   of (space, band, key), then *vectorized* run detection inside each
+   partition — pairing logic is numpy over sorted runs, not a Python
+   call per bucket (millions of tiny buckets would drown
+   ``map_groups`` per-group overhead).
+3. ``verify_pairs`` (map_batches, stateless): exact popcount Hamming
+   check against the per-space τ.
+
+Skew guard: buckets larger than ``pair_full_threshold`` emit a star to
+the bucket minimum instead of all C(g,2) pairs — connectivity within
+the bucket is preserved for clustering while bounding pair count; the
+number of star-collapsed buckets is reported in the ``star`` column.
+Exact-signature hot keys (the 10%-hot-caption stressor) never reach
+here: the pipeline collapses identical (simhash, phash) groups first
+(stages/collapse.py).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..config import LSHConfig
+from ..functions.hashing import part_of_ints
+from ..simhash import hamming64
+
+TEXT_SPACE, IMAGE_SPACE = 0, 1
+
+
+def _combos(cfg: LSHConfig) -> list[tuple[int, ...]]:
+    return list(itertools.combinations(range(cfg.n_blocks), cfg.combo_m))
+
+
+def make_band_expander(
+    spaces: list[tuple[int, str, LSHConfig]],
+    id_col: str = "image_id",
+    n_parts: int = 64,
+):
+    """Build the map_batches fn: one pass emits band rows for every
+    signature space (text simhash + image phash) — a single downstream
+    shuffle instead of one per space."""
+
+    plans = []
+    for space_id, sig_col, cfg in spaces:
+        r = 64 // cfg.n_blocks
+        mask = np.uint64((1 << r) - 1)
+        combos = _combos(cfg)
+        plans.append((space_id, sig_col, r, mask, combos))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_id, out_space, out_band, out_key, out_sig = [], [], [], [], []
+        for space_id, sig_col, r, mask, combos in plans:
+            sig = batch[sig_col].to_numpy(zero_copy_only=False).view(np.uint64)
+            n = len(sig)
+            blocks = [
+                (sig >> np.uint64(b * r)) & mask for b in range(max(c[-1] for c in combos) + 1)
+            ] if combos else []
+            for band_idx, combo in enumerate(combos):
+                key = np.zeros(n, dtype=np.uint64)
+                for j, b in enumerate(combo):
+                    key |= blocks[b] << np.uint64(j * r)
+                out_id.append(ids)
+                out_space.append(np.full(n, space_id, dtype=np.int32))
+                out_band.append(np.full(n, band_idx, dtype=np.int32))
+                out_key.append(key.view(np.int64))
+                out_sig.append(sig.view(np.int64))
+        space = np.concatenate(out_space)
+        band = np.concatenate(out_band)
+        key = np.concatenate(out_key)
+        part = part_of_ints(n_parts, space.astype(np.int64), band.astype(np.int64), key)
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate(out_id), type=pa.string()),
+                "space": space,
+                "band": band,
+                "key": key,
+                "sig": np.concatenate(out_sig),
+                "part": part,
+            }
+        )
+
+    return expand
+
+
+def make_pair_generator(pair_full_threshold: int = 256, max_bucket_size: int = 65536):
+    """Per-coarse-partition pair generation (used via groupby('part')).
+
+    Inside one partition: lexsort by (space, band, key), find runs,
+    emit all C(g,2) pairs for runs ≤ threshold, else a star to the
+    bucket min.  Buckets beyond ``max_bucket_size`` are truncated to
+    the first max_bucket_size members (star edges), with the drop
+    visible in the ``star`` column for observability."""
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["id"].to_numpy(zero_copy_only=False), dtype=object)
+        space = group["space"].to_numpy(zero_copy_only=False)
+        band = group["band"].to_numpy(zero_copy_only=False)
+        key = group["key"].to_numpy(zero_copy_only=False)
+        sig = group["sig"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, band, space))
+        space, band, key = space[order], band[order], key[order]
+        ids, sig = ids[order], sig[order]
+        n = len(ids)
+        if n == 0:
+            return _EMPTY_PAIRS
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = (
+            (space[1:] != space[:-1]) | (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        )
+        starts = np.flatnonzero(new_run)
+        lengths = np.diff(np.append(starts, n))
+        a_idx: list[np.ndarray] = []
+        b_idx: list[np.ndarray] = []
+        star_flags: list[np.ndarray] = []
+        for s, g in zip(starts[lengths >= 2], lengths[lengths >= 2]):
+            g = int(min(g, max_bucket_size))
+            if g <= pair_full_threshold:
+                i, j = np.triu_indices(g, 1)
+                a_idx.append(s + i)
+                b_idx.append(s + j)
+                star_flags.append(np.zeros(len(i), dtype=bool))
+            else:
+                members = np.arange(s, s + g)
+                center = members[np.argmin(ids[s : s + g])]
+                others = members[members != center]
+                a_idx.append(np.full(len(others), center))
+                b_idx.append(others)
+                star_flags.append(np.ones(len(others), dtype=bool))
+        if not a_idx:
+            return _EMPTY_PAIRS
+        ai = np.concatenate(a_idx)
+        bi = np.concatenate(b_idx)
+        a, b = ids[ai], ids[bi]
+        swap = a > b
+        a[swap], b[swap] = b[swap], a[swap]
+        sa, sb = sig[ai].copy(), sig[bi].copy()
+        sa[swap], sb[swap] = sig[bi][swap], sig[ai][swap]
+        return pa.table(
+            {
+                "a": pa.array(a, type=pa.string()),
+                "b": pa.array(b, type=pa.string()),
+                "sig_a": pa.array(sa, type=pa.int64()),
+                "sig_b": pa.array(sb, type=pa.int64()),
+                "space": pa.array(space[ai], type=pa.int32()),
+                "star": pa.array(np.concatenate(star_flags), type=pa.bool_()),
+            }
+        )
+
+    return pairs
+
+
+_EMPTY_PAIRS = pa.table(
+    {
+        "a": pa.array([], type=pa.string()),
+        "b": pa.array([], type=pa.string()),
+        "sig_a": pa.array([], type=pa.int64()),
+        "sig_b": pa.array([], type=pa.int64()),
+        "space": pa.array([], type=pa.int32()),
+        "star": pa.array([], type=pa.bool_()),
+    }
+)
+
+
+def make_verifier(taus: dict[int, int]):
+    """map_batches fn: exact Hamming verification per signature space."""
+    tau_arr = np.zeros(max(taus) + 1, dtype=np.int64)
+    for k, v in taus.items():
+        tau_arr[k] = v
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        d = hamming64(
+            batch["sig_a"].to_numpy(zero_copy_only=False).view(np.uint64),
+            batch["sig_b"].to_numpy(zero_copy_only=False).view(np.uint64),
+        )
+        space = batch["space"].to_numpy(zero_copy_only=False)
+        keep = d <= tau_arr[space]
+        return batch.filter(pa.array(keep))
+
+    return verify
+
+
+def candidate_pairs(
+    band_rows: rd.Dataset,
+    pair_full_threshold: int = 256,
+    max_bucket_size: int = 65536,
+) -> rd.Dataset:
+    """ONE all-to-all shuffle (coarse hash partition) → vectorized
+    within-partition bucket pairing."""
+    return band_rows.groupby("part").map_groups(
+        make_pair_generator(pair_full_threshold, max_bucket_size),
+        batch_format="pyarrow",
+    )

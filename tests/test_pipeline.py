@@ -1,0 +1,98 @@
+"""End-to-end flagship pipeline conformance on the planted fixture
+(SURVEY.md §5.2): dup-pair recall ≥ 0.99, cluster-assignment match,
+per-row invariant on survivors."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from simhash_ray.config import DEFAULT_CONFIG
+from simhash_ray.fixtures import FixtureSpec, generate_fixture
+from simhash_ray.imgcodec import decode_image
+from simhash_ray.phash import phash64
+from simhash_ray.pipelines.dedup_images import (
+    dedup_images,
+    planted_pair_recall,
+    survivors,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_tables():
+    return generate_fixture(FixtureSpec(n_rows=800, seed=42))
+
+
+@pytest.fixture(scope="module")
+def result(fixture_tables):
+    images = rd.from_arrow(fixture_tables["images"])
+    return dedup_images(images, DEFAULT_CONFIG, n_parts=16)
+
+
+def test_assignment_covers_all_rows(fixture_tables, result):
+    adf = result.assignment.to_pandas()
+    assert len(adf) == fixture_tables["images"].num_rows
+    assert adf["image_id"].is_unique
+    # every cluster id is the min image_id of its members
+    mins = adf.groupby("cluster_id")["image_id"].min()
+    assert (mins.index == mins.values).all()
+
+
+def test_recall_and_precision(fixture_tables, result):
+    adf = result.assignment.to_pandas()
+    tdf = fixture_tables["truth"].to_pandas()
+    recall, precision, n_pairs = planted_pair_recall(adf, tdf)
+    assert n_pairs > 50
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99"
+    assert precision >= 0.99, f"planted-pair precision {precision:.4f}"
+
+
+def test_representatives_consistent(result):
+    adf = result.assignment.to_pandas()
+    reps = adf[adf["is_representative"]]
+    assert (reps["image_id"] == reps["cluster_id"]).all()
+    # exactly one representative per cluster
+    assert reps["cluster_id"].is_unique
+    assert set(adf["cluster_id"]) == set(reps["cluster_id"])
+
+
+def test_survivor_per_row_invariant(fixture_tables, result):
+    """North-rule per-row invariant: surviving representatives decode to
+    pixels whose pinned phash matches the column, caption byte-equal to
+    the source row (lossless fmts → exact equality; PSNR branch n/a)."""
+    images = rd.from_arrow(fixture_tables["images"])
+    surv = survivors(images, result).to_pandas()
+    adf = result.assignment.to_pandas()
+    n_reps = int(adf["is_representative"].sum())
+    assert len(surv) == n_reps
+    src = fixture_tables["images"].to_pandas().set_index("image_id")
+    for row in surv.head(60).itertuples():
+        pix = decode_image(row.bytes, row.fmt, row.w, row.h)
+        assert phash64(pix) == row.phash
+        assert src.loc[row.image_id, "caption"] == row.caption
+        assert src.loc[row.image_id, "bytes"] == row.bytes
+
+
+def test_exact_dups_always_collapse(fixture_tables, result):
+    adf = result.assignment.to_pandas().set_index("image_id")
+    tdf = fixture_tables["truth"].to_pandas()
+    exact = tdf[tdf["kind"] == "exact_dup"]
+    originals = tdf.iloc[exact["cluster_id"].values]
+    for dup_id, src_id in zip(exact["image_id"], originals["image_id"]):
+        assert adf.loc[dup_id, "cluster_id"] == adf.loc[src_id, "cluster_id"]
+
+
+def test_hot_caption_skew_fixture():
+    """Skew stressor: one hot caption in 10% of rows — the exact-sig
+    collapse must shield LSH, pipeline completes and clusters the hot
+    rows together."""
+    tables = generate_fixture(FixtureSpec(n_rows=400, seed=11, hot_frac=0.1))
+    images = rd.from_arrow(tables["images"])
+    res = dedup_images(images, DEFAULT_CONFIG, n_parts=8)
+    adf = res.assignment.to_pandas()
+    tdf = tables["truth"].to_pandas()
+    hot_ids = tdf[tdf["kind"] == "hot_caption"]["image_id"]
+    hot_clusters = adf.set_index("image_id").loc[hot_ids, "cluster_id"]
+    assert hot_clusters.nunique() == 1
+    recall, _, _ = planted_pair_recall(adf, tdf)
+    assert recall >= 0.99
