@@ -1,0 +1,649 @@
+"""Named query catalog: Ray Data implementations + DuckDB oracle SQL.
+
+Each entry here is one operator/pipeline from SURVEY.md §2 (or a §2.5
+training-data addition), exposed through ``__ray_entry__.queries()``.
+Float-producing queries ROUND(…, 6) on BOTH sides so the driver's
+value-hash comparison is immune to summation-order noise; count-style
+queries return exact integers; thresholds are integer rationals.
+
+Conventions: every callable takes ``sf_dir`` and returns a Ray Dataset
+/ pandas DataFrame; aggregate columns are named identically in the SQL
+(the driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from ..config import DEFAULT_CONFIG
+from ..fixtures import FixtureSpec, default_fixture_dir, write_fixture
+from ..sources.tables import read_table
+from ..stages import text as text_ops
+from ..stages.ann import brute_force_topk
+from ..stages.minhash import all_pairs_jaccard, minhash_dup_pairs
+from ..stages.multimodal import image_stats
+from ..stages.window import sessionize, tumbling_window_agg
+from . import dedup_images as flagship
+
+# --------------------------------------------------------------------------
+# fixture plumbing (north-rule image table, synthesized per scale)
+
+_SF_ROWS = {"sf0.001": 800, "sf0.01": 8000, "sf0.1": 80000}
+
+
+def fixture_dir_for_sf(sf_dir: str) -> str:
+    import os
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    n = _SF_ROWS.get(base, 800)
+    spec = FixtureSpec(n_rows=n, seed=42)
+    return write_fixture(default_fixture_dir(spec), spec)
+
+
+def read_images_fixture(sf_dir: str, columns=None) -> rd.Dataset:
+    return read_table(fixture_dir_for_sf(sf_dir), "images", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _round6(arr: np.ndarray) -> np.ndarray:
+    return np.round(np.asarray(arr, dtype=np.float64), 6)
+
+
+def _docs(sf_dir: str, columns=None) -> rd.Dataset:
+    return read_table(sf_dir, "documents", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# relational queries over the driver testdata
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate with in-batch partial
+    pre-aggregation (SURVEY.md §2.5 'signature compute' of the wide
+    groupby pattern)."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.less_equal(batch["l_shipdate"], pa.scalar(np.datetime64("1998-09-01", "us")))
+        t = batch.filter(keep)
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        df = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": t["l_quantity"],
+                "sum_base_price": t["l_extendedprice"],
+                "sum_disc_price": disc_price,
+                "count_order": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        ).to_pandas()
+        agg = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": _round6(batch["sum_qty"].to_numpy(zero_copy_only=False)),
+                "sum_base_price": _round6(
+                    batch["sum_base_price"].to_numpy(zero_copy_only=False)
+                ),
+                "sum_disc_price": _round6(
+                    batch["sum_disc_price"].to_numpy(zero_copy_only=False)
+                ),
+                "count_order": batch["count_order"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 6)                            AS sum_qty,
+       ROUND(SUM(l_extendedprice), 6)                       AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)    AS sum_disc_price,
+       COUNT(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_discount_revenue(sf_dir: str):
+    """TPC-H-Q6-style selective scan → single global aggregate."""
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_extendedprice", "l_discount", "l_quantity"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_discount"], 0.05),
+                pc.less_equal(batch["l_discount"], 0.07),
+            ),
+            pc.less(batch["l_quantity"], 24.0),
+        )
+        t = batch.filter(keep)
+        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        return pa.table({"revenue": pa.array([pc.sum(rev).as_py() or 0.0])})
+
+    total = ds.map_batches(partial, batch_format="pyarrow").sum("revenue") or 0.0
+    return pd.DataFrame({"revenue": [round(float(total), 6)]})
+
+
+SQL_DISCOUNT_REVENUE = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 6) AS revenue
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_segment_revenue(sf_dir: str):
+    """Broadcast hash join (small dimension side via ray.put) +
+    pre-aggregated groupby — the ray_guide join pattern."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust_df = cust.to_pandas()
+    lookup_ref = ray.put(dict(zip(cust_df["c_custkey"], cust_df["c_mktsegment"])))
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lm = ray.get(lookup_ref)
+        seg = np.array(
+            [lm.get(k, None) for k in batch["o_custkey"].to_pylist()], dtype=object
+        )
+        df = pd.DataFrame(
+            {
+                "c_mktsegment": seg,
+                "revenue": batch["o_totalprice"].to_numpy(zero_copy_only=False),
+                "n_orders": np.ones(batch.num_rows, dtype=np.int64),
+            }
+        ).dropna(subset=["c_mktsegment"])
+        agg = df.groupby("c_mktsegment", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders")
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "revenue": _round6(batch["revenue"].to_numpy(zero_copy_only=False)),
+                "n_orders": batch["n_orders"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment,
+       ROUND(SUM(o_totalprice), 6) AS revenue,
+       COUNT(*)                    AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_region_customers(sf_dir: str):
+    """Two-hop broadcast join: customer → nation → region."""
+    nat = read_table(sf_dir, "nation").to_pandas()
+    reg = read_table(sf_dir, "region").to_pandas()
+    n2r = dict(zip(nat["n_nationkey"], nat["n_regionkey"]))
+    r2name = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    ref = ray.put((n2r, r2name))
+    cust = read_table(sf_dir, "customer", columns=["c_nationkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n2r_, r2name_ = ray.get(ref)
+        names = np.array(
+            [r2name_[n2r_[k]] for k in batch["c_nationkey"].to_pylist()], dtype=object
+        )
+        df = pd.DataFrame({"r_name": names})
+        agg = df.groupby("r_name", as_index=False).size()
+        agg.columns = ["r_name", "n_customers"]
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (
+        cust.map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+    )
+    return out
+
+
+SQL_REGION_CUSTOMERS = """
+SELECT r_name, COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """Global sort (range-partitioned shuffle) + limit."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    top = orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_totalprice": _round6(
+                    batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, ROUND(o_totalprice, 6) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_part_filter(sf_dir: str):
+    """Vectorized filter + projection with pruned read."""
+    parts = read_table(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    return parts.map_batches(
+        lambda t: t.filter(pc.greater(t["p_size"], 25)).select(
+            ["p_partkey", "p_brand"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PART_FILTER = "SELECT p_partkey, p_brand FROM part WHERE p_size > 25"
+
+
+def q_supplier_customer_union(sf_dir: str):
+    """Union of two sources with a provenance tag."""
+    sup = read_table(sf_dir, "supplier", columns=["s_name"]).map_batches(
+        lambda t: pa.table(
+            {"name": t["s_name"], "src": pa.array(["supplier"] * t.num_rows)}
+        ),
+        batch_format="pyarrow",
+    )
+    cus = read_table(sf_dir, "customer", columns=["c_name"]).map_batches(
+        lambda t: pa.table(
+            {"name": t["c_name"], "src": pa.array(["customer"] * t.num_rows)}
+        ),
+        batch_format="pyarrow",
+    )
+    return sup.union(cus)
+
+
+SQL_UNION = """
+SELECT s_name AS name, 'supplier' AS src FROM supplier
+UNION ALL
+SELECT c_name AS name, 'customer' AS src FROM customer
+"""
+
+
+def q_event_type_counts(sf_dir: str):
+    ev = read_table(sf_dir, "events", columns=["event_type"])
+    return ev.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+SQL_EVENT_TYPE_COUNTS = "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"
+
+
+def q_events_tumbling(sf_dir: str):
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return tumbling_window_agg(ev, window_s=3600)
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT event_type,
+       date_trunc('hour', ts)   AS window_start,
+       COUNT(*)                 AS n_events,
+       ROUND(SUM(value), 6)     AS sum_value
+FROM events GROUP BY event_type, window_start
+"""
+
+
+def q_sessionize(sf_dir: str):
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return sessionize(ev, gap_s=1800)
+
+
+SQL_SESSIONIZE = """
+WITH lagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------------------
+# text / dedup operators over documents
+
+
+def q_doc_token_stats(sf_dir: str):
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    out = docs.map_batches(text_ops.token_count_batch, batch_format="pyarrow")
+    out = out.map_batches(text_ops.quality_counters_batch, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "n_tokens", "len_chars", "alpha_chars", "digit_chars", "space_chars"]
+    )
+
+
+SQL_DOC_TOKEN_STATS = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END   AS n_tokens,
+       length(text)                                               AS len_chars,
+       length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))         AS alpha_chars,
+       length(regexp_replace(text, '[^0-9]', '', 'g'))            AS digit_chars,
+       length(regexp_replace(text, '[^ ]', '', 'g'))              AS space_chars
+FROM documents
+"""
+
+
+def q_doc_fingerprint(sf_dir: str):
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return docs.map_batches(
+        text_ops.md5_fingerprint_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "fingerprint"])
+
+
+SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    out = text_ops.exact_dedup(docs, key_col="text", id_col="doc_id")
+    return out.select_columns(["doc_id", "n_copies"])
+
+
+SQL_DOC_EXACT_DEDUP = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text
+"""
+
+
+def q_doc_tokenset_dedup(sf_dir: str):
+    """Bag-of-words dedup: identical distinct-token sets collapse."""
+    import hashlib
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        keys = []
+        for t in batch["text"].to_pylist():
+            toks = sorted({w for w in (t or "").lower().split() if w})
+            keys.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
+        return pa.table({"doc_id": batch["doc_id"], "set_key": pa.array(keys)})
+
+    out = (
+        docs.map_batches(keyed, batch_format="pyarrow")
+        .groupby("set_key")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
+    )
+    return out.select_columns(["doc_id", "n_copies"])
+
+
+SQL_DOC_TOKENSET_DEDUP = r"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(trim(lower(text)), '\s+'))), ' '))
+"""
+
+
+def q_doc_jaccard_pairs(sf_dir: str):
+    """EXACT token-set Jaccard ≥ 9/10 near-dup pairs (integer-rational
+    threshold; scalable probabilistic counterpart: minhash query)."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return all_pairs_jaccard(docs, 9, 10, use_token_sets=True)
+
+
+SQL_DOC_JACCARD_PAIRS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       len(list_intersect(a.toks, b.toks))                                   AS inter,
+       len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))       AS uni
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) * 10
+      >= 9 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+"""
+
+
+def q_doc_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup candidates (probabilistic — rows-only check;
+    recall vs the exact operator is asserted in tests)."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return minhash_dup_pairs(docs, theta=0.7, shingle_k=2, concurrency=(1, 4))
+
+
+def q_doc_simhash_sigs(sf_dir: str):
+    """64-bit SimHash signatures of documents (flagship encoder on the
+    driver corpus; conformance vs oracle is covered by unit tests)."""
+    from ..stages.encode import encode_signatures
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return encode_signatures(
+        docs, DEFAULT_CONFIG.simhash, text_col="text", concurrency=(1, 4)
+    ).select_columns(["doc_id", "simhash"])
+
+
+def q_doc_lang_pred(sf_dir: str):
+    docs = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    return docs.map_batches(
+        text_ops.LangIdScorer,
+        fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def q_doc_rolling_fp(sf_dir: str):
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return docs.map_batches(
+        text_ops.rolling_fingerprint_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "rolling_fp"])
+
+
+# --------------------------------------------------------------------------
+# embeddings
+
+
+def q_embed_topk(sf_dir: str):
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return brute_force_topk(vecs, query_ids=list(range(10)), k=5)
+
+
+SQL_EMBED_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS score
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_embed_label_stats(sf_dir: str):
+    vecs = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // max(1, batch.num_rows)
+        sq = (flat.reshape(batch.num_rows, dim) ** 2).sum(axis=1)
+        df = pd.DataFrame(
+            {
+                "label": batch["label"].to_numpy(zero_copy_only=False),
+                "sum_sq": sq,
+                "n_vecs": np.ones(batch.num_rows, dtype=np.int64),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("label", as_index=False).sum(), preserve_index=False
+        )
+
+    out = (
+        vecs.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("sum_sq", alias_name="sum_sq"), Sum("n_vecs", alias_name="n_vecs"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": batch["label"],
+                "sum_sq": _round6(batch["sum_sq"].to_numpy(zero_copy_only=False)),
+                "n_vecs": batch["n_vecs"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EMBED_LABEL_STATS = """
+SELECT label,
+       ROUND(SUM(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
+                                'sum')), 6) AS sum_sq,
+       COUNT(*) AS n_vecs
+FROM embeddings GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# flagship image pipeline (north-rule fixture; rows-only driver check —
+# cluster-level conformance is pytest-gated with planted truth)
+
+
+def q_images_signatures(sf_dir: str):
+    images = read_images_fixture(sf_dir, columns=["image_id", "caption", "phash"])
+    return flagship.signatures(images, DEFAULT_CONFIG, concurrency=(1, 4))
+
+
+def q_images_dedup(sf_dir: str):
+    images = read_images_fixture(sf_dir, columns=["image_id", "caption", "phash"])
+    res = flagship.dedup_images(images, DEFAULT_CONFIG, n_parts=16, concurrency=(1, 4))
+    return res.assignment
+
+
+def q_images_stats(sf_dir: str):
+    images = read_images_fixture(sf_dir)
+    return image_stats(images, concurrency=(1, 4)).select_columns(
+        ["image_id", "fmt", "phash_matches"]
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+
+
+def ray_queries() -> dict:
+    return {
+        "pricing_summary": q_pricing_summary,
+        "discount_revenue": q_discount_revenue,
+        "segment_revenue": q_segment_revenue,
+        "region_customers": q_region_customers,
+        "top_orders": q_top_orders,
+        "part_filter": q_part_filter,
+        "supplier_customer_union": q_supplier_customer_union,
+        "event_type_counts": q_event_type_counts,
+        "events_tumbling": q_events_tumbling,
+        "sessionize": q_sessionize,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_tokenset_dedup": q_doc_tokenset_dedup,
+        "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash_sigs": q_doc_simhash_sigs,
+        "doc_lang_pred": q_doc_lang_pred,
+        "doc_rolling_fp": q_doc_rolling_fp,
+        "embed_topk": q_embed_topk,
+        "embed_label_stats": q_embed_label_stats,
+        "images_signatures": q_images_signatures,
+        "images_dedup": q_images_dedup,
+        "images_stats": q_images_stats,
+    }
+
+
+def oracle_sqls() -> dict:
+    return {
+        "pricing_summary": SQL_PRICING,
+        "discount_revenue": SQL_DISCOUNT_REVENUE,
+        "segment_revenue": SQL_SEGMENT_REVENUE,
+        "region_customers": SQL_REGION_CUSTOMERS,
+        "top_orders": SQL_TOP_ORDERS,
+        "part_filter": SQL_PART_FILTER,
+        "supplier_customer_union": SQL_UNION,
+        "event_type_counts": SQL_EVENT_TYPE_COUNTS,
+        "events_tumbling": SQL_EVENTS_TUMBLING,
+        "sessionize": SQL_SESSIONIZE,
+        "doc_token_stats": SQL_DOC_TOKEN_STATS,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+        "doc_tokenset_dedup": SQL_DOC_TOKENSET_DEDUP,
+        "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
+        "embed_topk": SQL_EMBED_TOPK,
+        "embed_label_stats": SQL_EMBED_LABEL_STATS,
+        # rows-only (non-SQL-expressible / probabilistic):
+        # doc_minhash_pairs, doc_simhash_sigs, doc_lang_pred,
+        # doc_rolling_fp, images_signatures, images_dedup, images_stats
+    }

@@ -1,0 +1,170 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``), each batch does one float64 matmul against it, emits
+per-batch partial top-k, and a final small aggregation merges partials.
+Scale path: ``lsh_bucketed_topk`` buckets vectors by random-hyperplane
+SimHash (a Charikar LSH for cosine) so each query only scans its
+bucket's collision set — the same banding machinery as the dedup
+pipeline, re-used for similarity search.
+
+Float policy: all scores are computed in float64 from the stored
+float32 values so results are comparable with a DuckDB
+``list_cosine_similarity`` oracle; outputs carry (query_id, neighbor
+id, rank) with rank resolved by (score desc, id asc) to make ties
+deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // len(col)
+    return flat.reshape(len(col), dim)
+
+
+def brute_force_topk(
+    vectors: rd.Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """(query_id, neighbor_id, rank) — exact cosine top-k per query.
+
+    Queries are fetched once on the driver (tiny), normalized, and
+    broadcast; the big vector table streams through one matmul per
+    batch.  Per-batch partial top-k bounds the shuffle to
+    len(queries)×k rows per batch before the final merge."""
+    qset = set(int(q) for q in query_ids)
+
+    def is_query(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, list(qset))))
+
+    qtbl = (
+        vectors.select_columns([id_col, vec_col])
+        .map_batches(is_query, batch_format="pyarrow")
+        .take_all()
+    )
+    q_ids = np.array([r[id_col] for r in qtbl], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qtbl])
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    ref = ray.put((q_ids, q_mat))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _to_matrix(batch[vec_col])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        scores = qm @ mat.T  # (n_q, n_batch)
+        out_q, out_n, out_s = [], [], []
+        kk = min(k + 1, scores.shape[1])  # +1: the query itself may be here
+        for row in range(len(qi)):
+            top = np.argpartition(-scores[row], kk - 1)[:kk]
+            out_q.append(np.full(len(top), qi[row], dtype=np.int64))
+            out_n.append(ids[top])
+            out_s.append(scores[row][top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    partials = vectors.select_columns([id_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=4096
+    )
+
+    def merge(group: pa.DataFrame) -> pa.DataFrame:  # pandas group
+        group = group[group["neighbor_id"] != group["query_id"]]
+        group = group.sort_values(
+            ["score", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        group = group.reset_index(drop=True)
+        group["rank"] = np.arange(1, len(group) + 1, dtype=np.int64)
+        return group[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+class HyperplaneHasher:
+    """Random-hyperplane signature (Charikar cosine LSH) as an actor
+    stage: adds a ``bucket`` column = sign-pattern of r projections."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 99):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch[batch.column_names[1]])
+        proj = mat @ self.planes
+        bits = (proj > 0).astype(np.uint64)
+        bucket = np.zeros(len(mat), dtype=np.uint64)
+        for j in range(bits.shape[1]):
+            bucket |= bits[:, j] << np.uint64(j)
+        return batch.append_column("bucket", pa.array(bucket.view(np.int64)))
+
+
+def lsh_bucketed_topk(
+    vectors: rd.Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> rd.Dataset:
+    """Approximate top-k: only candidates sharing the query's hyperplane
+    bucket are scored.  Recall < 1 by design; benchmark counterpart of
+    :func:`brute_force_topk` (multi-probe/IVF would be the production
+    refinement — bucket count and probe count are the tuning knobs)."""
+    first = vectors.take(1)[0]
+    dim = len(first[vec_col])
+    hashed = vectors.select_columns([id_col, vec_col]).map_batches(
+        HyperplaneHasher,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    qset = [int(q) for q in query_ids]
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        qrows = group[group[id_col].isin(qset)]
+        if len(qrows) == 0:
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype=np.int64),
+                 "neighbor_id": pd.Series([], dtype=np.int64),
+                 "rank": pd.Series([], dtype=np.int64)}
+            )
+        mat = np.stack(group[vec_col].map(np.asarray)).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        ids = group[id_col].to_numpy()
+        out = []
+        for _, q in qrows.iterrows():
+            qv = np.asarray(q[vec_col], dtype=np.float64)
+            qv /= np.linalg.norm(qv)
+            scores = mat @ qv
+            order = np.lexsort((ids, -scores))
+            order = order[ids[order] != q[id_col]][:k]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(order), q[id_col], dtype=np.int64),
+                        "neighbor_id": ids[order],
+                        "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return hashed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")

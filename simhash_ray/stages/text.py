@@ -1,0 +1,147 @@
+"""Text-analysis operators over document tables (training-data pipeline
+building blocks): token counting, quality counters, language-ID
+heuristic, fingerprinting, exact dedup.
+
+All hot paths are vectorized pyarrow.compute / numpy inside
+``map_batches``; the only per-row Python is md5 hex digest (stdlib) and
+the stopword scoring over the *unique token dictionary* of each batch.
+
+SQL-oracle-friendliness: operators that the driver checks against
+DuckDB return INTEGER counters (ratios are left to the consumer) so
+the value-hash comparison is exact (no float summation-order noise).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count, matching Python ``str.split`` semantics."""
+    toks = pc.utf8_split_whitespace(batch[text_col].combine_chunks().cast(pa.string()))
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    n = len(toks)
+    lens = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
+    row_of = np.repeat(np.arange(n), lens)
+    counts = np.bincount(row_of[keep], minlength=n).astype(np.int64)
+    return batch.append_column("n_tokens", pa.array(counts, type=pa.int64()))
+
+
+def quality_counters_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer quality counters: total/alpha/digit/space char counts."""
+    text = batch[text_col].combine_chunks().cast(pa.string())
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    alpha = pc.utf8_length(
+        pc.replace_substring_regex(text, "[^a-zA-Z]", "")
+    ).cast(pa.int64())
+    digit = pc.utf8_length(
+        pc.replace_substring_regex(text, "[^0-9]", "")
+    ).cast(pa.int64())
+    space = pc.utf8_length(
+        pc.replace_substring_regex(text, "[^ ]", "")
+    ).cast(pa.int64())
+    out = batch.append_column("len_chars", n_chars)
+    out = out.append_column("alpha_chars", alpha)
+    out = out.append_column("digit_chars", digit)
+    return out.append_column("space_chars", space)
+
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# This is a deterministic toy model (no external models in-sandbox).
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "nicht", "mit", "sich", "auf"},
+    "fr": {"le", "la", "les", "et", "des", "un", "une", "est", "dans", "que"},
+    "es": {"el", "la", "los", "y", "de", "que", "en", "un", "una", "es"},
+}
+
+
+class LangIdScorer:
+    """Actor-pool language-ID stage: stopword-hit voting over the batch's
+    unique-token dictionary (state = the compiled stopword table)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.langs = sorted(_STOPWORDS)
+        self.tables = [_STOPWORDS[lang] for lang in self.langs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col].combine_chunks().cast(pa.string())
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(text))
+        flat = pc.list_flatten(toks)
+        n = len(toks)
+        lens = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
+        dict_arr = flat.dictionary_encode()
+        uniq = dict_arr.dictionary.to_pylist()
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-unique-token lang votes
+        votes = np.zeros((len(uniq), len(self.langs)), dtype=np.int64)
+        for i, tok in enumerate(uniq):
+            for j, table in enumerate(self.tables):
+                if tok in table:
+                    votes[i, j] = 1
+        row_of = np.repeat(np.arange(n), lens)
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        np.add.at(scores, row_of, votes[codes])
+        best = np.argmax(scores, axis=1)
+        hit = scores.max(axis=1) > 0
+        pred = np.where(hit, np.array(self.langs, dtype=object)[best], "und")
+        return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
+
+
+def md5_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Content fingerprint = md5 hex of the raw text (DuckDB-matchable)."""
+    texts = batch[text_col].to_pylist()
+    fp = [hashlib.md5(("" if t is None else t).encode("utf-8")).hexdigest() for t in texts]
+    return batch.append_column("fingerprint", pa.array(fp, type=pa.string()))
+
+
+def rolling_fingerprint_batch(
+    batch: pa.Table, text_col: str = "text", window: int = 16, keep: int = 4
+) -> pa.Table:
+    """Winnowing-style document fingerprint: the ``keep`` smallest
+    rolling-window hashes of the token-hash stream, xor-folded to one
+    int64.  Order-robust against small edits (unlike md5)."""
+    import pandas as pd
+
+    toks = pc.utf8_split_whitespace(
+        pc.utf8_lower(batch[text_col].combine_chunks().cast(pa.string()))
+    )
+    out = np.zeros(batch.num_rows, dtype=np.uint64)
+    for i, row in enumerate(toks.to_pylist()):
+        row = [t for t in (row or []) if t]
+        if not row:
+            continue
+        th = pd.util.hash_array(np.array(row, dtype=object))
+        w = min(window, len(th))
+        acc = np.zeros(len(th) - w + 1, dtype=np.uint64)
+        for j in range(w):
+            acc = (acc ^ th[j : j + len(acc)]) * np.uint64(0x9E3779B97F4A7C15)
+        smallest = np.sort(acc)[:keep]
+        f = np.uint64(0)
+        for s in smallest:
+            f ^= s
+        out[i] = f
+    return batch.append_column(
+        "rolling_fp", pa.array(out.view(np.int64), type=pa.int64())
+    )
+
+
+def exact_dedup(
+    ds: rd.Dataset, key_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Exact dedup: min id per identical key + multiplicity.
+
+    groupby shuffle on the key; returns (id_col, n_copies) — one row
+    per distinct key, keeping the minimum id (deterministic winner)."""
+    from ray.data.aggregate import Count, Min
+
+    return ds.groupby(key_col).aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="n_copies")
+    )

@@ -1,0 +1,108 @@
+"""Event-stream windowing on a batch engine (SURVEY.md §2.5 additions).
+
+Ray Data has no event-time windows; the idiomatic mapping (ray_guide)
+is: tumbling windows = derive the bucket key in ``map_batches`` +
+partial pre-aggregation, then one small ``groupby``; session windows =
+``groupby(key).map_groups`` over ts-sorted groups with the gap rule in
+pandas.  Ordering assumption: sessionization sorts within each user
+group — no global order is required.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def tumbling_window_agg(
+    events: rd.Dataset,
+    window_s: int = 3600,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Per (key, window): row count and value sum.
+
+    Pre-aggregates inside each batch (one row per key-window per batch)
+    before the groupby shuffle — the wide input never moves, only
+    partials.  Window = epoch-seconds floor-div, matching DuckDB's
+    ``to_timestamp(epoch(ts)//W*W)``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        bucket = pc.multiply(
+            pc.floor(pc.divide(ts, window_s * 1_000_000)).cast(pa.int64()),
+            window_s * 1_000_000,
+        )
+        t = pa.table(
+            {
+                key_col: batch[key_col],
+                "window_start": bucket,
+                "n_events": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64), type=pa.int64()
+                ),
+                "sum_value": batch[value_col],
+            }
+        )
+        df = t.to_pandas()
+        agg = (
+            df.groupby([key_col, "window_start"], as_index=False)
+            .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = events.select_columns([key_col, ts_col, value_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    out = partials.groupby([key_col, "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ws = batch["window_start"].cast(pa.timestamp("us"))
+        val = np.round(batch["sum_value"].to_numpy(zero_copy_only=False), 6)
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "window_start": ws,
+                "n_events": batch["n_events"],
+                "sum_value": pa.array(val, type=pa.float64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sessionize(
+    events: rd.Dataset,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> rd.Dataset:
+    """Session windows per user: a new session starts when the gap from
+    the previous event exceeds ``gap_s``.  Returns one row per session:
+    (user_id, session_start, session_end, n_events)."""
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(ts_col)
+        gaps = g[ts_col].diff().dt.total_seconds().fillna(np.inf)
+        session = (gaps > gap_s).cumsum()
+        out = g.groupby(session).agg(
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+            n_events=(ts_col, "size"),
+        )
+        out[user_col] = g[user_col].iloc[0]
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out[[user_col, "session_start", "session_end", "n_events"]]
+
+    return (
+        events.select_columns([user_col, ts_col])
+        .groupby(user_col)
+        .map_groups(per_user, batch_format="pandas")
+    )

@@ -1,0 +1,77 @@
+"""Query-vs-DuckDB-oracle conformance at sf0.001 — a local replica of
+the driver's correctness gate (same compare semantics: row count,
+column names, order-insensitive value equality)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def _to_pandas(obj):
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(obj, rd.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+ORACLE_NAMES = sorted(entry_mod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(name, con):
+    ray_fn = entry_mod.queries()[name]
+    got = _canon(_to_pandas(ray_fn(SF_DIR)))
+    want = _canon(con.execute(entry_mod.oracle_sql()[name]).fetchdf())
+    assert list(got.columns) == list(want.columns), (
+        f"{name} column mismatch: {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name} row count {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name):
+    df = _to_pandas(entry_mod.queries()[name](SF_DIR))
+    assert df is not None
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke():
+    df = _to_pandas(entry_mod.entry())
+    assert len(df) > 0
+    assert {"image_id", "cluster_id", "is_representative"} <= set(df.columns)
