@@ -1,0 +1,140 @@
+"""Benchmark runner (driver contract + P5 of SURVEY.md §7).
+
+Headline: end-to-end image near-dup pipeline (encode → collapse → LSH
+→ verify → cluster → assign) on the deterministic north-rule fixture
+sized to $GRAFT_SF_DIR's scale; plus representative per-operator
+timings over the testdata tables.
+
+Prints ONE JSON line:
+  {"metric": "e2e_dedup_images_per_sec", "value": <headline seconds>,
+   "unit": "sec", "queries": {...}, "sf": ..., "num_cpus": N,
+   "images_per_sec": ...}
+
+--scaling: runs the headline twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (sandbox stand-in for the N vs 4N
+node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _run_bench() -> dict:
+    import logging
+
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from simhash_ray.config import DEFAULT_CONFIG
+    from simhash_ray.pipelines import dedup_images as flagship
+    from simhash_ray.pipelines.queries import (
+        fixture_dir_for_sf,
+        q_doc_simhash_sigs,
+        q_events_tumbling,
+        q_pricing_summary,
+        q_segment_revenue,
+        read_images_fixture,
+    )
+
+    # fixture generation is cached on disk; warm it (and the page cache)
+    # outside the timed region
+    fixture_dir_for_sf(sf_dir)
+    n_images = read_images_fixture(sf_dir, columns=["image_id"]).count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        return out
+
+    # headline: full dedup, consumed to a materialized assignment
+    def run_flagship():
+        images = read_images_fixture(sf_dir, columns=["image_id", "caption", "phash"])
+        res = flagship.dedup_images(images, DEFAULT_CONFIG, n_parts=64)
+        return res.assignment.count()
+
+    n_assigned = timed("e2e_dedup", run_flagship)
+    assert n_assigned == n_images, (n_assigned, n_images)
+
+    # operator breadth over the driver testdata
+    timed("doc_simhash_sigs", lambda: q_doc_simhash_sigs(sf_dir).count())
+    timed("pricing_summary", lambda: q_pricing_summary(sf_dir).count())
+    timed("segment_revenue", lambda: q_segment_revenue(sf_dir).count())
+    timed("events_tumbling", lambda: q_events_tumbling(sf_dir).count())
+
+    result = {
+        "metric": "e2e_dedup_seconds",
+        "value": timings["e2e_dedup"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_images": n_images,
+        "images_per_sec": round(n_images / timings["e2e_dedup"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def _run_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = _run_subprocess(lo)
+        r_hi = _run_subprocess(hi)
+        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        eff = (t_lo / t_hi) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sec_8cpu": t_lo,
+                    "sec_32cpu": t_hi,
+                    "images_per_sec_8cpu": r_lo["images_per_sec"],
+                    "images_per_sec_32cpu": r_hi["images_per_sec"],
+                    "sf": r_hi["sf"],
+                }
+            )
+        )
+    else:
+        print(json.dumps(_run_bench()))
+
+
+if __name__ == "__main__":
+    main()

@@ -95,11 +95,23 @@ def dedup_images(
     )
     edges = verified.select_columns(["a", "b"]).materialize()
 
-    labels = connected_components(edges, cfg.max_cluster_rounds, n_parts)
-    n_nodes = labels.count()
+    # Clustering: the verified edge set is tiny relative to the input
+    # (only near-dup pairs).  Below the broadcast limit, run union-find
+    # on the driver (1 collect, zero extra shuffles); above it, the
+    # distributed min-label-propagation rounds take over.
+    n_edges = edges.count()
+    labels = None
+    if n_edges <= BROADCAST_LIMIT:
+        from ..stages.cluster import unionfind_driver
 
-    if n_nodes <= BROADCAST_LIMIT:
-        label_df = labels.to_pandas()
+        label_df = unionfind_driver(edges.to_pandas())
+        n_nodes = len(label_df)
+    else:  # pragma: no cover - cluster-scale path, tested separately
+        labels = connected_components(edges, cfg.max_cluster_rounds, n_parts)
+        n_nodes = labels.count()
+        label_df = labels.to_pandas() if n_nodes <= BROADCAST_LIMIT else None
+
+    if label_df is not None:
         label_ref = ray.put(dict(zip(label_df["node"], label_df["label"])))
 
         def attach(batch: pa.Table) -> pa.Table:

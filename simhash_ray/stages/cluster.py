@@ -155,6 +155,33 @@ def _minimize(group: pa.Table) -> pa.Table:
     )
 
 
+def unionfind_driver(edges_df) -> "pd.DataFrame":
+    """Driver-local union-find (path-halving + union-by-min) for edge
+    sets small enough to collect — the ray_guide's sanctioned shortcut
+    ("union-find on the driver only if the candidate set is provably
+    small").  The verified-dup edge set is orders of magnitude smaller
+    than the input; the distributed rounds below remain the scale path
+    and are tested for identical output."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges_df["a"], edges_df["b"]):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+        parent[hi] = lo
+    nodes = sorted(set(edges_df["a"]) | set(edges_df["b"]))
+    return pd.DataFrame({"node": nodes, "label": [find(n) for n in nodes]})
+
+
 def connected_components(
     edges: rd.Dataset, max_rounds: int = 12, n_parts: int = 64
 ) -> rd.Dataset:

@@ -1,0 +1,51 @@
+"""Distributed CC vs driver union-find equivalence + convergence."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from simhash_ray.stages.cluster import connected_components, unionfind_driver
+
+
+def _random_edges(seed, n_nodes=300, n_edges=260):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n_nodes, n_edges)
+    b = rng.integers(0, n_nodes, n_edges)
+    keep = a != b
+    return pd.DataFrame(
+        {"a": [f"n{x:05d}" for x in a[keep]], "b": [f"n{x:05d}" for x in b[keep]]}
+    )
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_distributed_matches_driver(seed):
+    df = _random_edges(seed)
+    got = (
+        connected_components(rd.from_pandas(df), max_rounds=40, n_parts=8)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = unionfind_driver(df).sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_chain_converges():
+    """Worst-case diameter: a path graph; plain propagation needs
+    O(diameter) rounds — max_rounds must accommodate or raise."""
+    n = 12
+    df = pd.DataFrame(
+        {"a": [f"n{i:03d}" for i in range(n - 1)], "b": [f"n{i+1:03d}" for i in range(n - 1)]}
+    )
+    labels = connected_components(rd.from_pandas(df), max_rounds=n + 2, n_parts=4).to_pandas()
+    assert set(labels["label"]) == {"n000"}
+    with pytest.raises(RuntimeError):
+        connected_components(rd.from_pandas(df), max_rounds=2, n_parts=4)
+
+
+def test_unionfind_driver_basic():
+    df = pd.DataFrame({"a": ["x", "y", "p"], "b": ["y", "z", "q"]})
+    out = unionfind_driver(df).set_index("node")["label"]
+    assert out["x"] == out["y"] == out["z"] == "x"
+    assert out["p"] == out["q"] == "p"
