@@ -65,21 +65,14 @@ def signatures(
     ).select_columns(["image_id", "simhash", "phash"])
 
 
-def dedup_images(
-    images: rd.Dataset,
-    cfg: DedupConfig = DEFAULT_CONFIG,
-    n_parts: int = 64,
-    concurrency=None,
-) -> DedupResult:
-    sigs = signatures(images, cfg, concurrency=concurrency)
-    # member→rep mapping reused twice below; narrow columns only.
-    # (At petabyte scale this materialize becomes a parquet stage
-    # checkpoint — see state/manifest.py runner.)
-    collapsed = collapse_exact(sigs, n_parts).materialize()
+def dup_edges(
+    collapsed: rd.Dataset, cfg: DedupConfig = DEFAULT_CONFIG, n_parts: int = 64
+) -> rd.Dataset:
+    """Distinct-signature nodes → banding → bucket pairs → verified
+    (a, b) dup edges."""
     reps = collapsed.filter(expr="is_rep == True").select_columns(
         ["image_id", "simhash", "phash"]
     )
-
     expander = make_band_expander(
         [(TEXT_SPACE, "simhash", cfg.text_lsh), (IMAGE_SPACE, "phash", cfg.image_lsh)],
         id_col="image_id",
@@ -93,12 +86,42 @@ def dedup_images(
         ),
         batch_format="pyarrow",
     )
-    edges = verified.select_columns(["a", "b"]).materialize()
+    return verified.select_columns(["a", "b"])
 
-    # Clustering: the verified edge set is tiny relative to the input
-    # (only near-dup pairs).  Below the broadcast limit, run union-find
-    # on the driver (1 collect, zero extra shuffles); above it, the
-    # distributed min-label-propagation rounds take over.
+
+def dedup_images(
+    images: rd.Dataset,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    n_parts: int = 64,
+    concurrency=None,
+) -> DedupResult:
+    sigs = signatures(images, cfg, concurrency=concurrency)
+    # member→rep mapping reused twice below; narrow columns only.
+    # (At petabyte scale this materialize becomes a parquet stage
+    # checkpoint — see dedup_images_checkpointed.)
+    collapsed = collapse_exact(sigs, n_parts).materialize()
+    edges = dup_edges(collapsed, cfg, n_parts).materialize()
+    assignment, n_clusters, n_nodes = attach_clusters(collapsed, edges, cfg, n_parts)
+    return DedupResult(
+        assignment=assignment.materialize(),
+        edges=edges,
+        n_clusters_with_dups=n_clusters,
+        n_nodes_clustered=n_nodes,
+    )
+
+
+def attach_clusters(
+    collapsed: rd.Dataset,
+    edges: rd.Dataset,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    n_parts: int = 64,
+) -> tuple[rd.Dataset, int, int]:
+    """Cluster the verified edges and attach cluster ids to every row.
+
+    The verified edge set is tiny relative to the input (only near-dup
+    pairs): below BROADCAST_LIMIT run union-find on the driver (one
+    collect, zero extra shuffles); above it, the distributed min-label-
+    propagation rounds + a hash ``Dataset.join`` take over."""
     n_edges = edges.count()
     labels = None
     if n_edges <= BROADCAST_LIMIT:
@@ -162,11 +185,55 @@ def dedup_images(
         assignment = joined.map_batches(finish, batch_format="pyarrow")
         n_clusters = len(labels.unique("label"))
 
+    return assignment, n_clusters, n_nodes
+
+
+def dedup_images_checkpointed(
+    images: rd.Dataset,
+    ckpt_dir: str,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    n_parts: int = 64,
+    input_fingerprint: str = "",
+) -> DedupResult:
+    """Checkpoint-resumable flagship run: each stage commits a Parquet
+    directory + lineage manifest (state/manifest.py); a rerun skips
+    committed stages — kill-and-rerun yields identical output
+    (SURVEY.md §5.5 resume test)."""
+    from ..state.manifest import CheckpointedRun
+
+    run = CheckpointedRun(ckpt_dir, cfg.config_hash())
+    sigs = run.stage(
+        "signatures", lambda: signatures(images, cfg), input_fingerprint
+    )
+    collapsed = run.stage(
+        "collapsed", lambda: collapse_exact(sigs, n_parts), input_fingerprint
+    )
+    edges = run.stage(
+        "edges", lambda: dup_edges(collapsed, cfg, n_parts), input_fingerprint
+    )
+    holder: dict = {}
+
+    def produce_assignment():
+        assignment, n_clusters, n_nodes = attach_clusters(
+            collapsed, edges, cfg, n_parts
+        )
+        holder["n_clusters"] = n_clusters
+        holder["n_nodes"] = n_nodes
+        return assignment
+
+    assignment = run.stage("assignment", produce_assignment, input_fingerprint)
+    run.write_metrics()
+    if "n_clusters" not in holder:  # assignment stage was resumed
+        adf_labels = assignment.filter(expr="is_representative == False")
+        holder["n_nodes"] = -1  # not recomputed on resume
+        holder["n_clusters"] = len(
+            set(adf_labels.select_columns(["cluster_id"]).to_pandas()["cluster_id"])
+        )
     return DedupResult(
-        assignment=assignment.materialize(),
+        assignment=assignment,
         edges=edges,
-        n_clusters_with_dups=n_clusters,
-        n_nodes_clustered=n_nodes,
+        n_clusters_with_dups=holder["n_clusters"],
+        n_nodes_clustered=holder["n_nodes"],
     )
 
 
