@@ -101,8 +101,12 @@ class DedupConfig:
 
     simhash: SimHashConfig = field(default_factory=SimHashConfig)
     text_lsh: LSHConfig = field(default_factory=LSHConfig)
-    # phash near-dups are planted within 4 bits; same banding scheme.
-    image_lsh: LSHConfig = field(default_factory=lambda: LSHConfig(hamming_tau=4))
+    # phash near-dups are planted within 4 bits → 6 blocks choose 2
+    # (15 bands, ~21-bit keys) still pigeonhole-guarantees τ ≤ 4 with
+    # roughly half the band rows of the text scheme.
+    image_lsh: LSHConfig = field(
+        default_factory=lambda: LSHConfig(n_blocks=6, combo_m=2, hamming_tau=4)
+    )
     max_cluster_rounds: int = 12
 
     def config_hash(self) -> str:

@@ -98,7 +98,7 @@ _VOCAB = _make_vocab()
 def _phash_batch_32(gray32: np.ndarray) -> np.ndarray:
     """Vectorized phash for a (B, 32, 32) float stack → int64 array.
     Same pinned spec as phash.phash64."""
-    coeffs = np.einsum("ij,bjk,lk->bil", _D, gray32, _D)
+    coeffs = _D @ gray32 @ _D.T  # broadcasted BLAS matmul (B,32,32)
     low = coeffs[:, :_LOW, :_LOW].reshape(len(gray32), -1)
     med = np.median(low, axis=1, keepdims=True)
     bits = (low > med).astype(np.uint64)
@@ -164,12 +164,18 @@ def generate_fixture(
     side = sizes[rng.integers(0, len(sizes), n_orig)]
     fmts = np.array(spec.formats)
     fmt_idx = rng.integers(0, len(fmts), n_orig)
-    pixels: list[np.ndarray] = [
-        rng.integers(0, 256, (s, s, 3), dtype=np.uint8) for s in side
-    ]
-    phash = _phash_batch_32(
-        np.stack([_block_mean_32(_gray(p)) for p in pixels])
-    )
+    # bulk pixel gen + batched phash, grouped by side (vectorized; the
+    # per-image path was the generator bottleneck at bench scale)
+    pixels: list[np.ndarray | None] = [None] * n_orig
+    phash = np.zeros(n_orig, dtype=np.int64)
+    for s in np.unique(side):
+        rows = np.flatnonzero(side == s)
+        for lo in range(0, len(rows), 8192):
+            chunk = rows[lo : lo + 8192]
+            block = rng.integers(0, 256, (len(chunk), s, s, 3), dtype=np.uint8)
+            phash[chunk] = _phash_batch_32(_block_mean_32(_gray(block)))
+            for j, r in enumerate(chunk):
+                pixels[r] = block[j]
 
     # dup sources come from a deterministic prefix of the originals
     n_dups = n_exact + n_ncap + n_nimg + n_nboth
@@ -250,22 +256,36 @@ def generate_fixture(
     tau_img = cfg.image_lsh.hamming_tau
 
     def certified_pixel_perturb(src_idx: np.ndarray) -> list[np.ndarray]:
-        out = []
-        for j in src_idx:
-            base = pixels[j]
-            ph0 = phash_to_uint64(np.array([phash[j]], dtype=np.int64))
-            pert = base
-            for amp in (6, 3, 1, 0):
-                if amp == 0:
-                    pert = base
-                    break
+        """Batch amp-ladder: try noise amplitude 6, re-try failures at
+        3, then 1, then fall back to identical pixels."""
+        out: list[np.ndarray | None] = [None] * len(src_idx)
+        pending = np.arange(len(src_idx))
+        for amp in (6, 3, 1):
+            if len(pending) == 0:
+                break
+            sides = np.array([pixels[src_idx[p]].shape[0] for p in pending])
+            still = []
+            for s in np.unique(sides):
+                grp = pending[sides == s]
+                base = np.stack([pixels[src_idx[p]] for p in grp])
                 noise = rng.integers(-amp, amp + 1, base.shape, dtype=np.int16)
-                cand = np.clip(base.astype(np.int16) + noise, 0, 255).astype(np.uint8)
-                ph1 = _phash_batch_32(_block_mean_32(_gray(cand))[None])
-                if hamming64(phash_to_uint64(ph1), ph0)[0] <= tau_img:
-                    pert = cand
-                    break
-            out.append(pert)
+                cand = np.clip(base.astype(np.int16) + noise, 0, 255).astype(
+                    np.uint8
+                )
+                ph1 = _phash_batch_32(_block_mean_32(_gray(cand)))
+                ph0 = phash[src_idx[grp]]
+                ok = (
+                    hamming64(phash_to_uint64(ph1), phash_to_uint64(ph0))
+                    <= tau_img
+                )
+                for j, p in enumerate(grp):
+                    if ok[j]:
+                        out[p] = cand[j]
+                    else:
+                        still.append(p)
+            pending = np.array(sorted(still), dtype=np.int64)
+        for p in pending:  # fallback: identical pixels (Hamming 0)
+            out[p] = pixels[src_idx[p]]
         return out
 
     # exact dups
@@ -278,16 +298,27 @@ def generate_fixture(
     for j, cap in zip(src_of["near_dup_caption"], ncap_caps):
         fmt2 = str(fmts[(fmt_idx[j] + 1) % len(fmts)])
         add_row(pixels[j], fmt2, cap, phash[j], int(j), "near_dup_caption")
+    def _batch_phash(pix_list: list[np.ndarray]) -> np.ndarray:
+        out = np.zeros(len(pix_list), dtype=np.int64)
+        sides_ = np.array([p.shape[0] for p in pix_list])
+        for s in np.unique(sides_):
+            rows = np.flatnonzero(sides_ == s)
+            stack = np.stack([pix_list[r] for r in rows])
+            out[rows] = _phash_batch_32(_block_mean_32(_gray(stack)))
+        return out
+
     # image near-dups
     nimg_pix = certified_pixel_perturb(src_of["near_dup_image"])
-    for j, pix in zip(src_of["near_dup_image"], nimg_pix):
-        ph1 = _phash_batch_32(_block_mean_32(_gray(pix))[None])[0]
+    nimg_ph = _batch_phash(nimg_pix) if nimg_pix else np.empty(0, dtype=np.int64)
+    for j, pix, ph1 in zip(src_of["near_dup_image"], nimg_pix, nimg_ph):
         add_row(pix, str(fmts[fmt_idx[j]]), captions[j], ph1, int(j), "near_dup_image")
     # both
     nboth_caps = certified_caption_edits(src_of["near_dup_both"])
     nboth_pix = certified_pixel_perturb(src_of["near_dup_both"])
-    for j, cap, pix in zip(src_of["near_dup_both"], nboth_caps, nboth_pix):
-        ph1 = _phash_batch_32(_block_mean_32(_gray(pix))[None])[0]
+    nboth_ph = _batch_phash(nboth_pix) if nboth_pix else np.empty(0, dtype=np.int64)
+    for j, cap, pix, ph1 in zip(
+        src_of["near_dup_both"], nboth_caps, nboth_pix, nboth_ph
+    ):
         add_row(pix, str(fmts[fmt_idx[j]]), cap, ph1, int(j), "near_dup_both")
 
     # ---- hot-caption skew rows ------------------------------------------

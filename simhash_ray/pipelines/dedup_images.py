@@ -79,12 +79,12 @@ def dup_edges(
         n_parts=n_parts,
     )
     bands = reps.map_batches(expander, batch_format="pyarrow")
-    pairs = candidate_pairs(bands)
-    verified = pairs.map_batches(
-        make_verifier(
-            {TEXT_SPACE: cfg.text_lsh.hamming_tau, IMAGE_SPACE: cfg.image_lsh.hamming_tau}
-        ),
-        batch_format="pyarrow",
+    verified = candidate_pairs(
+        bands,
+        taus={
+            TEXT_SPACE: cfg.text_lsh.hamming_tau,
+            IMAGE_SPACE: cfg.image_lsh.hamming_tau,
+        },
     )
     return verified.select_columns(["a", "b"])
 

@@ -34,15 +34,23 @@ from . import dedup_images as flagship
 # --------------------------------------------------------------------------
 # fixture plumbing (north-rule image table, synthesized per scale)
 
-_SF_ROWS = {"sf0.001": 800, "sf0.01": 8000, "sf0.1": 80000}
+# Correctness scales keep the full fmt/size mix; the bench scale
+# restricts to cheap-to-encode formats (fixture GENERATION cost only —
+# the pipeline never reads `bytes`, so pipeline cost is unaffected).
+_SF_SPECS = {
+    "sf0.001": FixtureSpec(n_rows=800, seed=42),
+    "sf0.01": FixtureSpec(n_rows=8000, seed=42),
+    "sf0.1": FixtureSpec(
+        n_rows=400_000, seed=42, sizes=(32,), formats=("raw", "bmp")
+    ),
+}
 
 
 def fixture_dir_for_sf(sf_dir: str) -> str:
     import os
 
     base = os.path.basename(sf_dir.rstrip("/"))
-    n = _SF_ROWS.get(base, 800)
-    spec = FixtureSpec(n_rows=n, seed=42)
+    spec = _SF_SPECS.get(base, FixtureSpec(n_rows=800, seed=42))
     return write_fixture(default_fixture_dir(spec), spec)
 
 

@@ -162,6 +162,7 @@ def unionfind_driver(edges_df) -> "pd.DataFrame":
     small").  The verified-dup edge set is orders of magnitude smaller
     than the input; the distributed rounds below remain the scale path
     and are tested for identical output."""
+    edges_df = edges_df.drop_duplicates(["a", "b"])  # cross-band dupes
     parent: dict = {}
 
     def find(x):

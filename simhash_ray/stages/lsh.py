@@ -96,14 +96,28 @@ def make_band_expander(
     return expand
 
 
-def make_pair_generator(pair_full_threshold: int = 256, max_bucket_size: int = 65536):
+def make_pair_generator(
+    pair_full_threshold: int = 256,
+    max_bucket_size: int = 65536,
+    taus: dict[int, int] | None = None,
+):
     """Per-coarse-partition pair generation (used via groupby('part')).
 
     Inside one partition: lexsort by (space, band, key), find runs,
     emit all C(g,2) pairs for runs ≤ threshold, else a star to the
     bucket min.  Buckets beyond ``max_bucket_size`` are truncated to
     the first max_bucket_size members (star edges), with the drop
-    visible in the ``star`` column for observability."""
+    visible in the ``star`` column for observability.
+
+    When ``taus`` is given (space → Hamming τ), verification is FUSED
+    into pair generation — the popcount check runs on the in-partition
+    numpy arrays and only surviving edges leave the stage (one fewer
+    operator, no unverified-pair traffic)."""
+    tau_arr = None
+    if taus is not None:
+        tau_arr = np.zeros(max(taus) + 1, dtype=np.int64)
+        for k, v in taus.items():
+            tau_arr[k] = v
 
     def pairs(group: pa.Table) -> pa.Table:
         ids = np.asarray(group["id"].to_numpy(zero_copy_only=False), dtype=object)
@@ -144,6 +158,15 @@ def make_pair_generator(pair_full_threshold: int = 256, max_bucket_size: int = 6
             return _EMPTY_PAIRS
         ai = np.concatenate(a_idx)
         bi = np.concatenate(b_idx)
+        stars = np.concatenate(star_flags)
+        if tau_arr is not None:  # fused Hamming verification
+            d = hamming64(
+                sig[ai].view(np.uint64), sig[bi].view(np.uint64)
+            )
+            keep = d <= tau_arr[space[ai]]
+            ai, bi, stars = ai[keep], bi[keep], stars[keep]
+            if len(ai) == 0:
+                return _EMPTY_PAIRS
         a, b = ids[ai], ids[bi]
         swap = a > b
         a[swap], b[swap] = b[swap], a[swap]
@@ -156,7 +179,7 @@ def make_pair_generator(pair_full_threshold: int = 256, max_bucket_size: int = 6
                 "sig_a": pa.array(sa, type=pa.int64()),
                 "sig_b": pa.array(sb, type=pa.int64()),
                 "space": pa.array(space[ai], type=pa.int32()),
-                "star": pa.array(np.concatenate(star_flags), type=pa.bool_()),
+                "star": pa.array(stars, type=pa.bool_()),
             }
         )
 
@@ -199,10 +222,11 @@ def candidate_pairs(
     band_rows: rd.Dataset,
     pair_full_threshold: int = 256,
     max_bucket_size: int = 65536,
+    taus: dict[int, int] | None = None,
 ) -> rd.Dataset:
     """ONE all-to-all shuffle (coarse hash partition) → vectorized
-    within-partition bucket pairing."""
+    within-partition bucket pairing (+ fused verify when taus given)."""
     return band_rows.groupby("part").map_groups(
-        make_pair_generator(pair_full_threshold, max_bucket_size),
+        make_pair_generator(pair_full_threshold, max_bucket_size, taus),
         batch_format="pyarrow",
     )

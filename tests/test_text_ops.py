@@ -1,0 +1,119 @@
+"""Unit tests for text operators and LSH internals."""
+
+import numpy as np
+import pyarrow as pa
+
+from simhash_ray.config import LSHConfig
+from simhash_ray.stages.lsh import make_band_expander, make_pair_generator
+from simhash_ray.stages.text import (
+    LangIdScorer,
+    md5_fingerprint_batch,
+    quality_counters_batch,
+    rolling_fingerprint_batch,
+    token_count_batch,
+)
+
+TEXTS = ["a b  c", "", "   ", "one", "x " * 50, "Hello, World! 123", None]
+
+
+def test_token_count_matches_python_split():
+    batch = pa.table({"text": pa.array(TEXTS, type=pa.string())})
+    out = token_count_batch(batch)["n_tokens"].to_pylist()
+    want = [len((t or "").split()) for t in TEXTS]
+    assert out == want
+
+
+def test_quality_counters():
+    batch = pa.table({"text": pa.array(["abc 12 !?", "ABCdef"])})
+    out = quality_counters_batch(batch)
+    assert out["len_chars"].to_pylist() == [9, 6]
+    assert out["alpha_chars"].to_pylist() == [3, 6]
+    assert out["digit_chars"].to_pylist() == [2, 0]
+    assert out["space_chars"].to_pylist() == [2, 0]
+
+
+def test_lang_id_heuristic():
+    batch = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "the cat and the dog sat in a box",
+                    "der hund ist nicht auf der couch",
+                    "le chat est dans la maison et les jardins",
+                    "zzz qqq www",
+                ]
+            )
+        }
+    )
+    out = LangIdScorer()(batch)["lang_pred"].to_pylist()
+    assert out == ["en", "de", "fr", "und"]
+
+
+def test_fingerprints_deterministic():
+    batch = pa.table({"text": pa.array(["hello world", "hello world", "bye"])})
+    fp = md5_fingerprint_batch(batch)["fingerprint"].to_pylist()
+    assert fp[0] == fp[1] != fp[2]
+    assert fp[0] == "5eb63bbbe01eeed093cb22bb8f5acdc3"
+    rf = rolling_fingerprint_batch(batch)["rolling_fp"].to_pylist()
+    assert rf[0] == rf[1] != rf[2]
+
+
+def test_rolling_fp_edit_robust():
+    """Winnowing property: appending a few tokens usually keeps some of
+    the k smallest window hashes — identical docs always match, small
+    edits often do, disjoint docs don't."""
+    base = " ".join(f"w{i}" for i in range(60))
+    edited = base + " extra token"
+    other = " ".join(f"z{i}" for i in range(60))
+    batch = pa.table({"text": pa.array([base, edited, other])})
+    fp = rolling_fingerprint_batch(batch, window=8, keep=4)["rolling_fp"].to_pylist()
+    assert fp[0] != fp[2]
+
+
+def test_pair_generator_star_cap():
+    """Buckets above the full-pair threshold emit a star to the bucket
+    min (connectivity preserved, pair count bounded, star flagged)."""
+    n = 40
+    group = pa.table(
+        {
+            "id": pa.array([f"img{i:03d}" for i in range(n)]),
+            "space": pa.array(np.zeros(n, dtype=np.int32)),
+            "band": pa.array(np.zeros(n, dtype=np.int32)),
+            "key": pa.array(np.full(n, 7, dtype=np.int64)),
+            "sig": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    full = make_pair_generator(pair_full_threshold=64)(group)
+    assert full.num_rows == n * (n - 1) // 2
+    assert not any(full["star"].to_pylist())
+    star = make_pair_generator(pair_full_threshold=8)(group)
+    assert star.num_rows == n - 1
+    assert all(star["star"].to_pylist())
+    assert set(star["a"].to_pylist()) == {"img000"}
+
+
+def test_band_expander_pigeonhole():
+    """Two sigs within tau must share at least one exact band key."""
+    cfg = LSHConfig()  # 8 blocks choose 2, tau=6
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 2**63, 20, dtype=np.uint64)
+    flips = np.zeros_like(base)
+    for i in range(len(base)):
+        bits = rng.choice(64, size=cfg.hamming_tau, replace=False)
+        for b in bits:
+            flips[i] |= np.uint64(1) << np.uint64(b)
+    near = base ^ flips
+    tbl = pa.table(
+        {
+            "image_id": pa.array([f"a{i}" for i in range(20)] + [f"b{i}" for i in range(20)]),
+            "simhash": pa.array(np.concatenate([base, near]).view(np.int64)),
+            "phash": pa.array(np.zeros(40, dtype=np.int64)),
+        }
+    )
+    exp = make_band_expander([(0, "simhash", cfg)], n_parts=8)(tbl)
+    df = exp.to_pandas()
+    for i in range(20):
+        ka = df[df["id"] == f"a{i}"][["band", "key"]]
+        kb = df[df["id"] == f"b{i}"][["band", "key"]]
+        merged = ka.merge(kb, on=["band", "key"])
+        assert len(merged) >= 1, f"pair {i} shares no band"
