@@ -188,11 +188,15 @@ def _segment_sum(arr: np.ndarray, starts: np.ndarray, counts: np.ndarray) -> np.
     widening dtype and the empty-segment fixup (reduceat yields
     arr[start], not 0, for zero-length segments)."""
     n_rows = len(counts)
-    if len(arr) == 0:
-        return np.zeros((n_rows, 64), dtype=np.int64)
-    idx = np.minimum(starts, len(arr) - 1)
-    out = np.add.reduceat(arr, idx, axis=0, dtype=np.int64)
-    out[counts == 0] = 0
+    out = np.zeros((n_rows, 64), dtype=np.int64)
+    nz = counts > 0
+    if len(arr) == 0 or not nz.any():
+        return out
+    # reduceat over the starts of NONZERO segments only: those are
+    # strictly increasing and < len(arr), so each reduce spans exactly
+    # one segment (empty segments sit at the next nonzero start and
+    # would otherwise truncate or corrupt their neighbors).
+    out[nz] = np.add.reduceat(arr, starts[nz], axis=0, dtype=np.int64)
     return out
 
 
