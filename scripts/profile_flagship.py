@@ -1,0 +1,69 @@
+"""Per-stage wall-time profile of the flagship pipeline.
+
+Usage: RAY_GRAFT_CPUS=8 python scripts/profile_flagship.py [sf_dir]
+Prints one JSON line of stage → seconds — the feedback loop for the
+scaling-efficiency work (BASELINE.md)."""
+
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import ray
+
+
+def main():
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from simhash_ray.config import DEFAULT_CONFIG
+    from simhash_ray.pipelines import dedup_images as fl
+    from simhash_ray.pipelines.queries import read_images_fixture
+    from simhash_ray.stages.cluster import unionfind_driver
+    from simhash_ray.stages.collapse import collapse_exact
+
+    t = {}
+
+    def mark(name, t0):
+        t[name] = round(time.perf_counter() - t0, 2)
+        return time.perf_counter()
+
+    cfg = DEFAULT_CONFIG
+    t0 = time.perf_counter()
+    images = read_images_fixture(sf, columns=["image_id", "caption", "phash"])
+    sigs = fl.signatures(images, cfg).materialize()
+    t0 = mark("encode", t0)
+    collapsed = collapse_exact(sigs, 64).materialize()
+    t0 = mark("collapse", t0)
+    edges = fl.dup_edges(collapsed, cfg, 64).materialize()
+    t0 = mark("band_pair_verify_dedupe", t0)
+    edge_df = edges.to_pandas()
+    t0 = mark("edges_to_driver", t0)
+    label_df = unionfind_driver(edge_df)
+    t0 = mark("unionfind", t0)
+    assignment, nc, nn = fl.attach_clusters(collapsed, edges, cfg, 64)
+    assignment = assignment.materialize()
+    t0 = mark("attach", t0)
+    t["total"] = round(sum(t.values()), 2)
+    t["num_cpus"] = num_cpus
+    t["n_edges"] = len(edge_df)
+    t["n_clusters"] = nc
+    print(json.dumps(t))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

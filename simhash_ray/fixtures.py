@@ -366,7 +366,9 @@ def write_fixture(
     Parquet is the storage format (Lance is not importable in-sandbox;
     see simhash_ray/sources/tables.py for the adapter)."""
     manifest_path = os.path.join(out_dir, "fixture.json")
-    expected = {"spec": asdict(spec), "config_hash": cfg.config_hash()}
+    # "layout" guards the physical file layout: many row groups so a
+    # Ray read parallelizes (one 400k-row row group = one read task).
+    expected = {"spec": asdict(spec), "config_hash": cfg.config_hash(), "layout": 2}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             if json.load(f) == json.loads(json.dumps(expected)):
@@ -374,7 +376,9 @@ def write_fixture(
     tables = generate_fixture(spec, cfg)
     os.makedirs(out_dir, exist_ok=True)
     for name, tbl in tables.items():
-        pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"))
+        pq.write_table(
+            tbl, os.path.join(out_dir, f"{name}.parquet"), row_group_size=16384
+        )
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(expected, f, default=list)

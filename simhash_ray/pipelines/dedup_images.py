@@ -86,7 +86,9 @@ def dup_edges(
             IMAGE_SPACE: cfg.image_lsh.hamming_tau,
         },
     )
-    return verified.select_columns(["a", "b"])
+    from ..stages.cluster import dedupe_edges
+
+    return dedupe_edges(verified.select_columns(["a", "b"]), n_parts)
 
 
 def dedup_images(

@@ -25,7 +25,7 @@ from ..config import DEFAULT_CONFIG
 from ..fixtures import FixtureSpec, default_fixture_dir, write_fixture
 from ..sources.tables import read_table
 from ..stages import text as text_ops
-from ..stages.ann import brute_force_topk
+from ..stages.ann import brute_force_topk, cosine_dup_pairs, lsh_bucketed_topk
 from ..stages.minhash import all_pairs_jaccard, minhash_dup_pairs
 from ..stages.multimodal import image_stats
 from ..stages.window import sessionize, tumbling_window_agg
@@ -530,6 +530,58 @@ SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
 """
 
 
+def q_embed_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs at the rational threshold 2/5
+    (float64 on both sides; ids-only output avoids float hashing)."""
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_dup_pairs(vecs, 2, 5)
+
+
+SQL_EMBED_DUP_PAIRS = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 5 >= 2
+"""
+
+
+def q_embed_lsh_topk(sf_dir: str):
+    """Hyperplane-LSH-bucketed approximate top-k (scale path of
+    embed_topk; probabilistic — rows-only check, recall tested in
+    pytest)."""
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_bucketed_topk(vecs, query_ids=list(range(10)), k=5, n_planes=4)
+
+
+def q_doc_langid_score(sf_dir: str):
+    """Accuracy scoring pass, the analogue of the reference's valid
+    count + score (A1/A2: /root/reference/src/Htm/Model.hs:58-69,
+    score = hits*10000//total at /root/reference/src/Htm/Stats.hs:40)."""
+    docs = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    scored = docs.map_batches(
+        text_ops.LangIdScorer,
+        fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def hits(batch: pa.Table) -> pa.Table:
+        h = pc.equal(batch["lang_pred"], batch["lang"])
+        return pa.table(
+            {
+                "hits": pa.array([pc.sum(h).as_py() or 0], type=pa.int64()),
+                "total": pa.array([batch.num_rows], type=pa.int64()),
+            }
+        )
+
+    parts = scored.map_batches(hits, batch_format="pyarrow").to_pandas()
+    total = int(parts["total"].sum())
+    n_hits = int(parts["hits"].sum())
+    score = n_hits * 10000 // total if total else 0
+    return pd.DataFrame(
+        {"hits": [n_hits], "total": [total], "score": [score]}
+    )
+
+
 def q_embed_label_stats(sf_dir: str):
     vecs = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
 
@@ -626,6 +678,9 @@ def ray_queries() -> dict:
         "doc_rolling_fp": q_doc_rolling_fp,
         "embed_topk": q_embed_topk,
         "embed_label_stats": q_embed_label_stats,
+        "embed_dup_pairs": q_embed_dup_pairs,
+        "embed_lsh_topk": q_embed_lsh_topk,
+        "doc_langid_score": q_doc_langid_score,
         "images_signatures": q_images_signatures,
         "images_dedup": q_images_dedup,
         "images_stats": q_images_stats,
@@ -651,6 +706,7 @@ def oracle_sqls() -> dict:
         "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
         "embed_topk": SQL_EMBED_TOPK,
         "embed_label_stats": SQL_EMBED_LABEL_STATS,
+        "embed_dup_pairs": SQL_EMBED_DUP_PAIRS,
         # rows-only (non-SQL-expressible / probabilistic):
         # doc_minhash_pairs, doc_simhash_sigs, doc_lang_pred,
         # doc_rolling_fp, images_signatures, images_dedup, images_stats

@@ -98,6 +98,49 @@ def brute_force_topk(
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def cosine_dup_pairs(
+    vectors: rd.Dataset,
+    threshold_num: int,
+    threshold_den: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Embedding-cosine near-duplicate pairs: (a, b) with
+    cos(a, b) * den >= num (rational threshold, float64 math on both
+    sides so a DuckDB list_cosine_similarity oracle agrees).
+
+    Broadcast-matrix exact operator (oracle/validation scale); the
+    scale path buckets by hyperplane LSH first (HyperplaneHasher)."""
+    rows = vectors.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.stack([np.asarray(rows[i][vec_col], dtype=np.float64) for i in order])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids, mat))
+
+    def compare(batch: pa.Table) -> pa.Table:
+        uids, umat = ray.get(ref)
+        my_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mine = _to_matrix(batch[vec_col])
+        mine /= np.linalg.norm(mine, axis=1, keepdims=True)
+        cos = mine @ umat.T
+        keep = (cos * threshold_den >= threshold_num) & (
+            my_ids[:, None] < uids[None, :]
+        )
+        bi, ui = np.nonzero(keep)
+        return pa.table(
+            {
+                "a": pa.array(my_ids[bi], type=pa.int64()),
+                "b": pa.array(uids[ui], type=pa.int64()),
+            }
+        )
+
+    return vectors.select_columns([id_col, vec_col]).map_batches(
+        compare, batch_format="pyarrow", batch_size=2048
+    )
+
+
 class HyperplaneHasher:
     """Random-hyperplane signature (Charikar cosine LSH) as an actor
     stage: adds a ``bucket`` column = sign-pattern of r projections."""

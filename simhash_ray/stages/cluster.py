@@ -38,6 +38,56 @@ def _dedupe_edges(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def dedupe_edges(edges: rd.Dataset, n_parts: int = 64) -> rd.Dataset:
+    """Distributed exact dedupe of the (a, b) edge multiset.
+
+    The same pair surfaces from up to every matching band (28 text +
+    15 image) — collapse duplicates BEFORE any driver collect or
+    clustering round so downstream work is proportional to *distinct*
+    edges.  Batch-local dedupe first (cheap, kills same-partition
+    copies), then one coarse hash-partition groupby with vectorized
+    within-partition dedupe."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False), dtype=object)
+        b = np.asarray(batch["b"].to_numpy(zero_copy_only=False), dtype=object)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        a, b = a[keep], b[keep]
+        part = (
+            (part_of_strings(a, 1 << 30).astype(np.int64) * 31
+             + part_of_strings(b, 1 << 30)) % n_parts
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "a": pa.array(a, type=pa.string()),
+                "b": pa.array(b, type=pa.string()),
+                "part": pa.array(part, type=pa.int32()),
+            }
+        )
+
+    def per_part(group: pa.Table) -> pa.Table:
+        a = np.asarray(group["a"].to_numpy(zero_copy_only=False), dtype=object)
+        b = np.asarray(group["b"].to_numpy(zero_copy_only=False), dtype=object)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table(
+            {"a": pa.array(a[keep], type=pa.string()),
+             "b": pa.array(b[keep], type=pa.string())}
+        )
+
+    return (
+        edges.map_batches(local, batch_format="pyarrow")
+        .repartition(n_parts)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
 def init_labels(edges: rd.Dataset, n_parts: int = 64) -> rd.Dataset:
     """Distinct nodes of the edge set, labelled with themselves."""
 

@@ -63,6 +63,7 @@ def collapse_exact(sig_ds: rd.Dataset, n_parts: int = 64) -> rd.Dataset:
     the full output is the member→rep mapping."""
     return (
         sig_ds.map_batches(add_sig_partition(n_parts), batch_format="pyarrow")
+        .repartition(n_parts)  # sort-shuffle map tasks = input blocks
         .groupby("part")
         .map_groups(_collapse_group, batch_format="pyarrow")
     )

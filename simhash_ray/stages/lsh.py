@@ -223,10 +223,19 @@ def candidate_pairs(
     pair_full_threshold: int = 256,
     max_bucket_size: int = 65536,
     taus: dict[int, int] | None = None,
+    shuffle_blocks: int = 256,
 ) -> rd.Dataset:
     """ONE all-to-all shuffle (coarse hash partition) → vectorized
-    within-partition bucket pairing (+ fused verify when taus given)."""
-    return band_rows.groupby("part").map_groups(
-        make_pair_generator(pair_full_threshold, max_bucket_size, taus),
-        batch_format="pyarrow",
+    within-partition bucket pairing (+ fused verify when taus given).
+
+    ``shuffle_blocks``: Ray's sort-based shuffle runs one map task per
+    input block — a handful of 128 MiB blocks serializes the whole
+    exchange, so split the (narrow) band rows first."""
+    return (
+        band_rows.repartition(shuffle_blocks)
+        .groupby("part")
+        .map_groups(
+            make_pair_generator(pair_full_threshold, max_bucket_size, taus),
+            batch_format="pyarrow",
+        )
     )
