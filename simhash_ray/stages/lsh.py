@@ -140,20 +140,30 @@ def make_pair_generator(
         a_idx: list[np.ndarray] = []
         b_idx: list[np.ndarray] = []
         star_flags: list[np.ndarray] = []
-        for s, g in zip(starts[lengths >= 2], lengths[lengths >= 2]):
+        # Vectorized by distinct run length: collision runs are
+        # overwhelmingly g==2 (each near-dup pair re-collides in up to
+        # every band) — a Python loop per run costs ~70 CPU-seconds per
+        # 400k-row input; one triu template per distinct g costs ~none.
+        sel = lengths >= 2
+        full_sel = sel & (lengths <= pair_full_threshold)
+        for g in np.unique(lengths[full_sel]):
+            runs = starts[full_sel & (lengths == g)]
+            i, j = np.triu_indices(int(g), 1)
+            a_idx.append((runs[:, None] + i[None, :]).ravel())
+            b_idx.append((runs[:, None] + j[None, :]).ravel())
+        if a_idx:
+            n_full = sum(len(x) for x in a_idx)
+            star_flags.append(np.zeros(n_full, dtype=bool))
+        for s, g in zip(
+            starts[sel & ~full_sel], lengths[sel & ~full_sel]
+        ):  # rare oversized buckets → star to the bucket min
             g = int(min(g, max_bucket_size))
-            if g <= pair_full_threshold:
-                i, j = np.triu_indices(g, 1)
-                a_idx.append(s + i)
-                b_idx.append(s + j)
-                star_flags.append(np.zeros(len(i), dtype=bool))
-            else:
-                members = np.arange(s, s + g)
-                center = members[np.argmin(ids[s : s + g])]
-                others = members[members != center]
-                a_idx.append(np.full(len(others), center))
-                b_idx.append(others)
-                star_flags.append(np.ones(len(others), dtype=bool))
+            members = np.arange(s, s + g)
+            center = members[np.argmin(ids[s : s + g])]
+            others = members[members != center]
+            a_idx.append(np.full(len(others), center))
+            b_idx.append(others)
+            star_flags.append(np.ones(len(others), dtype=bool))
         if not a_idx:
             return _EMPTY_PAIRS
         ai = np.concatenate(a_idx)

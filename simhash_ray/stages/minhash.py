@@ -124,11 +124,12 @@ def _pairgen(group: pa.Table) -> pa.Table:
     starts = np.flatnonzero(new_run)
     lengths = np.diff(np.append(starts, n))
     a_i, b_i = [], []
-    for s, g in zip(starts[lengths >= 2], lengths[lengths >= 2]):
-        g = int(min(g, 512))
-        i, j = np.triu_indices(g, 1)
-        a_i.append(s + i)
-        b_i.append(s + j)
+    capped = np.minimum(lengths, 512)
+    for g in np.unique(capped[lengths >= 2]):  # vectorized per distinct length
+        runs = starts[(capped == g) & (lengths >= 2)]
+        i, j = np.triu_indices(int(g), 1)
+        a_i.append((runs[:, None] + i[None, :]).ravel())
+        b_i.append((runs[:, None] + j[None, :]).ravel())
     if not a_i:
         return pa.table(
             {
