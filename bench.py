@@ -72,7 +72,7 @@ def _run_bench() -> dict:
     # headline: full dedup, consumed to a materialized assignment
     def run_flagship():
         images = read_images_fixture(sf_dir, columns=["image_id", "caption", "phash"])
-        res = flagship.dedup_images(images, DEFAULT_CONFIG, n_parts=64)
+        res = flagship.dedup_images(images, DEFAULT_CONFIG)
         return res.assignment.count()
 
     n_assigned = timed("e2e_dedup", run_flagship)

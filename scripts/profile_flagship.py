@@ -44,17 +44,18 @@ def main():
     cfg = DEFAULT_CONFIG
     t0 = time.perf_counter()
     images = read_images_fixture(sf, columns=["image_id", "caption", "phash"])
+    n_parts = fl.choose_n_parts(images.count())
     sigs = fl.signatures(images, cfg).materialize()
     t0 = mark("encode", t0)
-    collapsed = collapse_exact(sigs, 64).materialize()
+    collapsed = collapse_exact(sigs, n_parts).materialize()
     t0 = mark("collapse", t0)
-    edges = fl.dup_edges(collapsed, cfg, 64).materialize()
+    edges = fl.dup_edges(collapsed, cfg, n_parts).materialize()
     t0 = mark("band_pair_verify_dedupe", t0)
     edge_df = edges.to_pandas()
     t0 = mark("edges_to_driver", t0)
     label_df = unionfind_driver(edge_df)
     t0 = mark("unionfind", t0)
-    assignment, nc, nn = fl.attach_clusters(collapsed, edges, cfg, 64)
+    assignment, nc, nn = fl.attach_clusters(collapsed, edges, cfg, n_parts)
     assignment = assignment.materialize()
     t0 = mark("attach", t0)
     t["total"] = round(sum(t.values()), 2)

@@ -91,12 +91,25 @@ def dup_edges(
     return dedupe_edges(verified.select_columns(["a", "b"]), n_parts)
 
 
+def choose_n_parts(n_rows: int) -> int:
+    """Coarse-partition count for the bucket shuffles.
+
+    Ray's sort-based shuffle degrades badly on low-cardinality keys
+    (range boundaries collapse onto a handful of values): measured on
+    17M band rows, 64 parts → 50s, 16384 parts → 10s.  Scale the part
+    count with the input, bounded so per-group UDF overhead stays
+    negligible."""
+    return int(min(32768, max(64, n_rows // 32)))
+
+
 def dedup_images(
     images: rd.Dataset,
     cfg: DedupConfig = DEFAULT_CONFIG,
-    n_parts: int = 64,
+    n_parts: int | None = None,
     concurrency=None,
 ) -> DedupResult:
+    if n_parts is None:
+        n_parts = choose_n_parts(images.count())
     sigs = signatures(images, cfg, concurrency=concurrency)
     # member→rep mapping reused twice below; narrow columns only.
     # (At petabyte scale this materialize becomes a parquet stage
@@ -194,7 +207,7 @@ def dedup_images_checkpointed(
     images: rd.Dataset,
     ckpt_dir: str,
     cfg: DedupConfig = DEFAULT_CONFIG,
-    n_parts: int = 64,
+    n_parts: int | None = None,
     input_fingerprint: str = "",
 ) -> DedupResult:
     """Checkpoint-resumable flagship run: each stage commits a Parquet
@@ -203,6 +216,8 @@ def dedup_images_checkpointed(
     (SURVEY.md §5.5 resume test)."""
     from ..state.manifest import CheckpointedRun
 
+    if n_parts is None:
+        n_parts = choose_n_parts(images.count())
     run = CheckpointedRun(ckpt_dir, cfg.config_hash())
     sigs = run.stage(
         "signatures", lambda: signatures(images, cfg), input_fingerprint

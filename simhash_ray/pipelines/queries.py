@@ -640,7 +640,7 @@ def q_images_signatures(sf_dir: str):
 
 def q_images_dedup(sf_dir: str):
     images = read_images_fixture(sf_dir, columns=["image_id", "caption", "phash"])
-    res = flagship.dedup_images(images, DEFAULT_CONFIG, n_parts=16, concurrency=(1, 4))
+    res = flagship.dedup_images(images, DEFAULT_CONFIG, concurrency=(1, 4))
     return res.assignment
 
 

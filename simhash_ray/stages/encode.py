@@ -60,7 +60,9 @@ def encode_signatures(
         import ray
 
         n_cpus = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, n_cpus))
+        # min floor > 1: the autoscaling pool ramps from its minimum,
+        # and a 1-actor start serializes the first half of the stage
+        concurrency = (max(2, n_cpus // 2), max(2, n_cpus))
     return ds.map_batches(
         SimHashEncoder,
         fn_constructor_kwargs={"cfg": cfg, "text_col": text_col, "out_col": out_col},
