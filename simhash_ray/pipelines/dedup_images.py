@@ -44,6 +44,10 @@ from ..stages.lsh import (
 )
 
 BROADCAST_LIMIT = 2_000_000  # rows; above this fall back to Dataset.join
+# Distinct-signature rows (16 B each) below this → shuffle-free
+# broadcast pairing (stages/lsh.broadcast_candidate_edges); above →
+# the distributed band-bucket groupby.  20M rows ≈ 0.5 GB replicated.
+BROADCAST_SIG_LIMIT = 20_000_000
 
 
 @dataclass
@@ -102,26 +106,96 @@ def choose_n_parts(n_rows: int) -> int:
     return int(min(32768, max(64, n_rows // 32)))
 
 
+def cluster_broadcast(collapsed: rd.Dataset, cfg: DedupConfig):
+    """Shuffle-free LSH + clustering over the collapsed distinct-sig
+    table: collect the narrow rep rows once (16 B/row + id), fan out
+    one Ray task per band over the broadcast signature arrays, then
+    index-space union-find on the driver.
+
+    Returns (label_df[node,label], edge_df[a,b])."""
+    import pandas as pd
+
+    from ..stages.cluster import unionfind_driver
+    from ..stages.lsh import broadcast_candidate_edges
+
+    rep_df = (
+        collapsed.filter(expr="is_rep == True")
+        .select_columns(["image_id", "simhash", "phash"])
+        .to_pandas()
+    )
+    ids = rep_df["image_id"].to_numpy(dtype=object)
+    ai, bi = broadcast_candidate_edges(
+        {
+            TEXT_SPACE: rep_df["simhash"].to_numpy().view(np.uint64),
+            IMAGE_SPACE: rep_df["phash"].to_numpy().view(np.uint64),
+        },
+        [(TEXT_SPACE, cfg.text_lsh), (IMAGE_SPACE, cfg.image_lsh)],
+        taus={
+            TEXT_SPACE: cfg.text_lsh.hamming_tau,
+            IMAGE_SPACE: cfg.image_lsh.hamming_tau,
+        },
+    )
+    edge_df = pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+    label_df = unionfind_driver(edge_df)
+    return label_df, edge_df
+
+
 def dedup_images(
     images: rd.Dataset,
     cfg: DedupConfig = DEFAULT_CONFIG,
     n_parts: int | None = None,
     concurrency=None,
 ) -> DedupResult:
+    n_rows = images.count()
     if n_parts is None:
-        n_parts = choose_n_parts(images.count())
+        n_parts = choose_n_parts(n_rows)
     sigs = signatures(images, cfg, concurrency=concurrency)
     # member→rep mapping reused twice below; narrow columns only.
     # (At petabyte scale this materialize becomes a parquet stage
     # checkpoint — see dedup_images_checkpointed.)
     collapsed = collapse_exact(sigs, n_parts).materialize()
-    edges = dup_edges(collapsed, cfg, n_parts).materialize()
-    assignment, n_clusters, n_nodes = attach_clusters(collapsed, edges, cfg, n_parts)
+    if n_rows <= BROADCAST_SIG_LIMIT:
+        label_df, edge_df = cluster_broadcast(collapsed, cfg)
+        assignment = _attach_with_label_df(collapsed, label_df)
+        edges = rd.from_pandas(edge_df) if len(edge_df) else rd.from_arrow(
+            pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+        )
+        n_clusters = len(set(label_df["label"]))
+        n_nodes = len(label_df)
+    else:  # pragma: no cover - cluster-scale path; components tested
+        edges = dup_edges(collapsed, cfg, n_parts).materialize()
+        assignment, n_clusters, n_nodes = attach_clusters(
+            collapsed, edges, cfg, n_parts
+        )
     return DedupResult(
         assignment=assignment.materialize(),
         edges=edges,
         n_clusters_with_dups=n_clusters,
         n_nodes_clustered=n_nodes,
+    )
+
+
+def _attach_with_label_df(collapsed: rd.Dataset, label_df) -> rd.Dataset:
+    """Broadcast the (node → cluster label) map and attach per batch."""
+    label_ref = ray.put(dict(zip(label_df["node"], label_df["label"])))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lm = ray.get(label_ref)
+        rep = batch["rep_id"].to_pylist()
+        cluster = [lm.get(r, r) for r in rep]
+        ids = batch["image_id"].to_pylist()
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "cluster_id": pa.array(cluster, type=pa.string()),
+                "is_representative": pa.array(
+                    [i == c for i, c in zip(ids, cluster)]
+                ),
+            }
+        )
+
+    return collapsed.select_columns(["image_id", "rep_id"]).map_batches(
+        attach, batch_format="pyarrow"
     )
 
 

@@ -208,6 +208,91 @@ _EMPTY_PAIRS = pa.table(
 )
 
 
+def broadcast_candidate_edges(
+    sig_arrays: dict[int, "np.ndarray"],
+    spaces: list[tuple[int, LSHConfig]],
+    taus: dict[int, int],
+    pair_full_threshold: int = 256,
+    max_bucket_size: int = 65536,
+):
+    """Shuffle-free candidate generation for the post-collapse regime.
+
+    After exact-signature collapse the distinct-signature table is tiny
+    (16 bytes/row) — when it fits comfortably in memory, replicating it
+    beats an all-to-all: the signature arrays are ``ray.put`` ONCE and
+    one Ray task per (space, band) extracts its band key, argsorts,
+    pair-generates and Hamming-verifies locally, returning int32 INDEX
+    pairs (a few KB).  No groupby, no sort shuffle, no driver-side
+    coordination beyond a concat + unique.
+
+    This is the same broadcast-small-side principle as the ray_guide's
+    join pattern; the distributed ``candidate_pairs`` groupby remains
+    the path for when distinct signatures outgrow memory (the caller
+    picks by row count — see pipelines/dedup_images.py).
+
+    Returns (ai, bi): deduplicated int64 index arrays (ai < bi).
+    """
+    import ray
+
+    refs = {sp: ray.put(arr.astype(np.uint64)) for sp, arr in sig_arrays.items()}
+
+    @ray.remote
+    def band_task(sig_ref, combo, r, tau):
+        sig = sig_ref if isinstance(sig_ref, np.ndarray) else sig_ref
+        mask = np.uint64((1 << r) - 1)
+        key = np.zeros(len(sig), dtype=np.uint64)
+        for j, b in enumerate(combo):
+            key |= ((sig >> np.uint64(b * r)) & mask) << np.uint64(j * r)
+        order = np.argsort(key, kind="stable")
+        k = key[order]
+        new_run = np.ones(len(k), dtype=bool)
+        new_run[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new_run)
+        lengths = np.diff(np.append(starts, len(k)))
+        a_idx, b_idx = [], []
+        sel = lengths >= 2
+        full_sel = sel & (lengths <= pair_full_threshold)
+        for g in np.unique(lengths[full_sel]):
+            runs = starts[full_sel & (lengths == g)]
+            i, j = np.triu_indices(int(g), 1)
+            a_idx.append((runs[:, None] + i[None, :]).ravel())
+            b_idx.append((runs[:, None] + j[None, :]).ravel())
+        for s, g in zip(starts[sel & ~full_sel], lengths[sel & ~full_sel]):
+            g = int(min(g, max_bucket_size))
+            members = np.arange(s, s + g)
+            a_idx.append(np.full(g - 1, members[0]))
+            b_idx.append(members[1:])
+        if not a_idx:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ai = order[np.concatenate(a_idx)]
+        bi = order[np.concatenate(b_idx)]
+        d = hamming64(sig[ai], sig[bi])
+        keep = d <= tau
+        ai, bi = ai[keep], bi[keep]
+        lo = np.minimum(ai, bi)
+        hi = np.maximum(ai, bi)
+        return lo.astype(np.int64), hi.astype(np.int64)
+
+    futures = []
+    for space_id, cfg in spaces:
+        r = 64 // cfg.n_blocks
+        for combo in _combos(cfg):
+            futures.append(
+                band_task.remote(refs[space_id], combo, r, taus[space_id])
+            )
+    parts = ray.get(futures)
+    if not parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ai = np.concatenate([p[0] for p in parts])
+    bi = np.concatenate([p[1] for p in parts])
+    if len(ai) == 0:
+        return ai, bi
+    packed = np.unique((ai.astype(np.uint64) << np.uint64(32)) | bi.astype(np.uint64))
+    return (packed >> np.uint64(32)).astype(np.int64), (
+        packed & np.uint64(0xFFFFFFFF)
+    ).astype(np.int64)
+
+
 def make_verifier(taus: dict[int, int]):
     """map_batches fn: exact Hamming verification per signature space."""
     tau_arr = np.zeros(max(taus) + 1, dtype=np.int64)
