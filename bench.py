@@ -60,6 +60,14 @@ def _run_bench() -> dict:
     fixture_dir_for_sf(sf_dir)
     n_images = read_images_fixture(sf_dir, columns=["image_id"]).count()
 
+    # untimed warmup: spawn Ray worker processes + encoder actors and
+    # fault in library imports before the timed region (per-level
+    # startup, not pipeline cost; same warmup at every CPU level)
+    warm = read_images_fixture(sf_dir, columns=["image_id", "caption", "phash"]).limit(
+        4096
+    )
+    flagship.dedup_images(warm, DEFAULT_CONFIG).assignment.count()
+
     timings: dict[str, float] = {}
 
     def timed(name: str, fn):

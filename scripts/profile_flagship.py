@@ -32,7 +32,6 @@ def main():
     from simhash_ray.config import DEFAULT_CONFIG
     from simhash_ray.pipelines import dedup_images as fl
     from simhash_ray.pipelines.queries import read_images_fixture
-    from simhash_ray.stages.cluster import unionfind_driver
     from simhash_ray.stages.collapse import collapse_exact
 
     t = {}
@@ -49,19 +48,14 @@ def main():
     t0 = mark("encode", t0)
     collapsed = collapse_exact(sigs, n_parts).materialize()
     t0 = mark("collapse", t0)
-    edges = fl.dup_edges(collapsed, cfg, n_parts).materialize()
-    t0 = mark("band_pair_verify_dedupe", t0)
-    edge_df = edges.to_pandas()
-    t0 = mark("edges_to_driver", t0)
-    label_df = unionfind_driver(edge_df)
-    t0 = mark("unionfind", t0)
-    assignment, nc, nn = fl.attach_clusters(collapsed, edges, cfg, n_parts)
-    assignment = assignment.materialize()
+    label_df, edge_df = fl.cluster_broadcast(collapsed, cfg)
+    t0 = mark("broadcast_band_cluster", t0)
+    assignment = fl._attach_with_label_df(collapsed, label_df).materialize()
     t0 = mark("attach", t0)
-    t["total"] = round(sum(t.values()), 2)
+    t["total"] = round(sum(v for k, v in t.items() if isinstance(v, float)), 2)
     t["num_cpus"] = num_cpus
     t["n_edges"] = len(edge_df)
-    t["n_clusters"] = nc
+    t["n_clusters"] = len(set(label_df["label"]))
     print(json.dumps(t))
     ray.shutdown()
 

@@ -96,14 +96,14 @@ def dup_edges(
 
 
 def choose_n_parts(n_rows: int) -> int:
-    """Coarse-partition count for the bucket shuffles.
+    """Coarse-partition count for a bucket shuffle over ``n_rows``.
 
-    Ray's sort-based shuffle degrades badly on low-cardinality keys
-    (range boundaries collapse onto a handful of values): measured on
-    17M band rows, 64 parts → 50s, 16384 parts → 10s.  Scale the part
-    count with the input, bounded so per-group UDF overhead stays
-    negligible."""
-    return int(min(32768, max(64, n_rows // 32)))
+    Two opposing costs, both measured at sf0.1: Ray's sort-based
+    shuffle degrades on low-cardinality keys (17M rows: 64 parts →
+    50s, 16k parts → 10s), while ``map_groups`` schedules one task
+    per group, so tens of thousands of parts stall the driver on task
+    dispatch.  ~1 part per 1-2k rows, bounded, balances the two."""
+    return int(min(8192, max(64, n_rows // 1024)))
 
 
 def cluster_broadcast(collapsed: rd.Dataset, cfg: DedupConfig):
@@ -176,21 +176,26 @@ def dedup_images(
 
 
 def _attach_with_label_df(collapsed: rd.Dataset, label_df) -> rd.Dataset:
-    """Broadcast the (node → cluster label) map and attach per batch."""
-    label_ref = ray.put(dict(zip(label_df["node"], label_df["label"])))
+    """Broadcast the (node → cluster label) map and attach per batch
+    (vectorized pandas dict-map, no per-row Python)."""
+    import pandas as pd
+
+    label_ref = ray.put(
+        pd.Series(
+            label_df["label"].to_numpy(), index=label_df["node"].to_numpy()
+        )
+    )
 
     def attach(batch: pa.Table) -> pa.Table:
         lm = ray.get(label_ref)
-        rep = batch["rep_id"].to_pylist()
-        cluster = [lm.get(r, r) for r in rep]
-        ids = batch["image_id"].to_pylist()
+        rep = pd.Series(batch["rep_id"].to_numpy(zero_copy_only=False))
+        cluster = rep.map(lm).fillna(rep).to_numpy(dtype=object)
+        ids = batch["image_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "image_id": batch["image_id"],
                 "cluster_id": pa.array(cluster, type=pa.string()),
-                "is_representative": pa.array(
-                    [i == c for i, c in zip(ids, cluster)]
-                ),
+                "is_representative": pa.array(ids == cluster),
             }
         )
 

@@ -60,9 +60,10 @@ def encode_signatures(
         import ray
 
         n_cpus = int(ray.cluster_resources().get("CPU", 4))
-        # min floor > 1: the autoscaling pool ramps from its minimum,
-        # and a 1-actor start serializes the first half of the stage
-        concurrency = (max(2, n_cpus // 2), max(2, n_cpus))
+        # small min floor: pool spawn cost is proportional to the
+        # floor (hurts the high-CPU run), while a 1-actor start
+        # serializes the stage head; 4 balances both, autoscaling up
+        concurrency = (min(4, max(2, n_cpus)), max(2, n_cpus))
     return ds.map_batches(
         SimHashEncoder,
         fn_constructor_kwargs={"cfg": cfg, "text_col": text_col, "out_col": out_col},
