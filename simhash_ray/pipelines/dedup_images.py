@@ -40,7 +40,6 @@ from ..stages.lsh import (
     TEXT_SPACE,
     candidate_pairs,
     make_band_expander,
-    make_verifier,
 )
 
 BROADCAST_LIMIT = 2_000_000  # rows; above this fall back to Dataset.join
@@ -122,6 +121,10 @@ def cluster_broadcast(collapsed: rd.Dataset, cfg: DedupConfig):
         collapsed.filter(expr="is_rep == True")
         .select_columns(["image_id", "simhash", "phash"])
         .to_pandas()
+        .sort_values("image_id", ignore_index=True)
+        # sorted by id → index order == lexicographic order, so index
+        # pairs (lo, hi) and star centers match the distributed path's
+        # a < b / min-id conventions exactly
     )
     ids = rep_df["image_id"].to_numpy(dtype=object)
     ai, bi = broadcast_candidate_edges(
