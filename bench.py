@@ -45,6 +45,7 @@ def _run_bench() -> dict:
     DataContext.get_current().enable_progress_bars = False
 
     from simhash_ray.config import DEFAULT_CONFIG
+    from simhash_ray.fixtures import FixtureSpec, default_fixture_dir, write_fixture
     from simhash_ray.pipelines import dedup_images as flagship
     from simhash_ray.pipelines.queries import (
         fixture_dir_for_sf,
@@ -52,20 +53,30 @@ def _run_bench() -> dict:
         q_events_tumbling,
         q_pricing_summary,
         q_segment_revenue,
-        read_images_fixture,
     )
+    from simhash_ray.sources.tables import read_table
 
     # fixture generation is cached on disk; warm it (and the page cache)
-    # outside the timed region
-    fixture_dir_for_sf(sf_dir)
-    n_images = read_images_fixture(sf_dir, columns=["image_id"]).count()
+    # outside the timed region.  GRAFT_BENCH_ROWS overrides the fixture
+    # size (used for the efficiency-vs-scale curve in BASELINE.md).
+    rows_env = os.environ.get("GRAFT_BENCH_ROWS")
+    if rows_env:
+        spec = FixtureSpec(
+            n_rows=int(rows_env), seed=42, sizes=(32,), formats=("raw", "bmp")
+        )
+        fdir = write_fixture(default_fixture_dir(spec), spec)
+    else:
+        fdir = fixture_dir_for_sf(sf_dir)
+
+    def read_images(columns=None):
+        return read_table(fdir, "images", columns=columns)
+
+    n_images = read_images(columns=["image_id"]).count()
 
     # untimed warmup: spawn Ray worker processes + encoder actors and
     # fault in library imports before the timed region (per-level
     # startup, not pipeline cost; same warmup at every CPU level)
-    warm = read_images_fixture(sf_dir, columns=["image_id", "caption", "phash"]).limit(
-        4096
-    )
+    warm = read_images(columns=["image_id", "caption", "phash"]).limit(4096)
     flagship.dedup_images(warm, DEFAULT_CONFIG).assignment.count()
 
     timings: dict[str, float] = {}
@@ -79,7 +90,7 @@ def _run_bench() -> dict:
 
     # headline: full dedup, consumed to a materialized assignment
     def run_flagship():
-        images = read_images_fixture(sf_dir, columns=["image_id", "caption", "phash"])
+        images = read_images(columns=["image_id", "caption", "phash"])
         res = flagship.dedup_images(images, DEFAULT_CONFIG)
         return res.assignment.count()
 
