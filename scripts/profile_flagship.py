@@ -30,8 +30,10 @@ def main():
     DataContext.get_current().enable_progress_bars = False
 
     from simhash_ray.config import DEFAULT_CONFIG
+    from simhash_ray.fixtures import FixtureSpec, default_fixture_dir, write_fixture
     from simhash_ray.pipelines import dedup_images as fl
     from simhash_ray.pipelines.queries import read_images_fixture
+    from simhash_ray.sources.tables import read_table
     from simhash_ray.stages.collapse import collapse_exact
 
     t = {}
@@ -42,7 +44,13 @@ def main():
 
     cfg = DEFAULT_CONFIG
     t0 = time.perf_counter()
-    images = read_images_fixture(sf, columns=["image_id", "caption", "phash"])
+    rows_env = os.environ.get("GRAFT_BENCH_ROWS")
+    if rows_env:
+        spec = FixtureSpec(n_rows=int(rows_env), seed=42, sizes=(32,), formats=("raw", "bmp"))
+        fdir = write_fixture(default_fixture_dir(spec), spec)
+        images = read_table(fdir, "images", columns=["image_id", "caption", "phash"])
+    else:
+        images = read_images_fixture(sf, columns=["image_id", "caption", "phash"])
     n_parts = fl.choose_n_parts(images.count())
     sigs = fl.signatures(images, cfg).materialize()
     t0 = mark("encode", t0)

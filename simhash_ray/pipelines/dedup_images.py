@@ -33,11 +33,12 @@ import ray.data as rd
 
 from ..config import DEFAULT_CONFIG, DedupConfig
 from ..stages.collapse import collapse_exact
-from ..stages.cluster import connected_components
+from ..stages.cluster import connected_components, unionfind_driver
 from ..stages.encode import encode_signatures
 from ..stages.lsh import (
     IMAGE_SPACE,
     TEXT_SPACE,
+    broadcast_candidate_edges,
     candidate_pairs,
     make_band_expander,
 )
@@ -149,23 +150,53 @@ def dedup_images(
     n_parts: int | None = None,
     concurrency=None,
 ) -> DedupResult:
+    """Two regimes, equivalent outputs (tests/test_lsh_paths.py):
+
+    - **direct** (rows ≤ BROADCAST_SIG_LIMIT): encode distributed, then
+      the narrow signature table (≤ ~0.5 GB) is collected once and
+      banded by one raw Ray task per band over broadcast arrays — no
+      all-to-all shuffle at all.  Identical-signature masses (the exact
+      dup / hot-caption cases) are connected by Hamming-0 chain edges
+      inside oversized buckets, so the exact-collapse stage is not
+      needed for correctness here.
+    - **distributed** (above the limit): exact-signature collapse
+      groupby → band-bucket groupby shuffle → distributed min-label
+      propagation — every stage streaming and partitioned.
+    """
     n_rows = images.count()
     if n_parts is None:
         n_parts = choose_n_parts(n_rows)
     sigs = signatures(images, cfg, concurrency=concurrency)
-    # member→rep mapping reused twice below; narrow columns only.
-    # (At petabyte scale this materialize becomes a parquet stage
-    # checkpoint — see dedup_images_checkpointed.)
-    collapsed = collapse_exact(sigs, n_parts).materialize()
     if n_rows <= BROADCAST_SIG_LIMIT:
-        label_df, edge_df = cluster_broadcast(collapsed, cfg)
-        assignment = _attach_with_label_df(collapsed, label_df)
+        sigs = sigs.materialize()
+        sig_df = sigs.to_pandas()
+        ids = sig_df["image_id"].to_numpy(dtype=object)
+        ai, bi = broadcast_candidate_edges(
+            {
+                TEXT_SPACE: sig_df["simhash"].to_numpy().view(np.uint64),
+                IMAGE_SPACE: sig_df["phash"].to_numpy().view(np.uint64),
+            },
+            [(TEXT_SPACE, cfg.text_lsh), (IMAGE_SPACE, cfg.image_lsh)],
+            taus={
+                TEXT_SPACE: cfg.text_lsh.hamming_tau,
+                IMAGE_SPACE: cfg.image_lsh.hamming_tau,
+            },
+        )
+        import pandas as pd
+
+        a_ids, b_ids = ids[ai], ids[bi]
+        swap = a_ids > b_ids
+        a_ids[swap], b_ids[swap] = b_ids[swap], a_ids[swap]
+        edge_df = pd.DataFrame({"a": a_ids, "b": b_ids}).drop_duplicates()
+        label_df = unionfind_driver(edge_df)
+        assignment = _attach_by_own_id(sigs, label_df)
         edges = rd.from_pandas(edge_df) if len(edge_df) else rd.from_arrow(
             pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
         )
         n_clusters = len(set(label_df["label"]))
         n_nodes = len(label_df)
     else:  # pragma: no cover - cluster-scale path; components tested
+        collapsed = collapse_exact(sigs, n_parts).materialize()
         edges = dup_edges(collapsed, cfg, n_parts).materialize()
         assignment, n_clusters, n_nodes = attach_clusters(
             collapsed, edges, cfg, n_parts
@@ -175,6 +206,35 @@ def dedup_images(
         edges=edges,
         n_clusters_with_dups=n_clusters,
         n_nodes_clustered=n_nodes,
+    )
+
+
+def _attach_by_own_id(sigs: rd.Dataset, label_df) -> rd.Dataset:
+    """Attach cluster ids when nodes ARE image ids (direct regime)."""
+    import pandas as pd
+
+    label_ref = ray.put(
+        pd.Series(
+            label_df["label"].to_numpy(), index=label_df["node"].to_numpy()
+        )
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lm = ray.get(label_ref)
+        ids = pd.Series(batch["image_id"].to_numpy(zero_copy_only=False))
+        cluster = ids.map(lm).fillna(ids).to_numpy(dtype=object)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "cluster_id": pa.array(cluster, type=pa.string()),
+                "is_representative": pa.array(
+                    ids.to_numpy(dtype=object) == cluster
+                ),
+            }
+        )
+
+    return sigs.select_columns(["image_id"]).map_batches(
+        attach, batch_format="pyarrow"
     )
 
 

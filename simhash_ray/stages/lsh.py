@@ -243,8 +243,9 @@ def broadcast_candidate_edges(
         key = np.zeros(len(sig), dtype=np.uint64)
         for j, b in enumerate(combo):
             key |= ((sig >> np.uint64(b * r)) & mask) << np.uint64(j * r)
-        order = np.argsort(key, kind="stable")
+        order = np.lexsort((sig, key))
         k = key[order]
+        sig_sorted = sig[order]
         new_run = np.ones(len(k), dtype=bool)
         new_run[1:] = k[1:] != k[:-1]
         starts = np.flatnonzero(new_run)
@@ -257,11 +258,26 @@ def broadcast_candidate_edges(
             i, j = np.triu_indices(int(g), 1)
             a_idx.append((runs[:, None] + i[None, :]).ravel())
             b_idx.append((runs[:, None] + j[None, :]).ravel())
+        # Oversized buckets (hot keys / identical-signature masses):
+        # O(g) edges, never truncated.  Members are sig-sorted within
+        # the bucket, so (a) chaining consecutive identical sigs gives
+        # Hamming-0 edges that keep hot masses connected even when the
+        # caller skipped exact-collapse, and (b) a star from the bucket
+        # head to each distinct-sig run head covers cross-sig
+        # candidates (subject to the τ verify below).
         for s, g in zip(starts[sel & ~full_sel], lengths[sel & ~full_sel]):
-            g = int(min(g, max_bucket_size))
-            members = np.arange(s, s + g)
-            a_idx.append(np.full(g - 1, members[0]))
-            b_idx.append(members[1:])
+            seg = sig_sorted[s : s + int(g)]
+            head = np.ones(int(g), dtype=bool)
+            head[1:] = seg[1:] != seg[:-1]
+            idx = np.arange(s, s + int(g))
+            chain_b = idx[~head]
+            if len(chain_b):
+                a_idx.append(chain_b - 1)
+                b_idx.append(chain_b)
+            run_heads = idx[head]
+            if len(run_heads) > 1:
+                a_idx.append(np.full(len(run_heads) - 1, idx[0]))
+                b_idx.append(run_heads[1:])
         if not a_idx:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         ai = order[np.concatenate(a_idx)]
