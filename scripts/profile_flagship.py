@@ -52,13 +52,30 @@ def main():
     else:
         images = read_images_fixture(sf, columns=["image_id", "caption", "phash"])
     n_parts = fl.choose_n_parts(images.count())
+    import numpy as np
+    from simhash_ray.stages.lsh import TEXT_SPACE, IMAGE_SPACE, broadcast_candidate_edges
+    from simhash_ray.stages.cluster import unionfind_driver
+    import pandas as pd
+
     sigs = fl.signatures(images, cfg).materialize()
     t0 = mark("encode", t0)
-    collapsed = collapse_exact(sigs, n_parts).materialize()
-    t0 = mark("collapse", t0)
-    label_df, edge_df = fl.cluster_broadcast(collapsed, cfg)
-    t0 = mark("broadcast_band_cluster", t0)
-    assignment = fl._attach_with_label_df(collapsed, label_df).materialize()
+    sig_df = sigs.to_pandas()
+    t0 = mark("collect_sigs", t0)
+    ids = sig_df["image_id"].to_numpy(dtype=object)
+    ai, bi = broadcast_candidate_edges(
+        {TEXT_SPACE: sig_df["simhash"].to_numpy().view(np.uint64),
+         IMAGE_SPACE: sig_df["phash"].to_numpy().view(np.uint64)},
+        [(TEXT_SPACE, cfg.text_lsh), (IMAGE_SPACE, cfg.image_lsh)],
+        taus={TEXT_SPACE: cfg.text_lsh.hamming_tau, IMAGE_SPACE: cfg.image_lsh.hamming_tau},
+    )
+    t0 = mark("band_tasks", t0)
+    a_ids, b_ids = ids[ai], ids[bi]
+    swap = a_ids > b_ids
+    a_ids[swap], b_ids[swap] = b_ids[swap], a_ids[swap]
+    edge_df = pd.DataFrame({"a": a_ids, "b": b_ids}).drop_duplicates()
+    label_df = unionfind_driver(edge_df)
+    t0 = mark("unionfind", t0)
+    assignment = fl._attach_by_own_id(sigs, label_df).materialize()
     t0 = mark("attach", t0)
     t["total"] = round(sum(v for k, v in t.items() if isinstance(v, float)), 2)
     t["num_cpus"] = num_cpus

