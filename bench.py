@@ -140,7 +140,12 @@ def _run_subprocess(ncpu: int) -> dict:
 
 def main() -> None:
     if "--scaling" in sys.argv:
-        lo, hi = 8, 32
+        # N and 4N CPU levels; (8, 32) is the canonical pair, but the
+        # sandbox VM's memory bandwidth saturates near 8 effective
+        # cores (BASELINE.md), so (2, 8) measures software scalability
+        # below the hardware ceiling — override via env.
+        lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+        hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
         r_lo = _run_subprocess(lo)
         r_hi = _run_subprocess(hi)
         t_lo, t_hi = r_lo["value"], r_hi["value"]
@@ -151,10 +156,11 @@ def main() -> None:
                     "metric": "scaling_efficiency",
                     "value": round(eff, 3),
                     "unit": "ratio",
-                    "sec_8cpu": t_lo,
-                    "sec_32cpu": t_hi,
-                    "images_per_sec_8cpu": r_lo["images_per_sec"],
-                    "images_per_sec_32cpu": r_hi["images_per_sec"],
+                    "sec_locpu": t_lo,
+                    "sec_hicpu": t_hi,
+                    "cpus": [lo, hi],
+                    "images_per_sec_locpu": r_lo["images_per_sec"],
+                    "images_per_sec_hicpu": r_hi["images_per_sec"],
                     "sf": r_hi["sf"],
                 }
             )
