@@ -62,8 +62,14 @@ def encode_signatures(
         n_cpus = int(ray.cluster_resources().get("CPU", 4))
         # small min floor: pool spawn cost is proportional to the
         # floor (hurts the high-CPU run), while a 1-actor start
-        # serializes the stage head; 4 balances both, autoscaling up
-        concurrency = (min(4, max(2, n_cpus)), max(2, n_cpus))
+        # serializes the stage head.  Floor and cap both stay below
+        # the cluster CPU count so upstream read/map tasks never
+        # starve (a pool that reserves every CPU deadlocks tiny
+        # clusters).
+        concurrency = (
+            max(1, min(4, n_cpus // 2)),
+            max(2, n_cpus - 1),
+        )
     return ds.map_batches(
         SimHashEncoder,
         fn_constructor_kwargs={"cfg": cfg, "text_col": text_col, "out_col": out_col},
