@@ -66,6 +66,13 @@ def _round6(arr: np.ndarray) -> np.ndarray:
     return np.round(np.asarray(arr, dtype=np.float64), 6)
 
 
+def _round2(arr: np.ndarray) -> np.ndarray:
+    # For sums of ~1e8 magnitude: double summation-order error is
+    # ~1e-5 absolute, larger than a 1e-6 rounding cell — round to
+    # cents so both engines land in the same cell.
+    return np.round(np.asarray(arr, dtype=np.float64), 2)
+
+
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
     return read_table(sf_dir, "documents", columns=columns)
 
@@ -120,11 +127,11 @@ def q_pricing_summary(sf_dir: str):
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
-                "sum_qty": _round6(batch["sum_qty"].to_numpy(zero_copy_only=False)),
-                "sum_base_price": _round6(
+                "sum_qty": _round2(batch["sum_qty"].to_numpy(zero_copy_only=False)),
+                "sum_base_price": _round2(
                     batch["sum_base_price"].to_numpy(zero_copy_only=False)
                 ),
-                "sum_disc_price": _round6(
+                "sum_disc_price": _round2(
                     batch["sum_disc_price"].to_numpy(zero_copy_only=False)
                 ),
                 "count_order": batch["count_order"],
@@ -136,9 +143,9 @@ def q_pricing_summary(sf_dir: str):
 
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 6)                            AS sum_qty,
-       ROUND(SUM(l_extendedprice), 6)                       AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)    AS sum_disc_price,
+       ROUND(SUM(l_quantity), 2)                            AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                       AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
        COUNT(*)                                             AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -165,11 +172,11 @@ def q_discount_revenue(sf_dir: str):
         return pa.table({"revenue": pa.array([pc.sum(rev).as_py() or 0.0])})
 
     total = ds.map_batches(partial, batch_format="pyarrow").sum("revenue") or 0.0
-    return pd.DataFrame({"revenue": [round(float(total), 6)]})
+    return pd.DataFrame({"revenue": [round(float(total), 2)]})
 
 
 SQL_DISCOUNT_REVENUE = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 6) AS revenue
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
 FROM lineitem
 WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """
@@ -210,7 +217,7 @@ def q_segment_revenue(sf_dir: str):
         return pa.table(
             {
                 "c_mktsegment": batch["c_mktsegment"],
-                "revenue": _round6(batch["revenue"].to_numpy(zero_copy_only=False)),
+                "revenue": _round2(batch["revenue"].to_numpy(zero_copy_only=False)),
                 "n_orders": batch["n_orders"],
             }
         )
@@ -220,7 +227,7 @@ def q_segment_revenue(sf_dir: str):
 
 SQL_SEGMENT_REVENUE = """
 SELECT c_mktsegment,
-       ROUND(SUM(o_totalprice), 6) AS revenue,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
        COUNT(*)                    AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
