@@ -93,18 +93,21 @@ def q_pricing_summary(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
+        # money columns are 2-decimal exact → aggregate in integer
+        # cents so the result is bit-identical to the SQL oracle
+        # regardless of summation order
         keep = pc.less_equal(batch["l_shipdate"], pa.scalar(np.datetime64("1998-09-01", "us")))
         t = batch.filter(keep)
-        disc_price = pc.multiply(
-            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
-        )
+        qty_c = np.round(t["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        price_c = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         df = pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
-                "sum_qty": t["l_quantity"],
-                "sum_base_price": t["l_extendedprice"],
-                "sum_disc_price": disc_price,
+                "sum_qty": pa.array(qty_c),
+                "sum_base_price": pa.array(price_c),
+                "sum_disc_price": pa.array(price_c * (100 - disc_c)),
                 "count_order": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }
         ).to_pandas()
@@ -127,13 +130,15 @@ def q_pricing_summary(sf_dir: str):
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
-                "sum_qty": _round2(batch["sum_qty"].to_numpy(zero_copy_only=False)),
-                "sum_base_price": _round2(
-                    batch["sum_base_price"].to_numpy(zero_copy_only=False)
-                ),
-                "sum_disc_price": _round2(
-                    batch["sum_disc_price"].to_numpy(zero_copy_only=False)
-                ),
+                "sum_qty": batch["sum_qty"].to_numpy(zero_copy_only=False) / 100.0,
+                "sum_base_price": batch["sum_base_price"].to_numpy(
+                    zero_copy_only=False
+                )
+                / 100.0,
+                "sum_disc_price": batch["sum_disc_price"].to_numpy(
+                    zero_copy_only=False
+                )
+                / 10000.0,
                 "count_order": batch["count_order"],
             }
         )
@@ -143,9 +148,10 @@ def q_pricing_summary(sf_dir: str):
 
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2)                            AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2)                       AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0             AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0        AS sum_base_price,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
        COUNT(*)                                             AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -168,15 +174,19 @@ def q_discount_revenue(sf_dir: str):
             pc.less(batch["l_quantity"], 24.0),
         )
         t = batch.filter(keep)
-        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
-        return pa.table({"revenue": pa.array([pc.sum(rev).as_py() or 0.0])})
+        price_c = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {"revenue": pa.array([int((price_c * disc_c).sum())], type=pa.int64())}
+        )
 
-    total = ds.map_batches(partial, batch_format="pyarrow").sum("revenue") or 0.0
-    return pd.DataFrame({"revenue": [round(float(total), 2)]})
+    total = ds.map_batches(partial, batch_format="pyarrow").sum("revenue") or 0
+    return pd.DataFrame({"revenue": [total / 10000.0]})
 
 
 SQL_DISCOUNT_REVENUE = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue
 FROM lineitem
 WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """
@@ -195,10 +205,13 @@ def q_segment_revenue(sf_dir: str):
         seg = np.array(
             [lm.get(k, None) for k in batch["o_custkey"].to_pylist()], dtype=object
         )
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
         df = pd.DataFrame(
             {
                 "c_mktsegment": seg,
-                "revenue": batch["o_totalprice"].to_numpy(zero_copy_only=False),
+                "revenue": cents,
                 "n_orders": np.ones(batch.num_rows, dtype=np.int64),
             }
         ).dropna(subset=["c_mktsegment"])
@@ -217,7 +230,7 @@ def q_segment_revenue(sf_dir: str):
         return pa.table(
             {
                 "c_mktsegment": batch["c_mktsegment"],
-                "revenue": _round2(batch["revenue"].to_numpy(zero_copy_only=False)),
+                "revenue": batch["revenue"].to_numpy(zero_copy_only=False) / 100.0,
                 "n_orders": batch["n_orders"],
             }
         )
@@ -227,7 +240,7 @@ def q_segment_revenue(sf_dir: str):
 
 SQL_SEGMENT_REVENUE = """
 SELECT c_mktsegment,
-       ROUND(SUM(o_totalprice), 2) AS revenue,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
        COUNT(*)                    AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
