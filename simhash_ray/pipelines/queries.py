@@ -489,6 +489,34 @@ WHERE len(list_intersect(a.toks, b.toks)) * 10
 """
 
 
+def q_doc_substring_pairs(sf_dir: str):
+    """Windowed shared-substring dedup (the suffix-array-substring
+    variant's scale form): pairs sharing ≥3 distinct 8-token windows."""
+    from ..stages.substring import shared_substring_pairs
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return shared_substring_pairs(docs, window=8, min_shared=3)
+
+
+SQL_DOC_SUBSTRING_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+mx AS (SELECT COALESCE(MAX(len(t)), 0) AS m FROM toks),
+idx AS (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS i),
+w AS (
+  SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS win
+  FROM toks JOIN idx ON i <= len(t) - 7
+),
+d AS (SELECT DISTINCT doc_id, win FROM w)
+SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+FROM d x JOIN d y ON x.win = y.win AND x.doc_id < y.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+"""
+
+
 def q_doc_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup candidates (probabilistic — rows-only check;
     recall vs the exact operator is asserted in tests)."""
@@ -692,6 +720,7 @@ def ray_queries() -> dict:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_tokenset_dedup": q_doc_tokenset_dedup,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "doc_substring_pairs": q_doc_substring_pairs,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_sigs": q_doc_simhash_sigs,
         "doc_lang_pred": q_doc_lang_pred,
@@ -724,6 +753,7 @@ def oracle_sqls() -> dict:
         "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
         "doc_tokenset_dedup": SQL_DOC_TOKENSET_DEDUP,
         "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
+        "doc_substring_pairs": SQL_DOC_SUBSTRING_PAIRS,
         "embed_topk": SQL_EMBED_TOPK,
         "embed_label_stats": SQL_EMBED_LABEL_STATS,
         "embed_dup_pairs": SQL_EMBED_DUP_PAIRS,

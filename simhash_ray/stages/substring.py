@@ -1,0 +1,123 @@
+"""Shared-substring duplicate detection (the north rule's
+"suffix-array substring" dedup variant, in its scalable windowed form).
+
+Exact suffix arrays over a distributed corpus are impractical; the
+standard large-scale equivalent (cf. Lee et al., "Deduplicating
+Training Data Makes Language Models Better", ACL 2022 — see PAPERS.md)
+detects documents sharing long verbatim token runs via fixed-width
+token windows: any common substring of ≥ (2·window−1) tokens is
+guaranteed to contribute ≥ window shared windows, so thresholding on
+shared-window count lower-bounds shared-substring length.
+
+Pipeline: per-doc DISTINCT w-token windows → explode (window, doc) →
+coarse-partition groupby on the window → per-window doc pairs →
+second groupby counting distinct shared windows per pair → threshold.
+Both shuffles use the vectorized run-detection pattern of stages/lsh.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.hashing import hash_strings, part_of_ints
+
+
+def _windows(texts, window: int) -> list[list[str]]:
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(texts.cast(pa.string())))
+    out = []
+    for row in toks.to_pylist():
+        row = [t for t in (row or []) if t]
+        if len(row) < window:
+            out.append([])
+            continue
+        out.append(
+            sorted({" ".join(row[i : i + window]) for i in range(len(row) - window + 1)})
+        )
+    return out
+
+
+def shared_substring_pairs(
+    docs: rd.Dataset,
+    window: int = 8,
+    min_shared: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """(a, b, n_shared) for doc pairs sharing ≥ min_shared distinct
+    w-token windows (a < b; counts are exact, SQL-oracle-matched)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        wins = _windows(batch[text_col], window)
+        out_doc, out_win = [], []
+        for i, ws in enumerate(wins):
+            out_doc.extend([ids[i]] * len(ws))
+            out_win.extend(ws)
+        wh = hash_strings(np.array(out_win, dtype=object)).view(np.int64)
+        return pa.table(
+            {
+                "doc": pa.array(out_doc, type=pa.int64()),
+                "win": pa.array(wh, type=pa.int64()),
+                "part": pa.array(part_of_ints(n_parts, wh), type=pa.int32()),
+            }
+        )
+
+    def window_pairs(group: pa.Table) -> pa.Table:
+        doc = group["doc"].to_numpy(zero_copy_only=False)
+        win = group["win"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, win))
+        doc, win = doc[order], win[order]
+        new_run = np.ones(len(win), dtype=bool)
+        new_run[1:] = win[1:] != win[:-1]
+        starts = np.flatnonzero(new_run)
+        lengths = np.diff(np.append(starts, len(win)))
+        a_i, b_i = [], []
+        capped = np.minimum(lengths, 256)  # hot-window cap (log-visible)
+        for g in np.unique(capped[lengths >= 2]):
+            runs = starts[(capped == g) & (lengths >= 2)]
+            i, j = np.triu_indices(int(g), 1)
+            a_i.append((runs[:, None] + i[None, :]).ravel())
+            b_i.append((runs[:, None] + j[None, :]).ravel())
+        if not a_i:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "part": pa.array([], type=pa.int32()),
+                }
+            )
+        ai, bi = np.concatenate(a_i), np.concatenate(b_i)
+        a, b = doc[ai], doc[bi]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "a": pa.array(lo, type=pa.int64()),
+                "b": pa.array(hi, type=pa.int64()),
+                "part": pa.array(part_of_ints(n_parts, lo, hi), type=pa.int32()),
+            }
+        )
+
+    def count_pairs(group: pa.Table) -> pa.Table:
+        df = (
+            group.select(["a", "b"])
+            .to_pandas()
+            .groupby(["a", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_shared"})
+        )
+        df = df[df["n_shared"] >= min_shared]
+        df["n_shared"] = df["n_shared"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    exploded = docs.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    pairs = exploded.groupby("part").map_groups(window_pairs, batch_format="pyarrow")
+    return pairs.groupby("part").map_groups(count_pairs, batch_format="pyarrow")
