@@ -76,10 +76,13 @@ class LSHConfig:
     n_blocks: int = 8
     combo_m: int = 2
     hamming_tau: int = 6
-    # Skew guard: buckets larger than this are salted into sub-buckets
-    # and pairs are only generated within sub-buckets; drops are logged
-    # (SURVEY.md §2.5 "skewed hot buckets").
-    max_bucket_size: int = 4096
+    # Skew guard (SURVEY.md §2.5 "skewed hot buckets"): buckets up to
+    # this size emit all C(g,2) pairs; larger buckets fall back to
+    # O(g) star/chain edges that preserve within-bucket connectivity
+    # for clustering without the quadratic pair blowup.  Nothing is
+    # ever silently dropped.  Plumbed into stages/lsh via
+    # pipelines/dedup_images.
+    pair_full_threshold: int = 256
 
     def __post_init__(self) -> None:
         if self.hamming_tau > self.n_blocks - self.combo_m:

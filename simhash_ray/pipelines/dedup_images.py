@@ -28,6 +28,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -85,6 +86,11 @@ def dup_edges(
     bands = reps.map_batches(expander, batch_format="pyarrow")
     verified = candidate_pairs(
         bands,
+        # pairing thresholds are per-pipeline (shared across spaces):
+        # the stricter (smaller) of the two configs wins
+        pair_full_threshold=min(
+            cfg.text_lsh.pair_full_threshold, cfg.image_lsh.pair_full_threshold
+        ),
         taus={
             TEXT_SPACE: cfg.text_lsh.hamming_tau,
             IMAGE_SPACE: cfg.image_lsh.hamming_tau,
@@ -138,6 +144,9 @@ def cluster_broadcast(collapsed: rd.Dataset, cfg: DedupConfig):
             TEXT_SPACE: cfg.text_lsh.hamming_tau,
             IMAGE_SPACE: cfg.image_lsh.hamming_tau,
         },
+        pair_full_threshold=min(
+            cfg.text_lsh.pair_full_threshold, cfg.image_lsh.pair_full_threshold
+        ),
     )
     edge_df = pd.DataFrame({"a": ids[ai], "b": ids[bi]})
     label_df = unionfind_driver(edge_df)
@@ -181,6 +190,9 @@ def dedup_images(
                 TEXT_SPACE: cfg.text_lsh.hamming_tau,
                 IMAGE_SPACE: cfg.image_lsh.hamming_tau,
             },
+            pair_full_threshold=min(
+                cfg.text_lsh.pair_full_threshold, cfg.image_lsh.pair_full_threshold
+            ),
         )
         import pandas as pd
 
@@ -292,28 +304,9 @@ def attach_clusters(
         label_df = labels.to_pandas() if n_nodes <= BROADCAST_LIMIT else None
 
     if label_df is not None:
-        label_ref = ray.put(dict(zip(label_df["node"], label_df["label"])))
-
-        def attach(batch: pa.Table) -> pa.Table:
-            lm = ray.get(label_ref)
-            rep = batch["rep_id"].to_pylist()
-            cluster = [lm.get(r, r) for r in rep]
-            ids = batch["image_id"].to_pylist()
-            return pa.table(
-                {
-                    "image_id": batch["image_id"],
-                    "cluster_id": pa.array(cluster, type=pa.string()),
-                    "is_representative": pa.array(
-                        [i == c for i, c in zip(ids, cluster)]
-                    ),
-                }
-            )
-
-        assignment = collapsed.select_columns(["image_id", "rep_id"]).map_batches(
-            attach, batch_format="pyarrow"
-        )
+        assignment = _attach_with_label_df(collapsed, label_df)
         n_clusters = len(set(label_df["label"]))
-    else:  # pragma: no cover - exercised only at cluster scale
+    else:  # exercised at cluster scale (>BROADCAST_LIMIT labels)
         joined = collapsed.select_columns(["image_id", "rep_id"]).join(
             labels.map_batches(
                 lambda t: t.rename_columns(["rep_id", "label"]),
@@ -325,16 +318,17 @@ def attach_clusters(
         )
 
         def finish(batch: pa.Table) -> pa.Table:
-            label = batch["label"].to_pylist()
-            rep = batch["rep_id"].to_pylist()
-            cluster = [l if l is not None else r for l, r in zip(label, rep)]
-            ids = batch["image_id"].to_pylist()
+            # vectorized: cluster = label, falling back to rep_id for
+            # rows whose rep has no verified edge (no join match)
+            cluster = pc.coalesce(
+                batch["label"].cast(pa.string()), batch["rep_id"].cast(pa.string())
+            )
             return pa.table(
                 {
                     "image_id": batch["image_id"],
-                    "cluster_id": pa.array(cluster, type=pa.string()),
-                    "is_representative": pa.array(
-                        [i == c for i, c in zip(ids, cluster)]
+                    "cluster_id": cluster,
+                    "is_representative": pc.equal(
+                        batch["image_id"].cast(pa.string()), cluster
                     ),
                 }
             )
@@ -407,12 +401,13 @@ def survivors(
     n_dups = dup_ids_ds.count()
     if n_dups <= BROADCAST_LIMIT:
         dup_df = dup_ids_ds.select_columns(["image_id"]).to_pandas()
-        dup_ref = ray.put(set(dup_df["image_id"]))
+        dup_ref = ray.put(pa.array(dup_df["image_id"], type=pa.string()))
 
         def keep(batch: pa.Table) -> pa.Table:
             dups = ray.get(dup_ref)
-            ids = batch["image_id"].to_pylist()
-            mask = pa.array([i not in dups for i in ids])
+            mask = pc.invert(
+                pc.is_in(batch["image_id"].cast(pa.string()), value_set=dups)
+            )
             return batch.filter(mask)
 
         return images.map_batches(keep, batch_format="pyarrow")

@@ -92,6 +92,17 @@ def q_pricing_summary(sf_dir: str):
                  "l_discount", "l_shipdate"],
     )
 
+    partial_schema = pa.schema(
+        [
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("sum_qty", pa.int64()),
+            ("sum_base_price", pa.int64()),
+            ("sum_disc_price", pa.int64()),
+            ("count_order", pa.int64()),
+        ]
+    )
+
     def partial(batch: pa.Table) -> pa.Table:
         # money columns are 2-decimal exact → aggregate in integer
         # cents so the result is bit-identical to the SQL oracle
@@ -112,7 +123,9 @@ def q_pricing_summary(sf_dir: str):
             }
         ).to_pandas()
         agg = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        # explicit schema: empty batches must still emit typed columns
+        # (schema drift across blocks makes Ray's planner warn/mis-plan)
+        return pa.Table.from_pandas(agg, preserve_index=False, schema=partial_schema)
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -200,11 +213,13 @@ def q_segment_revenue(sf_dir: str):
     lookup_ref = ray.put(dict(zip(cust_df["c_custkey"], cust_df["c_mktsegment"])))
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
+    partial_schema = pa.schema(
+        [("c_mktsegment", pa.string()), ("revenue", pa.int64()), ("n_orders", pa.int64())]
+    )
+
     def partial(batch: pa.Table) -> pa.Table:
         lm = ray.get(lookup_ref)
-        seg = np.array(
-            [lm.get(k, None) for k in batch["o_custkey"].to_pylist()], dtype=object
-        )
+        seg = pd.Series(batch["o_custkey"].to_numpy(zero_copy_only=False)).map(lm)
         cents = np.round(
             batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
@@ -216,7 +231,7 @@ def q_segment_revenue(sf_dir: str):
             }
         ).dropna(subset=["c_mktsegment"])
         agg = df.groupby("c_mktsegment", as_index=False).sum()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False, schema=partial_schema)
 
     out = (
         orders.map_batches(partial, batch_format="pyarrow")
@@ -256,15 +271,18 @@ def q_region_customers(sf_dir: str):
     ref = ray.put((n2r, r2name))
     cust = read_table(sf_dir, "customer", columns=["c_nationkey"])
 
+    partial_schema = pa.schema([("r_name", pa.string()), ("n_customers", pa.int64())])
+
     def partial(batch: pa.Table) -> pa.Table:
         n2r_, r2name_ = ray.get(ref)
-        names = np.array(
-            [r2name_[n2r_[k]] for k in batch["c_nationkey"].to_pylist()], dtype=object
+        names = (
+            pd.Series(batch["c_nationkey"].to_numpy(zero_copy_only=False))
+            .map(n2r_)
+            .map(r2name_)
         )
-        df = pd.DataFrame({"r_name": names})
-        agg = df.groupby("r_name", as_index=False).size()
+        agg = pd.DataFrame({"r_name": names}).groupby("r_name", as_index=False).size()
         agg.columns = ["r_name", "n_customers"]
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False, schema=partial_schema)
 
     out = (
         cust.map_batches(partial, batch_format="pyarrow")
@@ -445,11 +463,25 @@ def q_doc_tokenset_dedup(sf_dir: str):
     docs = _docs(sf_dir, columns=["doc_id", "text"])
 
     def keyed(batch: pa.Table) -> pa.Table:
-        keys = []
-        for t in batch["text"].to_pylist():
-            toks = sorted({w for w in (t or "").lower().split() if w})
-            keys.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
-        return pa.table({"doc_id": batch["doc_id"], "set_key": pa.array(keys)})
+        # md5 over the distinct-TEXT dictionary only: duplicated texts
+        # (the dedup target) hash once, the per-row step is a gather
+        denc = batch["text"].combine_chunks().cast(pa.string()).dictionary_encode()
+        uniq_keys = np.array(
+            [
+                hashlib.md5(
+                    " ".join(sorted({w for w in (t or "").lower().split() if w})).encode()
+                ).hexdigest()
+                for t in denc.dictionary.to_pylist()
+            ],
+            dtype=object,
+        )
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "set_key": pa.array(uniq_keys[codes], type=pa.string()),
+            }
+        )
 
     out = (
         docs.map_batches(keyed, batch_format="pyarrow")
@@ -509,9 +541,13 @@ w AS (
   SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS win
   FROM toks JOIN idx ON i <= len(t) - 7
 ),
-d AS (SELECT DISTINCT doc_id, win FROM w)
+d AS (SELECT DISTINCT doc_id, win FROM w),
+-- boilerplate guard (mirrors stages/substring.py max_df=256): windows
+-- shared by more than 256 docs are excluded from pair counting
+keep AS (SELECT win FROM d GROUP BY win HAVING COUNT(*) <= 256),
+dk AS (SELECT d.doc_id, d.win FROM d JOIN keep USING (win))
 SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
-FROM d x JOIN d y ON x.win = y.win AND x.doc_id < y.doc_id
+FROM dk x JOIN dk y ON x.win = y.win AND x.doc_id < y.doc_id
 GROUP BY 1, 2
 HAVING COUNT(*) >= 3
 """

@@ -1,25 +1,29 @@
-"""Distributed connected components: iterative min-label propagation.
+"""Distributed connected components: iterative min-label propagation
+with pointer-jumping (label shortcutting) for logarithmic convergence.
 
 The north rule's "distributed union-find implemented as iterative
 groupby/min-label-propagation rounds".  Design follows the logarithmic-
 round map-reduce CC literature (Rastogi et al., "Finding connected
 components in map-reduce in logarithmic rounds", ICDE 2013 — see
-/root/repo/PAPERS.md); round 1 ships plain neighbor min-propagation,
-which converges in O(diameter) rounds — duplicate clusters are
-star-shaped around an original, so diameter is small and bounded by
-``max_rounds`` with a convergence assertion.
+/root/repo/PAPERS.md).
 
-Each round is two coarse-partition groupby shuffles over *narrow*
+Each round is three coarse-partition groupby shuffles over *narrow*
 tables (node:string, label:string):
 
   stage 1  partition by node: join labels→edges within the partition,
            emit (neighbor, my_label) messages + the self row
   stage 2  partition by target: new_label = min(messages ∪ {old}),
            changed = new < old
+  stage 3  pointer jumping: label[v] ← label[label[v]] (each node asks
+           its label-node for THAT node's label) — this doubles the
+           shortcut depth per round, so chain-shaped components of
+           diameter d converge in O(log d) rounds instead of O(d)
+           (plain propagation would hit ``max_rounds`` on deep chains).
 
-The changed-count aggregate drives the fixpoint loop on the driver.
-Only nodes that appear in at least one verified edge participate —
-singleton rows never enter the shuffle.
+The changed-count aggregate drives the fixpoint loop on the driver
+(labels are min-monotone under both stages, so a zero-change minimize
+round is a true fixpoint).  Only nodes that appear in at least one
+verified edge participate — singleton rows never enter the shuffle.
 """
 
 from __future__ import annotations
@@ -205,6 +209,53 @@ def _minimize(group: pa.Table) -> pa.Table:
     )
 
 
+def _shortcut(labels: rd.Dataset, n_parts: int) -> rd.Dataset:
+    """One pointer-jumping pass: label[v] ← label[label[v]].
+
+    Every label value is the id of a node that has its own label row
+    (labels start as ids and min-propagation only moves existing ids),
+    so partitioning requests by the label's node id co-locates each
+    request with the one self row that answers it."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        node = np.asarray(batch["node"].to_numpy(zero_copy_only=False), dtype=object)
+        label = np.asarray(batch["label"].to_numpy(zero_copy_only=False), dtype=object)
+        # self rows answer (key=node → label); request rows ask for
+        # label[label[v]] (key=label, payload=the asking node v)
+        key = np.concatenate([node, label])
+        payload = np.concatenate([label, node])
+        is_self = np.concatenate(
+            [np.ones(len(node), dtype=bool), np.zeros(len(node), dtype=bool)]
+        )
+        return pa.table(
+            {
+                "key": pa.array(key, type=pa.string()),
+                "payload": pa.array(payload, type=pa.string()),
+                "is_self": pa.array(is_self),
+                "part": pa.array(part_of_strings(key, n_parts), type=pa.int32()),
+            }
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        answers = df[df["is_self"]].set_index("key")["payload"]
+        reqs = df[~df["is_self"]]
+        return pa.table(
+            {
+                "node": pa.array(reqs["payload"].to_numpy(), type=pa.string()),
+                "label": pa.array(
+                    reqs["key"].map(answers).to_numpy(), type=pa.string()
+                ),
+            }
+        )
+
+    return (
+        labels.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pyarrow")
+    )
+
+
 def unionfind_driver(edges_df) -> "pd.DataFrame":
     """Driver-local union-find (path-halving + union-by-min) for edge
     sets small enough to collect — the ray_guide's sanctioned shortcut
@@ -255,6 +306,9 @@ def connected_components(
         labels = new_labels.drop_columns(["changed"]).materialize()
         if n_changed == 0:
             return labels
+        # pointer jumping: O(log d) convergence on chain-shaped
+        # components (a plain-propagation round only moves 1 hop)
+        labels = _shortcut(labels, n_parts).materialize()
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds"
     )

@@ -16,10 +16,11 @@ design for the north rule's "LSH banding → Hamming verification":
 3. ``verify_pairs`` (map_batches, stateless): exact popcount Hamming
    check against the per-space τ.
 
-Skew guard: buckets larger than ``pair_full_threshold`` emit a star to
-the bucket minimum instead of all C(g,2) pairs — connectivity within
-the bucket is preserved for clustering while bounding pair count; the
-number of star-collapsed buckets is reported in the ``star`` column.
+Skew guard: buckets larger than ``pair_full_threshold``
+(config.LSHConfig) emit O(g) chain+star edges instead of all C(g,2)
+pairs — connectivity within the bucket is preserved for clustering
+while bounding pair count, and no member is ever dropped; the
+fallback is reported in the ``star`` column.
 Exact-signature hot keys (the 10%-hot-caption stressor) never reach
 here: the pipeline collapses identical (simhash, phash) groups first
 (stages/collapse.py).
@@ -98,16 +99,17 @@ def make_band_expander(
 
 def make_pair_generator(
     pair_full_threshold: int = 256,
-    max_bucket_size: int = 65536,
     taus: dict[int, int] | None = None,
 ):
     """Per-coarse-partition pair generation (used via groupby('part')).
 
     Inside one partition: lexsort by (space, band, key), find runs,
-    emit all C(g,2) pairs for runs ≤ threshold, else a star to the
-    bucket min.  Buckets beyond ``max_bucket_size`` are truncated to
-    the first max_bucket_size members (star edges), with the drop
-    visible in the ``star`` column for observability.
+    emit all C(g,2) pairs for runs ≤ ``pair_full_threshold``; larger
+    runs get O(g) chain+star edges (identical-sig chains + a star
+    over distinct-sig run heads, same scheme as
+    ``broadcast_candidate_edges``) — connectivity is preserved, no
+    member is ever dropped, and the fallback is visible in the
+    ``star`` column for observability.
 
     When ``taus`` is given (space → Hamming τ), verification is FUSED
     into pair generation — the popcount check runs on the in-partition
@@ -156,14 +158,22 @@ def make_pair_generator(
             star_flags.append(np.zeros(n_full, dtype=bool))
         for s, g in zip(
             starts[sel & ~full_sel], lengths[sel & ~full_sel]
-        ):  # rare oversized buckets → star to the bucket min
-            g = int(min(g, max_bucket_size))
-            members = np.arange(s, s + g)
-            center = members[np.argmin(ids[s : s + g])]
-            others = members[members != center]
-            a_idx.append(np.full(len(others), center))
-            b_idx.append(others)
-            star_flags.append(np.ones(len(others), dtype=bool))
+        ):  # rare oversized buckets → O(g) chain+star, never truncated
+            g = int(g)
+            seg_order = np.argsort(sig[s : s + g], kind="stable") + s
+            seg_sig = sig[seg_order]
+            head = np.ones(g, dtype=bool)
+            head[1:] = seg_sig[1:] != seg_sig[:-1]
+            chain_b = np.flatnonzero(~head)
+            if len(chain_b):  # Hamming-0 chains within identical sigs
+                a_idx.append(seg_order[chain_b - 1])
+                b_idx.append(seg_order[chain_b])
+                star_flags.append(np.ones(len(chain_b), dtype=bool))
+            run_heads = seg_order[head]
+            if len(run_heads) > 1:  # star over distinct-sig run heads
+                a_idx.append(np.full(len(run_heads) - 1, run_heads[0]))
+                b_idx.append(run_heads[1:])
+                star_flags.append(np.ones(len(run_heads) - 1, dtype=bool))
         if not a_idx:
             return _EMPTY_PAIRS
         ai = np.concatenate(a_idx)
@@ -213,7 +223,6 @@ def broadcast_candidate_edges(
     spaces: list[tuple[int, LSHConfig]],
     taus: dict[int, int],
     pair_full_threshold: int = 256,
-    max_bucket_size: int = 65536,
 ):
     """Shuffle-free candidate generation for the post-collapse regime.
 
@@ -221,7 +230,7 @@ def broadcast_candidate_edges(
     (16 bytes/row) — when it fits comfortably in memory, replicating it
     beats an all-to-all: the signature arrays are ``ray.put`` ONCE and
     one Ray task per (space, band) extracts its band key, argsorts,
-    pair-generates and Hamming-verifies locally, returning int32 INDEX
+    pair-generates and Hamming-verifies locally, returning int64 INDEX
     pairs (a few KB).  No groupby, no sort shuffle, no driver-side
     coordination beyond a concat + unique.
 
@@ -234,6 +243,16 @@ def broadcast_candidate_edges(
     """
     import ray
 
+    for sp, arr in sig_arrays.items():
+        # the dedupe below packs (ai << 32) | bi into one u64 — only
+        # valid when indices fit 32 bits (the caller gates this path at
+        # BROADCAST_SIG_LIMIT ≪ 2^32; assert so a future caller can't
+        # silently corrupt edges)
+        if len(arr) >= 1 << 32:
+            raise ValueError(
+                f"broadcast_candidate_edges: space {sp} has {len(arr)} "
+                "rows >= 2^32; use the distributed candidate_pairs path"
+            )
     refs = {sp: ray.put(arr.astype(np.uint64)) for sp, arr in sig_arrays.items()}
 
     # num_cpus=2: the kernel (u64 sorts + pair gathers) is memory-
@@ -336,7 +355,6 @@ def make_verifier(taus: dict[int, int]):
 def candidate_pairs(
     band_rows: rd.Dataset,
     pair_full_threshold: int = 256,
-    max_bucket_size: int = 65536,
     taus: dict[int, int] | None = None,
     shuffle_blocks: int = 256,
 ) -> rd.Dataset:
@@ -350,7 +368,7 @@ def candidate_pairs(
         band_rows.repartition(shuffle_blocks)
         .groupby("part")
         .map_groups(
-            make_pair_generator(pair_full_threshold, max_bucket_size, taus),
+            make_pair_generator(pair_full_threshold, taus),
             batch_format="pyarrow",
         )
     )

@@ -5,6 +5,21 @@ band buckets → candidate pairs → Jaccard-estimate verify.  Same
 coarse-partition shuffle pattern as stages/lsh.py (one groupby, numpy
 run processing inside partitions).
 
+Shuffle diet (round-2 redesign): the expensive shingling+permutation
+encode runs ONCE into a narrow signature table (id, 512-byte sig);
+band rows derived from it carry only (id, band, key, part) ≈ 24 B/row
+— NOT the full signature — so the all-to-all band shuffle moves ~16×
+fewer bytes per doc than replicating the signature into every band.
+Candidate pairs are globally deduped, then verified by rejoining the
+signature table (broadcast via ``ray.put`` when it fits, hash
+``Dataset.join`` above ``MINHASH_BROADCAST_LIMIT``).
+
+Skew guard: buckets larger than ``pair_full_threshold`` emit an O(g)
+star to the bucket's min id instead of C(g,2) pairs — connectivity is
+preserved for downstream clustering, nothing is silently dropped, and
+the fallback is observable via the ``star`` column (same policy as
+stages/lsh.py).
+
 The exact counterpart (``all_pairs_jaccard``) is a broadcast
 all-pairs operator used as the correctness oracle at validation scale;
 MinHash recall against it is tested on planted paraphrase fixtures.
@@ -22,6 +37,10 @@ import ray.data as rd
 from ..functions.hashing import part_of_ints
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+# signature-table rows above this use the hash-join verify path instead
+# of a ray.put broadcast (512 B/doc → 2M rows ≈ 1 GB replicated)
+MINHASH_BROADCAST_LIMIT = 2_000_000
 
 
 def _shingle_hashes(texts: pa.ChunkedArray | pa.Array, k: int) -> list[np.ndarray]:
@@ -56,8 +75,16 @@ def _minhash_sig(shingles: np.ndarray, n_perm: int, seeds: np.ndarray) -> np.nda
     return z.min(axis=1)
 
 
+def _default_seeds(n_perm: int, seed: int = 7_2025) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 2**63, n_perm, dtype=np.uint64)
+
+
 class MinHashEncoder:
-    """Actor stage: adds band-key columns from a MinHash signature."""
+    """Actor stage: (id, text) → (id, sig) with sig = the n_perm u64
+    minima packed little-endian into one binary value.  The expensive
+    shingling runs exactly once per doc; banding and verification both
+    derive from this table."""
 
     def __init__(
         self,
@@ -65,99 +92,226 @@ class MinHashEncoder:
         id_col: str = "doc_id",
         shingle_k: int = 2,
         n_perm: int = 64,
-        n_bands: int = 16,
         seed: int = 7_2025,
-        n_parts: int = 64,
     ):
-        assert n_perm % n_bands == 0
         self.text_col, self.id_col = text_col, id_col
-        self.shingle_k, self.n_perm, self.n_bands = shingle_k, n_perm, n_bands
-        self.rows_per_band = n_perm // n_bands
-        rng = np.random.default_rng(seed)
-        self.seeds = rng.integers(0, 2**63, n_perm, dtype=np.uint64)
-        self.n_parts = n_parts
+        self.shingle_k, self.n_perm = shingle_k, n_perm
+        self.seeds = _default_seeds(n_perm, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         shingles = _shingle_hashes(batch[self.text_col], self.shingle_k)
         sigs = np.stack(
             [_minhash_sig(s, self.n_perm, self.seeds) for s in shingles]
         )  # (n, n_perm)
-        n = len(sigs)
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        # fold each band's rows into one u64 key
-        out_id, out_band, out_key, out_sig = [], [], [], []
-        sig_bin = [s.tobytes() for s in sigs]  # full sig bytes for verify
-        for b in range(self.n_bands):
-            seg = sigs[:, b * self.rows_per_band : (b + 1) * self.rows_per_band]
+        return pa.table(
+            {
+                "id": batch[self.id_col].cast(pa.int64()),
+                "sig": pa.array([s.tobytes() for s in sigs], type=pa.large_binary()),
+            }
+        )
+
+
+def make_band_expander(n_perm: int = 64, n_bands: int = 16, n_parts: int = 64):
+    """(id, sig) → narrow band rows (id, band, key, part): each band's
+    rows_per_band minima fold into one u64 key.  ~24 B per band row —
+    the signature itself never enters the shuffle."""
+    assert n_perm % n_bands == 0
+    rows_per_band = n_perm // n_bands
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "id": pa.array([], type=pa.int64()),
+                    "band": pa.array([], type=pa.int32()),
+                    "key": pa.array([], type=pa.int64()),
+                    "part": pa.array([], type=pa.int32()),
+                }
+            )
+        sigs = np.stack(
+            [np.frombuffer(s, dtype=np.uint64) for s in batch["sig"].to_pylist()]
+        )
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        out_id, out_band, out_key = [], [], []
+        for b in range(n_bands):
+            seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
             key = np.zeros(n, dtype=np.uint64)
-            for j in range(self.rows_per_band):
+            for j in range(rows_per_band):
                 key = (key ^ seg[:, j]) * _MIX
             key ^= key >> np.uint64(31)
             out_id.append(ids)
             out_band.append(np.full(n, b, dtype=np.int32))
             out_key.append(key.view(np.int64))
-            out_sig.extend(sig_bin)
         band = np.concatenate(out_band)
         key = np.concatenate(out_key)
-        part = part_of_ints(self.n_parts, band.astype(np.int64), key)
+        part = part_of_ints(n_parts, band.astype(np.int64), key)
         return pa.table(
             {
-                "id": pa.array(np.concatenate(out_id)),
+                "id": pa.array(np.concatenate(out_id), type=pa.int64()),
                 "band": pa.array(band, type=pa.int32()),
                 "key": pa.array(key, type=pa.int64()),
-                "sig": pa.array(out_sig, type=pa.large_binary()),
                 "part": pa.array(part, type=pa.int32()),
             }
         )
 
+    return expand
 
-def _pairgen(group: pa.Table) -> pa.Table:
-    ids = np.asarray(group["id"].to_numpy(zero_copy_only=False))
-    band = group["band"].to_numpy(zero_copy_only=False)
-    key = group["key"].to_numpy(zero_copy_only=False)
-    sig = np.asarray(group["sig"].to_numpy(zero_copy_only=False), dtype=object)
-    order = np.lexsort((ids, key, band))
-    ids, band, key, sig = ids[order], band[order], key[order], sig[order]
-    n = len(ids)
-    new_run = np.ones(n, dtype=bool)
-    new_run[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
-    starts = np.flatnonzero(new_run)
-    lengths = np.diff(np.append(starts, n))
-    a_i, b_i = [], []
-    capped = np.minimum(lengths, 512)
-    for g in np.unique(capped[lengths >= 2]):  # vectorized per distinct length
-        runs = starts[(capped == g) & (lengths >= 2)]
-        i, j = np.triu_indices(int(g), 1)
-        a_i.append((runs[:, None] + i[None, :]).ravel())
-        b_i.append((runs[:, None] + j[None, :]).ravel())
-    if not a_i:
+
+_EMPTY_PAIRS = pa.table(
+    {
+        "a": pa.array([], type=pa.int64()),
+        "b": pa.array([], type=pa.int64()),
+        "star": pa.array([], type=pa.bool_()),
+        "part": pa.array([], type=pa.int32()),
+    }
+)
+
+
+def make_pair_generator(pair_full_threshold: int = 512, n_parts: int = 64):
+    """Per-coarse-partition candidate generation over narrow band rows.
+
+    Runs ≤ ``pair_full_threshold`` emit all C(g,2) pairs; larger runs
+    (hot buckets) emit an O(g) star to the bucket's min id — every
+    member stays connected, nothing is truncated, and the fallback is
+    flagged in the ``star`` column.  ``part`` re-keys pairs for the
+    downstream global dedupe groupby."""
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        band = group["band"].to_numpy(zero_copy_only=False)
+        key = group["key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, key, band))
+        ids, band, key = ids[order], band[order], key[order]
+        n = len(ids)
+        if n == 0:
+            return _EMPTY_PAIRS
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(new_run)
+        lengths = np.diff(np.append(starts, n))
+        a_i, b_i, star_f = [], [], []
+        sel = lengths >= 2
+        full_sel = sel & (lengths <= pair_full_threshold)
+        for g in np.unique(lengths[full_sel]):  # vectorized per distinct length
+            runs = starts[full_sel & (lengths == g)]
+            i, j = np.triu_indices(int(g), 1)
+            a_i.append((runs[:, None] + i[None, :]).ravel())
+            b_i.append((runs[:, None] + j[None, :]).ravel())
+        if a_i:
+            star_f.append(np.zeros(sum(len(x) for x in a_i), dtype=bool))
+        for s, g in zip(starts[sel & ~full_sel], lengths[sel & ~full_sel]):
+            g = int(g)  # hot bucket → star to min id (ids sorted in-run)
+            members = np.arange(s + 1, s + g)
+            a_i.append(np.full(g - 1, s))
+            b_i.append(members)
+            star_f.append(np.ones(g - 1, dtype=bool))
+        if not a_i:
+            return _EMPTY_PAIRS
+        ai, bi = np.concatenate(a_i), np.concatenate(b_i)
+        stars = np.concatenate(star_f)
+        a, b = ids[ai], ids[bi]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table(
             {
-                "a": pa.array([], type=pa.int64()),
-                "b": pa.array([], type=pa.int64()),
-                "sig_a": pa.array([], type=pa.large_binary()),
-                "sig_b": pa.array([], type=pa.large_binary()),
+                "a": pa.array(lo, type=pa.int64()),
+                "b": pa.array(hi, type=pa.int64()),
+                "star": pa.array(stars, type=pa.bool_()),
+                "part": pa.array(part_of_ints(n_parts, lo, hi), type=pa.int32()),
             }
         )
-    ai, bi = np.concatenate(a_i), np.concatenate(b_i)
-    a, b = ids[ai], ids[bi]
-    swap = a > b
-    a2 = np.where(swap, b, a)
-    b2 = np.where(swap, a, b)
-    sa = np.where(swap, sig[bi], sig[ai])
-    sb = np.where(swap, sig[ai], sig[bi])
-    return pa.table(
-        {
-            "a": pa.array(a2, type=pa.int64()),
-            "b": pa.array(b2, type=pa.int64()),
-            "sig_a": pa.array(list(sa), type=pa.large_binary()),
-            "sig_b": pa.array(list(sb), type=pa.large_binary()),
-        }
+
+    return pairs
+
+
+def _dedupe_pairs(pairs: rd.Dataset) -> rd.Dataset:
+    """Global (a, b) dedupe: the same pair collides in up to every
+    band.  One groupby on the pair-hash partition, vectorized run
+    dedupe inside (star flag OR-combined so observability survives)."""
+
+    def per_part(group: pa.Table) -> pa.Table:
+        a = group["a"].to_numpy(zero_copy_only=False)
+        b = group["b"].to_numpy(zero_copy_only=False)
+        star = group["star"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((star, b, a))  # non-star first within a pair
+        a, b, star = a[order], b[order], star[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table(
+            {
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b[keep], type=pa.int64()),
+                "star": pa.array(star[keep], type=pa.bool_()),
+            }
+        )
+
+    return pairs.groupby("part").map_groups(per_part, batch_format="pyarrow")
+
+
+def _verify_broadcast(
+    pairs: rd.Dataset, sig_ds: rd.Dataset, theta: float, n_perm: int
+) -> rd.Dataset:
+    """Rejoin signatures via one ray.put of the (sorted-id, sig-matrix)
+    pair; per pair batch: two searchsorted gathers + row-equality mean."""
+    sig_df = sig_ds.to_pandas().sort_values("id", ignore_index=True)
+    ids_sorted = sig_df["id"].to_numpy(dtype=np.int64)
+    mat = np.stack([np.frombuffer(s, dtype=np.uint64) for s in sig_df["sig"]])
+    ref = ray.put((ids_sorted, mat))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        uids, umat = ray.get(ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "est_jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        sa = umat[np.searchsorted(uids, a)]
+        sb = umat[np.searchsorted(uids, b)]
+        est = (sa == sb).mean(axis=1)
+        keep = est >= theta
+        return pa.table(
+            {
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b[keep], type=pa.int64()),
+                "est_jaccard": pa.array(est[keep], type=pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def _verify_join(
+    pairs: rd.Dataset, sig_ds: rd.Dataset, theta: float, n_perm: int, n_parts: int
+) -> rd.Dataset:
+    """Scale path: two hash joins ship each signature only to the pairs
+    that need it (no replication of the whole table)."""
+    sig_a = sig_ds.map_batches(
+        lambda t: t.rename_columns(["a", "sig_a"]), batch_format="pyarrow"
     )
-
-
-def make_minhash_verifier(theta: float, n_perm: int = 64):
-    """Estimated Jaccard = fraction of matching permutation minima."""
+    sig_b = sig_ds.map_batches(
+        lambda t: t.rename_columns(["b", "sig_b"]), batch_format="pyarrow"
+    )
+    # aggregators at 0.5 CPU: join aggregator actors must not starve
+    # the map side on small clusters (and two joins run back-to-back)
+    agg_args = {"num_cpus": 0.5}
+    joined = pairs.select_columns(["a", "b"]).join(
+        sig_a,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("a",),
+        aggregator_ray_remote_args=agg_args,
+    ).join(
+        sig_b,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("b",),
+        aggregator_ray_remote_args=agg_args,
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -176,16 +330,38 @@ def make_minhash_verifier(theta: float, n_perm: int = 64):
         )
         est = (sa == sb).mean(axis=1)
         keep = est >= theta
-        df = pd.DataFrame(
+        return pa.table(
             {
-                "a": batch["a"].to_numpy(zero_copy_only=False)[keep],
-                "b": batch["b"].to_numpy(zero_copy_only=False)[keep],
-                "est_jaccard": est[keep],
+                "a": batch["a"].filter(pa.array(keep)),
+                "b": batch["b"].filter(pa.array(keep)),
+                "est_jaccard": pa.array(est[keep], type=pa.float64()),
             }
-        ).drop_duplicates(["a", "b"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        )
 
-    return verify
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_signatures(
+    docs: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 2,
+    n_perm: int = 64,
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    """(id, sig) MinHash signature table (actor pool, encode-once)."""
+    return docs.select_columns([id_col, text_col]).map_batches(
+        MinHashEncoder,
+        fn_constructor_kwargs={
+            "text_col": text_col,
+            "id_col": id_col,
+            "shingle_k": shingle_k,
+            "n_perm": n_perm,
+        },
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=concurrency,
+    )
 
 
 def minhash_dup_pairs(
@@ -194,26 +370,31 @@ def minhash_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 2,
+    n_perm: int = 64,
+    n_bands: int = 16,
     concurrency=(1, 8),
     n_parts: int = 64,
+    pair_full_threshold: int = 512,
+    broadcast_limit: int | None = None,
 ) -> rd.Dataset:
-    """(a, b, est_jaccard) candidate-verified near-dup pairs."""
-    enc = docs.select_columns([id_col, text_col]).map_batches(
-        MinHashEncoder,
-        fn_constructor_kwargs={
-            "text_col": text_col,
-            "id_col": id_col,
-            "shingle_k": shingle_k,
-            "n_parts": n_parts,
-        },
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=concurrency,
+    """(a, b, est_jaccard) candidate-verified near-dup pairs.
+
+    encode once → narrow band rows → one bucket groupby → pair dedupe
+    groupby → signature-rejoin verify (broadcast or hash join)."""
+    limit = MINHASH_BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    sig_ds = minhash_signatures(
+        docs, text_col, id_col, shingle_k, n_perm, concurrency
+    ).materialize()
+    bands = sig_ds.map_batches(
+        make_band_expander(n_perm, n_bands, n_parts), batch_format="pyarrow"
     )
-    pairs = enc.groupby("part").map_groups(_pairgen, batch_format="pyarrow")
-    return pairs.map_batches(
-        make_minhash_verifier(theta), batch_format="pyarrow"
+    pairs = bands.groupby("part").map_groups(
+        make_pair_generator(pair_full_threshold, n_parts), batch_format="pyarrow"
     )
+    pairs = _dedupe_pairs(pairs)
+    if sig_ds.count() <= limit:
+        return _verify_broadcast(pairs, sig_ds, theta, n_perm)
+    return _verify_join(pairs, sig_ds, theta, n_perm, n_parts)
 
 
 def all_pairs_jaccard(

@@ -13,9 +13,19 @@ Pipeline: per-doc DISTINCT w-token windows → explode (window, doc) →
 coarse-partition groupby on the window → per-window doc pairs →
 second groupby counting distinct shared windows per pair → threshold.
 Both shuffles use the vectorized run-detection pattern of stages/lsh.
+
+Boilerplate guard: windows shared by more than ``max_df`` documents
+(headers, license blurbs, templates) are EXCLUDED from pair counting —
+this is part of the operator's defined semantics (cf. the too-common-
+shingle filtering in the dedup literature), mirrored exactly by the
+SQL oracle (queries.SQL_DOC_SUBSTRING_PAIRS filters on window document
+frequency too), and every exclusion is counted and logged.  Windows at
+or below ``max_df`` are counted exactly — no silent truncation.
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 import pandas as pd
@@ -49,9 +59,12 @@ def shared_substring_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_parts: int = 64,
+    max_df: int = 256,
 ) -> rd.Dataset:
     """(a, b, n_shared) for doc pairs sharing ≥ min_shared distinct
-    w-token windows (a < b; counts are exact, SQL-oracle-matched)."""
+    w-token windows, counting only windows whose document frequency is
+    ≤ ``max_df`` (a < b; counts are exact and SQL-oracle-matched under
+    that definition — see module docstring's boilerplate guard)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -79,9 +92,20 @@ def shared_substring_pairs(
         starts = np.flatnonzero(new_run)
         lengths = np.diff(np.append(starts, len(win)))
         a_i, b_i = [], []
-        capped = np.minimum(lengths, 256)  # hot-window cap (log-visible)
-        for g in np.unique(capped[lengths >= 2]):
-            runs = starts[(capped == g) & (lengths >= 2)]
+        # boilerplate guard: a window's run length IS its global df
+        # (the groupby partitions by window hash), so the df filter is
+        # exact here; drops are counted and logged, never silent
+        keep_sel = (lengths >= 2) & (lengths <= max_df)
+        n_boiler = int(((lengths > max_df)).sum())
+        if n_boiler:
+            logging.getLogger(__name__).warning(
+                "shared_substring_pairs: excluded %d boilerplate windows "
+                "with df > %d from pair counting",
+                n_boiler,
+                max_df,
+            )
+        for g in np.unique(lengths[keep_sel]):
+            runs = starts[keep_sel & (lengths == g)]
             i, j = np.triu_indices(int(g), 1)
             a_i.append((runs[:, None] + i[None, :]).ravel())
             b_i.append((runs[:, None] + j[None, :]).ravel())
@@ -114,7 +138,13 @@ def shared_substring_pairs(
         )
         df = df[df["n_shared"] >= min_shared]
         df["n_shared"] = df["n_shared"].astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(
+            df,
+            preserve_index=False,
+            schema=pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()), ("n_shared", pa.int64())]
+            ),
+        )
 
     exploded = docs.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pyarrow"

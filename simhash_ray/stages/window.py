@@ -53,7 +53,19 @@ def tumbling_window_agg(
             df.groupby([key_col, "window_start"], as_index=False)
             .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        # explicit schema so empty batches don't drift the block schema
+        return pa.Table.from_pandas(
+            agg,
+            preserve_index=False,
+            schema=pa.schema(
+                [
+                    (key_col, batch.schema.field(key_col).type),
+                    ("window_start", pa.int64()),
+                    ("n_events", pa.int64()),
+                    ("sum_value", pa.float64()),
+                ]
+            ),
+        )
 
     partials = events.select_columns([key_col, ts_col, value_col]).map_batches(
         partial, batch_format="pyarrow"

@@ -31,14 +31,17 @@ def test_distributed_matches_driver(seed):
     pd.testing.assert_frame_equal(got, want)
 
 
-def test_chain_converges():
-    """Worst-case diameter: a path graph; plain propagation needs
-    O(diameter) rounds — max_rounds must accommodate or raise."""
-    n = 12
+def test_chain_converges_logarithmically():
+    """Worst-case diameter: a 200-node path graph.  Pointer jumping
+    makes convergence O(log d) — the default 12 rounds must suffice
+    where plain propagation would need ~200 (the round-1 behavior the
+    advisor flagged as an abort hazard)."""
+    n = 200
     df = pd.DataFrame(
         {"a": [f"n{i:03d}" for i in range(n - 1)], "b": [f"n{i+1:03d}" for i in range(n - 1)]}
     )
-    labels = connected_components(rd.from_pandas(df), max_rounds=n + 2, n_parts=4).to_pandas()
+    labels = connected_components(rd.from_pandas(df), max_rounds=12, n_parts=4).to_pandas()
+    assert len(labels) == n
     assert set(labels["label"]) == {"n000"}
     with pytest.raises(RuntimeError):
         connected_components(rd.from_pandas(df), max_rounds=2, n_parts=4)

@@ -46,6 +46,68 @@ def test_minhash_recall_vs_exact(corpus):
     assert recall >= 0.9, f"minhash recall {recall:.3f}"
 
 
+def test_minhash_band_rows_are_narrow(corpus):
+    """Shuffle-diet invariant: the exploded band table carries only
+    (id, band, key, part) — the 512-byte signature never enters the
+    all-to-all (round-1 replicated it into every band row)."""
+    from simhash_ray.stages.minhash import make_band_expander, minhash_signatures
+
+    sig_ds = minhash_signatures(rd.from_pandas(corpus.head(50)), concurrency=(1, 2))
+    bands = sig_ds.map_batches(make_band_expander(64, 16, 8), batch_format="pyarrow")
+    schema = bands.schema()
+    assert sorted(schema.names) == ["band", "id", "key", "part"]
+    assert bands.count() == 50 * 16
+
+
+def test_minhash_join_verify_equals_broadcast(corpus):
+    """The hash-join verify (scale path) and the broadcast verify
+    produce identical pairs."""
+    docs = rd.from_pandas(corpus)
+    bc = minhash_dup_pairs(docs, theta=0.6, concurrency=(1, 2)).to_pandas()
+    # small n_parts: the join's shuffle aggregators are actors — at the
+    # 4-CPU test session a wide join would starve (memory: 4-CPU
+    # deadlocks); production n_parts sizes to the cluster
+    jn = minhash_dup_pairs(
+        docs, theta=0.6, concurrency=(1, 2), broadcast_limit=0, n_parts=2
+    ).to_pandas()
+
+    def canon(d):
+        return sorted(zip(d["a"], d["b"], np.round(d["est_jaccard"], 9)))
+
+    assert canon(bc) == canon(jn)
+
+
+def _all_connected_to_zero(pairs, n):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return all(find(i) == 0 for i in range(n))
+
+
+def test_minhash_hot_bucket_star_connectivity():
+    """A bucket with >pair_full_threshold identical docs emits O(g)
+    star edges that keep every member connected to the min id —
+    nothing is silently dropped (the round-1 512-cap lost members)."""
+    n = 40
+    texts = ["alpha beta gamma delta epsilon zeta eta theta"] * n
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    out = minhash_dup_pairs(
+        rd.from_pandas(df), theta=0.9, concurrency=(1, 2), pair_full_threshold=8
+    ).to_pandas()
+    assert len(out) < n * (n - 1) // 2  # star fallback, not all-pairs
+    assert (out["est_jaccard"] == 1.0).all()
+    assert _all_connected_to_zero(zip(out["a"], out["b"]), n)
+
+
 def test_exact_jaccard_thresholds(corpus):
     docs = rd.from_pandas(corpus)
     loose = all_pairs_jaccard(docs, 5, 10, shingle_k=2).to_pandas()
