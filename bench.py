@@ -105,6 +105,18 @@ def _run_bench() -> dict:
         min(timings["e2e_dedup"], time.perf_counter() - t0), 3
     )
 
+    # the cluster-scale regime (exact-sig collapse → band-bucket
+    # groupby shuffle → distributed pair-gen), forced via
+    # broadcast_sig_limit=0 — this is the >BROADCAST_SIG_LIMIT path
+    # that a 100-TB run takes, benched alongside the direct regime
+    def run_flagship_distributed():
+        images = read_images(columns=["image_id", "caption", "phash"])
+        res = flagship.dedup_images(images, DEFAULT_CONFIG, broadcast_sig_limit=0)
+        return res.assignment.count()
+
+    n_dist = timed("e2e_dedup_distributed", run_flagship_distributed)
+    assert n_dist == n_images, (n_dist, n_images)
+
     # operator breadth over the driver testdata
     timed("doc_simhash_sigs", lambda: q_doc_simhash_sigs(sf_dir).count())
     timed("pricing_summary", lambda: q_pricing_summary(sf_dir).count())

@@ -1,0 +1,139 @@
+"""CLI entry point — the new engine's analogue of the reference's
+``simhash-runner`` command surface (argument parse + subcommand
+dispatch at /root/reference/app/simhash-runner.hs:126-184; the
+reference's v2-train/v2-infer model subcommands map onto the dedup
+pipeline per the north rule).
+
+Subcommands::
+
+    python -m simhash_ray dedup  <table-dir> --out DIR [--ckpt DIR]
+        run the flagship near-dup pipeline over a Parquet images table
+        (columns image_id, caption, phash [+ bytes ...]); writes
+        assignment/ edges/ and optionally survivors/ as partitioned
+        Parquet plus metrics.json
+    python -m simhash_ray encode <table-dir> --out DIR
+        signatures only (image_id, simhash, phash)
+
+The CLI owns its Ray session (guarded init — the driver contract in
+__ray_entry__.py forbids module-level init); pipelines themselves
+never call ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None = None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+            ignore_reinit_error=True,
+        )
+
+
+def _read_images(table_dir: str, columns):
+    from .sources.tables import read_table
+
+    base = os.path.basename(table_dir.rstrip("/"))
+    if base.endswith(".parquet"):
+        import ray.data as rd
+
+        return rd.read_parquet(table_dir, columns=columns)
+    name = "images" if os.path.exists(os.path.join(table_dir, "images.parquet")) else None
+    if name:
+        return read_table(table_dir, name, columns=columns)
+    import ray.data as rd
+
+    return rd.read_parquet(table_dir, columns=columns)
+
+
+def cmd_dedup(args) -> int:
+    _init_ray(args.num_cpus)
+    from .config import DEFAULT_CONFIG
+    from .pipelines import dedup_images as flagship
+
+    images = _read_images(args.table, None if args.survivors else ["image_id", "caption", "phash"])
+    narrow = images.select_columns(["image_id", "caption", "phash"])
+    if args.ckpt:
+        result = flagship.dedup_images_checkpointed(
+            narrow, args.ckpt, DEFAULT_CONFIG, input_fingerprint=args.table
+        )
+    else:
+        result = flagship.dedup_images(narrow, DEFAULT_CONFIG)
+    os.makedirs(args.out, exist_ok=True)
+    result.assignment.write_parquet(os.path.join(args.out, "assignment"))
+    result.edges.write_parquet(os.path.join(args.out, "edges"))
+    metrics = {
+        "n_rows": result.assignment.count(),
+        "n_clusters_with_dups": result.n_clusters_with_dups,
+        "n_nodes_clustered": result.n_nodes_clustered,
+    }
+    if args.survivors:
+        surv = flagship.survivors(images, result)
+        surv.write_parquet(os.path.join(args.out, "survivors"))
+        metrics["n_survivors"] = metrics["n_rows"] - result.assignment.filter(
+            expr="is_representative == False"
+        ).count()
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_encode(args) -> int:
+    _init_ray(args.num_cpus)
+    from .config import DEFAULT_CONFIG
+    from .pipelines import dedup_images as flagship
+
+    images = _read_images(args.table, ["image_id", "caption", "phash"])
+    sigs = flagship.signatures(images, DEFAULT_CONFIG)
+    os.makedirs(args.out, exist_ok=True)
+    sigs.write_parquet(os.path.join(args.out, "signatures"))
+    print(json.dumps({"n_rows": sigs.count()}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="simhash_ray", description="Ray-Data-native near-duplicate engine"
+    )
+    p.add_argument(
+        "--num-cpus", type=int, default=None,
+        help="Ray session CPU cap (default: all; on a cluster use ray job submit)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dedup", help="near-dup detect + cluster an images table")
+    d.add_argument("table", help="Parquet file or directory with images.parquet")
+    d.add_argument("--out", required=True, help="output directory")
+    d.add_argument("--ckpt", default=None, help="checkpoint dir (resumable run)")
+    d.add_argument(
+        "--survivors", action="store_true",
+        help="also write the deduplicated (representatives-only) table",
+    )
+    d.set_defaults(fn=cmd_dedup)
+
+    e = sub.add_parser("encode", help="write (image_id, simhash, phash) signatures")
+    e.add_argument("table")
+    e.add_argument("--out", required=True)
+    e.set_defaults(fn=cmd_encode)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

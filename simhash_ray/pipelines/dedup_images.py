@@ -158,8 +158,13 @@ def dedup_images(
     cfg: DedupConfig = DEFAULT_CONFIG,
     n_parts: int | None = None,
     concurrency=None,
+    broadcast_sig_limit: int | None = None,
 ) -> DedupResult:
-    """Two regimes, equivalent outputs (tests/test_lsh_paths.py):
+    """Two regimes, equivalent outputs (tests/test_lsh_paths.py and
+    tests/test_pipeline.py::test_distributed_regime_matches_direct;
+    ``broadcast_sig_limit`` overrides BROADCAST_SIG_LIMIT — pass 0 to
+    force the distributed regime, as bench.py does for its
+    ``e2e_dedup_distributed`` number):
 
     - **direct** (rows ≤ BROADCAST_SIG_LIMIT): encode distributed, then
       the narrow signature table (≤ ~0.5 GB) is collected once and
@@ -175,8 +180,9 @@ def dedup_images(
     n_rows = images.count()
     if n_parts is None:
         n_parts = choose_n_parts(n_rows)
+    limit = BROADCAST_SIG_LIMIT if broadcast_sig_limit is None else broadcast_sig_limit
     sigs = signatures(images, cfg, concurrency=concurrency)
-    if n_rows <= BROADCAST_SIG_LIMIT:
+    if n_rows <= limit:
         sigs = sigs.materialize()
         sig_df = sigs.to_pandas()
         ids = sig_df["image_id"].to_numpy(dtype=object)
@@ -207,7 +213,7 @@ def dedup_images(
         )
         n_clusters = len(set(label_df["label"]))
         n_nodes = len(label_df)
-    else:  # pragma: no cover - cluster-scale path; components tested
+    else:  # cluster-scale regime (composed-tested + benched since r2)
         collapsed = collapse_exact(sigs, n_parts).materialize()
         edges = dup_edges(collapsed, cfg, n_parts).materialize()
         assignment, n_clusters, n_nodes = attach_clusters(
@@ -388,6 +394,48 @@ def dedup_images_checkpointed(
         n_clusters_with_dups=holder["n_clusters"],
         n_nodes_clustered=holder["n_nodes"],
     )
+
+
+def sharded_signatures_checkpointed(
+    table_path: str,
+    ckpt_dir: str,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    n_shards: int = 8,
+):
+    """Signature encode with PER-SHARD checkpointing: the input Parquet
+    is split into deterministic row-group ranges, each encoded and
+    committed (data dir + manifest) independently
+    (state/manifest.sharded_stage) — a run killed after k of n shards
+    resumes at shard k instead of re-encoding everything.  This is the
+    100-TB-regime resume granularity the stage-level manifests of
+    ``dedup_images_checkpointed`` cannot give (a signature stage over
+    10^12 rows runs for hours).
+
+    Returns (signatures Dataset, CheckpointedRun)."""
+    import pyarrow.parquet as pq
+
+    from ..state.manifest import CheckpointedRun
+
+    n_rg = pq.ParquetFile(table_path).metadata.num_row_groups
+    groups = np.array_split(np.arange(n_rg), max(1, min(n_shards, n_rg)))
+
+    def make_fn(rgs):
+        def fn():
+            tbl = pq.ParquetFile(table_path).read_row_groups(
+                [int(r) for r in rgs],
+                columns=["image_id", "caption", "phash"],
+            )
+            return signatures(rd.from_arrow(tbl), cfg)
+
+        return fn
+
+    run = CheckpointedRun(ckpt_dir, cfg.config_hash())
+    sigs = run.sharded_stage(
+        "signatures",
+        [make_fn(rgs) for rgs in groups if len(rgs)],
+        input_fingerprint=table_path,
+    )
+    return sigs, run
 
 
 def survivors(

@@ -581,11 +581,70 @@ def q_doc_lang_pred(sf_dir: str):
     ).select_columns(["doc_id", "lang", "lang_pred"])
 
 
+def _stopword_values_sql() -> str:
+    """The LangIdScorer stopword table as a SQL VALUES list — single
+    source of truth is text._STOPWORDS so the oracle can never drift."""
+    rows = [
+        f"('{lang}', '{tok}')"
+        for lang in sorted(text_ops._STOPWORDS)
+        for tok in sorted(text_ops._STOPWORDS[lang])
+    ]
+    return ", ".join(rows)
+
+
+# per-occurrence stopword voting; ties resolved like np.argmax over the
+# alphabetically-sorted lang axis (count DESC, lang ASC); zero hits → 'und'
+SQL_DOC_LANG_PRED = rf"""
+WITH sw(lang, tok) AS (VALUES {_stopword_values_sql()}),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+votes AS (
+  SELECT t.doc_id, s.lang, COUNT(*) AS n
+  FROM toks t JOIN sw s ON t.tok = s.tok
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang AS lang_pred,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang ASC) AS rn
+  FROM votes
+)
+SELECT d.doc_id, d.lang, COALESCE(b.lang_pred, 'und') AS lang_pred
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+"""
+
+
 def q_doc_rolling_fp(sf_dir: str):
     docs = _docs(sf_dir, columns=["doc_id", "text"])
     return docs.map_batches(
         text_ops.rolling_fingerprint_batch, batch_format="pyarrow"
     ).select_columns(["doc_id", "rolling_fp"])
+
+
+SQL_DOC_ROLLING_FP = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+param AS (SELECT doc_id, t, LEAST(16, len(t)) AS w FROM toks),
+mx AS (SELECT COALESCE(MAX(len(t)), 0) AS m FROM toks),
+idx AS (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS i),
+wins AS (
+  SELECT p.doc_id, md5(array_to_string(t[i : i + w - 1], ' ')) AS h
+  FROM param p JOIN idx ON i <= len(t) - w + 1
+  WHERE w > 0
+),
+agg AS (
+  SELECT doc_id,
+         array_to_string(list_slice(list_sort(list(h)), 1, 4), '') AS fp
+  FROM wins GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.fp, '') AS rolling_fp
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
 
 
 # --------------------------------------------------------------------------
@@ -628,6 +687,17 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 5 >
 """
 
 
+def q_embed_dup_pairs_lsh(sf_dir: str):
+    """Banded hyperplane-LSH cosine near-dup pairs (scale path of
+    embed_dup_pairs; probabilistic candidate generation with exact
+    float64 cosine verification — rows-only driver check, recall
+    pinned in tests/test_minhash_ann.py on planted near-dups)."""
+    from ..stages.ann import lsh_cosine_dup_pairs
+
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_cosine_dup_pairs(vecs, 2, 5, n_parts=16)
+
+
 def q_embed_lsh_topk(sf_dir: str):
     """Hyperplane-LSH-bucketed approximate top-k (scale path of
     embed_topk; probabilistic — rows-only check, recall tested in
@@ -664,6 +734,36 @@ def q_doc_langid_score(sf_dir: str):
     return pd.DataFrame(
         {"hits": [n_hits], "total": [total], "score": [score]}
     )
+
+
+# reference score formula: hits*10000 // total (Htm/Stats.hs:40);
+# casts keep DuckDB's HUGEINT sums out of the hashed schema
+SQL_DOC_LANGID_SCORE = rf"""
+WITH sw(lang, tok) AS (VALUES {_stopword_values_sql()}),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+votes AS (
+  SELECT t.doc_id, s.lang, COUNT(*) AS n
+  FROM toks t JOIN sw s ON t.tok = s.tok
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang AS lang_pred,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang ASC) AS rn
+  FROM votes
+),
+pred AS (
+  SELECT d.doc_id, d.lang, COALESCE(b.lang_pred, 'und') AS lang_pred
+  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+)
+SELECT CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       CAST(COUNT(*) AS BIGINT)                                          AS total,
+       CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT)                                       AS score
+FROM pred
+"""
 
 
 def q_embed_label_stats(sf_dir: str):
@@ -764,6 +864,7 @@ def ray_queries() -> dict:
         "embed_topk": q_embed_topk,
         "embed_label_stats": q_embed_label_stats,
         "embed_dup_pairs": q_embed_dup_pairs,
+        "embed_dup_pairs_lsh": q_embed_dup_pairs_lsh,
         "embed_lsh_topk": q_embed_lsh_topk,
         "doc_langid_score": q_doc_langid_score,
         "images_signatures": q_images_signatures,
@@ -793,7 +894,10 @@ def oracle_sqls() -> dict:
         "embed_topk": SQL_EMBED_TOPK,
         "embed_label_stats": SQL_EMBED_LABEL_STATS,
         "embed_dup_pairs": SQL_EMBED_DUP_PAIRS,
+        "doc_lang_pred": SQL_DOC_LANG_PRED,
+        "doc_langid_score": SQL_DOC_LANGID_SCORE,
+        "doc_rolling_fp": SQL_DOC_ROLLING_FP,
         # rows-only (non-SQL-expressible / probabilistic):
-        # doc_minhash_pairs, doc_simhash_sigs, doc_lang_pred,
-        # doc_rolling_fp, images_signatures, images_dedup, images_stats
+        # doc_minhash_pairs, doc_simhash_sigs, embed_lsh_topk,
+        # images_signatures, images_dedup, images_stats
     }

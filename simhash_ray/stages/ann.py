@@ -104,13 +104,21 @@ def cosine_dup_pairs(
     threshold_den: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_limit: int = 500_000,
 ) -> rd.Dataset:
     """Embedding-cosine near-duplicate pairs: (a, b) with
     cos(a, b) * den >= num (rational threshold, float64 math on both
     sides so a DuckDB list_cosine_similarity oracle agrees).
 
-    Broadcast-matrix exact operator (oracle/validation scale); the
-    scale path buckets by hyperplane LSH first (HyperplaneHasher)."""
+    Broadcast-matrix exact operator (oracle/validation scale); above
+    ``exact_limit`` rows it delegates to the banded
+    :func:`lsh_cosine_dup_pairs` scale path (documented approximation:
+    recall < 1 for pairs barely over the threshold; exact-cosine
+    verification, so precision stays 1)."""
+    if vectors.count() > exact_limit:
+        return lsh_cosine_dup_pairs(
+            vectors, threshold_num, threshold_den, id_col=id_col, vec_col=vec_col
+        )
     rows = vectors.select_columns([id_col, vec_col]).take_all()
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     order = np.argsort(ids)
@@ -139,6 +147,212 @@ def cosine_dup_pairs(
     return vectors.select_columns([id_col, vec_col]).map_batches(
         compare, batch_format="pyarrow", batch_size=2048
     )
+
+
+class HyperplaneSigner:
+    """Actor stage: 64-plane Charikar signature as one u64 ``hsig``
+    column — the cosine-space analogue of the SimHash encoder.  Bit j
+    = sign of the projection onto random plane j; P[bit match] =
+    1 − angle/π, so near-duplicates agree on almost every bit."""
+
+    def __init__(self, dim: int, id_col: str, vec_col: str, seed: int = 1234):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, 64))
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch[self.vec_col])
+        bits = (mat @ self.planes > 0).astype(np.uint64)
+        sig = np.zeros(len(mat), dtype=np.uint64)
+        for j in range(64):
+            sig |= bits[:, j] << np.uint64(j)
+        return pa.table(
+            {
+                "id": batch[self.id_col].cast(pa.int64()),
+                "hsig": pa.array(sig.view(np.int64), type=pa.int64()),
+            }
+        )
+
+
+def lsh_cosine_dup_pairs(
+    vectors: rd.Dataset,
+    threshold_num: int,
+    threshold_den: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 8,
+    seed: int = 1234,
+    n_parts: int = 64,
+    pair_full_threshold: int = 512,
+    concurrency=(1, 8),
+    broadcast_limit: int = 2_000_000,
+) -> rd.Dataset:
+    """Banded hyperplane-LSH near-dup pairs — the scale path the
+    round-1 verdict asked for (VERDICT.md item 4): no full-table
+    ``take_all``; same output schema as :func:`cosine_dup_pairs`.
+
+    encode (HyperplaneSigner actor pool) → narrow band rows (the u64
+    signature splits into ``n_bands`` contiguous bit-chunks; OR-of-
+    bands candidate rule) → one bucket groupby (reusing the MinHash
+    pair generator with its star skew-guard) → pair dedupe → EXACT
+    float64 cosine verification against a broadcast of the normalized
+    vectors.  Recall for a pair at cosine c is
+    1 − (1 − p^(64/n_bands))^n_bands with p = 1 − arccos(c)/π —
+    ≈ 0.999 at c = 0.98 with the defaults; grow bits-per-band
+    (lower n_bands) to cut candidates at higher corpus sizes.
+
+    Exact-cosine verify means precision 1 vs the exact operator; only
+    barely-over-threshold pairs can be missed (tests/test_minhash_ann
+    pins recall ≥ 0.95 on planted near-dups)."""
+    from ..functions.hashing import part_of_ints
+    from .minhash import _dedupe_pairs, make_pair_generator
+
+    first = vectors.take(1)[0]
+    dim = len(first[vec_col])
+    sig_ds = vectors.select_columns([id_col, vec_col]).map_batches(
+        HyperplaneSigner,
+        fn_constructor_kwargs={"dim": dim, "id_col": id_col, "vec_col": vec_col,
+                               "seed": seed},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    assert 64 % n_bands == 0
+    r = 64 // n_bands
+    mask = np.uint64((1 << r) - 1)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        sig = batch["hsig"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        n = len(sig)
+        out_id, out_band, out_key = [], [], []
+        for b in range(n_bands):
+            out_id.append(ids)
+            out_band.append(np.full(n, b, dtype=np.int32))
+            out_key.append(((sig >> np.uint64(b * r)) & mask).view(np.int64))
+        band = np.concatenate(out_band)
+        key = np.concatenate(out_key)
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                "band": pa.array(band, type=pa.int32()),
+                "key": pa.array(key, type=pa.int64()),
+                "part": pa.array(
+                    part_of_ints(n_parts, band.astype(np.int64), key), type=pa.int32()
+                ),
+            }
+        )
+
+    bands = sig_ds.map_batches(expand, batch_format="pyarrow")
+    pairs = _dedupe_pairs(
+        bands.groupby("part").map_groups(
+            make_pair_generator(pair_full_threshold, n_parts), batch_format="pyarrow"
+        )
+    )
+
+    # exact verify: broadcast the normalized matrix once (vector table
+    # ≤ broadcast_limit rows); above it, two hash joins ship each
+    # vector only to the pairs that reference it — no full-table
+    # driver materialization on the scale path
+    if vectors.count() > broadcast_limit:
+        return _cosine_verify_join(
+            pairs, vectors, threshold_num, threshold_den, id_col, vec_col, n_parts
+        )
+    vec_df = vectors.select_columns([id_col, vec_col]).to_pandas()
+    ids_sorted = vec_df[id_col].to_numpy(dtype=np.int64)
+    order = np.argsort(ids_sorted)
+    ids_sorted = ids_sorted[order]
+    mat = np.stack(vec_df[vec_col].iloc[order].map(np.asarray)).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids_sorted, mat))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        uids, umat = ray.get(ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+            )
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        va = umat[np.searchsorted(uids, a)]
+        vb = umat[np.searchsorted(uids, b)]
+        cos = np.einsum("ij,ij->i", va, vb)
+        keep = cos * threshold_den >= threshold_num
+        return pa.table(
+            {
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b[keep], type=pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def _cosine_verify_join(
+    pairs: rd.Dataset,
+    vectors: rd.Dataset,
+    threshold_num: int,
+    threshold_den: int,
+    id_col: str,
+    vec_col: str,
+    n_parts: int,
+) -> rd.Dataset:
+    """Scale-path exact-cosine verify: hash-join each pair side to its
+    vector (same shape as minhash._verify_join).  Vectors are packed
+    to float64 bytes for the join — Arrow's hash join rejects list
+    payload columns."""
+    agg_args = {"num_cpus": 0.5}
+
+    def packed(out_id: str, out_vec: str):
+        def fn(t: pa.Table) -> pa.Table:
+            mat = _to_matrix(t[vec_col])
+            return pa.table(
+                {
+                    out_id: t[id_col].cast(pa.int64()),
+                    out_vec: pa.array(
+                        [row.tobytes() for row in mat], type=pa.large_binary()
+                    ),
+                }
+            )
+
+        return fn
+
+    vec_a = vectors.select_columns([id_col, vec_col]).map_batches(
+        packed("a", "vec_a"), batch_format="pyarrow"
+    )
+    vec_b = vectors.select_columns([id_col, vec_col]).map_batches(
+        packed("b", "vec_b"), batch_format="pyarrow"
+    )
+    joined = pairs.select_columns(["a", "b"]).join(
+        vec_a, join_type="inner", num_partitions=n_parts, on=("a",),
+        aggregator_ray_remote_args=agg_args,
+    ).join(
+        vec_b, join_type="inner", num_partitions=n_parts, on=("b",),
+        aggregator_ray_remote_args=agg_args,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+            )
+        va = np.stack(
+            [np.frombuffer(x, dtype=np.float64) for x in batch["vec_a"].to_pylist()]
+        )
+        vb = np.stack(
+            [np.frombuffer(x, dtype=np.float64) for x in batch["vec_b"].to_pylist()]
+        )
+        va = va / np.linalg.norm(va, axis=1, keepdims=True)
+        vb = vb / np.linalg.norm(vb, axis=1, keepdims=True)
+        cos = np.einsum("ij,ij->i", va, vb)
+        keep = cos * threshold_den >= threshold_num
+        return pa.table(
+            {
+                "a": batch["a"].filter(pa.array(keep)).cast(pa.int64()),
+                "b": batch["b"].filter(pa.array(keep)).cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 class HyperplaneHasher:

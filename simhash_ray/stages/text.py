@@ -105,32 +105,34 @@ def md5_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def rolling_fingerprint_batch(
     batch: pa.Table, text_col: str = "text", window: int = 16, keep: int = 4
 ) -> pa.Table:
-    """Winnowing-style document fingerprint: the ``keep`` smallest
-    rolling-window hashes of the token-hash stream, xor-folded to one
-    int64.  Order-robust against small edits (unlike md5)."""
-    import pandas as pd
+    """Winnowing-style document fingerprint: the ``keep``
+    lexicographically smallest md5 hashes of the w-token windows
+    (w = min(window, n_tokens); all positions, duplicates kept),
+    concatenated.  Order-robust against small edits (unlike a whole-
+    document md5) AND exactly expressible in SQL (md5 + list_sort +
+    list_slice), so the driver's DuckDB oracle checks it bit-for-bit
+    (queries.SQL_DOC_ROLLING_FP).  Empty documents fingerprint to ''.
 
+    md5-per-window is the portable-oracle choice; at production scale
+    the hash would be a compiled rolling hash — the pipeline shape
+    (map_batches, per-unique-window hashing) is unchanged by that
+    swap."""
     toks = pc.utf8_split_whitespace(
         pc.utf8_lower(batch[text_col].combine_chunks().cast(pa.string()))
     )
-    out = np.zeros(batch.num_rows, dtype=np.uint64)
-    for i, row in enumerate(toks.to_pylist()):
+    out: list[str] = []
+    for row in toks.to_pylist():
         row = [t for t in (row or []) if t]
         if not row:
+            out.append("")
             continue
-        th = pd.util.hash_array(np.array(row, dtype=object))
-        w = min(window, len(th))
-        acc = np.zeros(len(th) - w + 1, dtype=np.uint64)
-        for j in range(w):
-            acc = (acc ^ th[j : j + len(acc)]) * np.uint64(0x9E3779B97F4A7C15)
-        smallest = np.sort(acc)[:keep]
-        f = np.uint64(0)
-        for s in smallest:
-            f ^= s
-        out[i] = f
-    return batch.append_column(
-        "rolling_fp", pa.array(out.view(np.int64), type=pa.int64())
-    )
+        w = min(window, len(row))
+        hashes = sorted(
+            hashlib.md5(" ".join(row[i : i + w]).encode("utf-8")).hexdigest()
+            for i in range(len(row) - w + 1)
+        )[:keep]
+        out.append("".join(hashes))
+    return batch.append_column("rolling_fp", pa.array(out, type=pa.string()))
 
 
 def exact_dedup(

@@ -10,10 +10,16 @@ rerun skips committed stages; a crash mid-stage leaves no manifest, so
 the stage reruns from its (committed) inputs — idempotent by
 construction since outputs are rewritten whole before commit.
 
-Granularity note: this commits at stage granularity; at cluster scale
-the same manifest scheme applies per partition directory (one manifest
-per input shard), which is why outputs are directories of part files,
-never one file.
+Two granularities:
+
+- ``stage``: one manifest per stage output directory (round 1).
+- ``sharded_stage``: one manifest per SHARD of a stage — the
+  cluster-scale analogue of the reference's debounced saver
+  (/root/reference/src/Htm/Runner.hs:58-86): at 100 TB a stage is
+  hours, so a killed run must resume at the first uncommitted shard,
+  not recompute the stage.  Each shard commits (data dir, then
+  manifest) atomically and independently; the stage is done when every
+  shard manifest matches (config hash, input fingerprint).
 """
 
 from __future__ import annotations
@@ -102,6 +108,81 @@ class CheckpointedRun:
         os.replace(mtmp, manifest)  # manifest commit = stage done
         self.metrics.record(name, rows, time.perf_counter() - t0, resumed=False)
         return rd.read_parquet(out)
+
+    def _shard_paths(self, name: str, i: int) -> tuple[str, str, str]:
+        out = os.path.join(self.root, name, f"shard_{i:05d}")
+        return out, out + ".tmp", os.path.join(
+            self.root, f"{name}.shard_{i:05d}.manifest.json"
+        )
+
+    def shard_is_committed(self, name: str, i: int, input_fingerprint: str = "") -> bool:
+        _, _, manifest = self._shard_paths(name, i)
+        if not os.path.exists(manifest):
+            return False
+        with open(manifest) as f:
+            m = json.load(f)
+        return (
+            m.get("config_hash") == self.config_hash
+            and m.get("input_fingerprint") == input_fingerprint
+        )
+
+    def sharded_stage(
+        self, name: str, shard_fns, input_fingerprint: str = ""
+    ) -> rd.Dataset:
+        """Per-partition checkpointing: ``shard_fns[i]() -> Dataset``
+        produces shard i's rows; each shard commits its Parquet dir +
+        manifest independently, so a kill after k of n shards resumes
+        at shard k — committed shards are never recomputed or
+        rewritten.  Returns the union read of all shard directories.
+
+        Shard decomposition must be deterministic w.r.t. the input
+        (e.g. one shard per input file / key range) — the
+        ``input_fingerprint`` should capture it."""
+        t0 = time.perf_counter()
+        n_resumed = 0
+        for i, fn in enumerate(shard_fns):
+            out, tmp, manifest = self._shard_paths(name, i)
+            if self.shard_is_committed(name, i, input_fingerprint):
+                n_resumed += 1
+                continue
+            ds = fn()
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            if os.path.exists(out):
+                shutil.rmtree(out)
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            ds.write_parquet(tmp)
+            os.replace(tmp, out)  # atomic shard-data commit
+            payload = {
+                "stage": name,
+                "shard": i,
+                "config_hash": self.config_hash,
+                "input_fingerprint": input_fingerprint,
+                "row_count": rd.read_parquet(out).count(),
+            }
+            mtmp = manifest + ".tmp"
+            with open(mtmp, "w") as f:
+                json.dump(payload, f)
+            os.replace(mtmp, manifest)  # shard done
+        # read_parquet takes files, not a list of directories — expand
+        files: list[str] = []
+        for i in range(len(shard_fns)):
+            d = self._shard_paths(name, i)[0]
+            files.extend(
+                sorted(
+                    os.path.join(d, f)
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                )
+            )
+        ds = rd.read_parquet(files)
+        self.metrics.record(
+            name, ds.count(), time.perf_counter() - t0,
+            resumed=(n_resumed == len(shard_fns)),
+        )
+        self.metrics.stages[name]["shards_resumed"] = n_resumed
+        self.metrics.stages[name]["shards_total"] = len(shard_fns)
+        return ds
 
     def invalidate_from(self, name: str) -> None:
         """Drop a stage's commit (and leave later stages to their own

@@ -117,6 +117,38 @@ def test_exact_jaccard_thresholds(corpus):
     assert (loose["inter"] * 10 >= 5 * loose["uni"]).all()
 
 
+def test_lsh_cosine_pairs_recall_no_materialize():
+    """Banded hyperplane-LSH cosine pairs: recall ≥ 0.95 vs the exact
+    broadcast operator on planted near-duplicate vectors, precision 1
+    (exact-cosine verify), and the join-verify scale path agrees."""
+    from simhash_ray.stages.ann import cosine_dup_pairs, lsh_cosine_dup_pairs
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((300, 64))
+    # plant 80 near-dups: tiny perturbations of the first 80 vectors
+    dups = base[:80] + 0.05 * rng.standard_normal((80, 64))
+    mat = np.vstack([base, dups])
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(mat), dtype=np.int64),
+            "embedding": [row.astype(np.float32).tolist() for row in mat],
+        }
+    )
+    vecs = rd.from_pandas(df)
+    exact = cosine_dup_pairs(vecs, 9, 10).to_pandas()
+    truth = set(zip(exact["a"], exact["b"]))
+    assert len(truth) >= 70
+    approx = lsh_cosine_dup_pairs(vecs, 9, 10, n_parts=8).to_pandas()
+    found = set(zip(approx["a"], approx["b"]))
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.95, f"lsh cosine recall {recall:.3f}"
+    assert found <= truth  # exact verify → no false positives
+    joined = lsh_cosine_dup_pairs(
+        vecs, 9, 10, n_parts=2, broadcast_limit=0
+    ).to_pandas()
+    assert set(zip(joined["a"], joined["b"])) == found
+
+
 @pytest.fixture(scope="module")
 def image_fixture():
     return generate_fixture(FixtureSpec(n_rows=120, seed=9))

@@ -62,6 +62,78 @@ def test_resume_skips_committed_and_is_identical(tmp_path, images_tbl):
     assert not metrics["edges"]["resumed"] and not metrics["assignment"]["resumed"]
 
 
+def test_sharded_stage_resumes_mid_stage(tmp_path):
+    """Per-shard manifests: kill after k of n shards; the rerun
+    recomputes only the unfinished shards and the final table is
+    identical to a never-killed run (the reference's debounced-saver
+    analogue at partition granularity, Htm/Runner.hs:58-86)."""
+    from simhash_ray.state.manifest import CheckpointedRun
+
+    calls = []
+
+    def make(i, fail=False):
+        def fn():
+            calls.append(i)
+            if fail:
+                raise RuntimeError("injected kill")
+            return rd.from_pandas(
+                pd.DataFrame({"x": range(i * 10, i * 10 + 5), "shard": [i] * 5})
+            )
+
+        return fn
+
+    run = CheckpointedRun(str(tmp_path / "ck"), "cfg1")
+    with pytest.raises(RuntimeError):
+        run.sharded_stage("sigs", [make(0), make(1), make(2, fail=True), make(3)])
+    assert calls == [0, 1, 2]  # died inside shard 2; 0 and 1 committed
+
+    calls.clear()
+    run2 = CheckpointedRun(str(tmp_path / "ck"), "cfg1")
+    out = run2.sharded_stage("sigs", [make(0), make(1), make(2), make(3)])
+    assert calls == [2, 3]  # committed shards 0,1 were NOT recomputed
+    assert run2.metrics.stages["sigs"]["shards_resumed"] == 2
+
+    clean = CheckpointedRun(str(tmp_path / "ck2"), "cfg1").sharded_stage(
+        "sigs", [make(0), make(1), make(2), make(3)]
+    )
+
+    def canon(ds):
+        return ds.to_pandas().sort_values(["shard", "x"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(out), canon(clean))
+
+
+def test_sharded_signatures_resume_identical(tmp_path):
+    """End-to-end per-shard resume on the real encoder: kill between
+    shards, resume, output identical to the unsharded signatures."""
+    import pyarrow.parquet as pq
+
+    from simhash_ray.pipelines.dedup_images import (
+        sharded_signatures_checkpointed,
+        signatures,
+    )
+
+    tables = generate_fixture(FixtureSpec(n_rows=300, seed=3))
+    path = str(tmp_path / "images.parquet")
+    pq.write_table(tables["images"], path, row_group_size=50)
+
+    ck = str(tmp_path / "ck")
+    sigs, run = sharded_signatures_checkpointed(path, ck, n_shards=4)
+    # simulate losing the last shard's manifest (crash before commit)
+    os.remove(os.path.join(ck, "signatures.shard_00003.manifest.json"))
+    sigs2, run2 = sharded_signatures_checkpointed(path, ck, n_shards=4)
+    assert run2.metrics.stages["signatures"]["shards_resumed"] == 3
+
+    want = (
+        signatures(rd.from_arrow(tables["images"]), concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    got = sigs2.to_pandas().sort_values("image_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_config_change_invalidates(tmp_path, images_tbl):
     images = rd.from_arrow(images_tbl)
     root = str(tmp_path / "run")
