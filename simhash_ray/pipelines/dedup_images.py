@@ -74,14 +74,35 @@ def dup_edges(
     collapsed: rd.Dataset, cfg: DedupConfig = DEFAULT_CONFIG, n_parts: int = 64
 ) -> rd.Dataset:
     """Distinct-signature nodes → banding → bucket pairs → verified
-    (a, b) dup edges."""
-    reps = collapsed.filter(expr="is_rep == True").select_columns(
-        ["image_id", "simhash", "phash"]
+    (a, b) dup edges.
+
+    Shuffle sizing (measured at 400k rows / 17M band rows, 32 CPUs —
+    see BASELINE.md "distributed regime tuning"): the narrow rep table
+    is repartitioned to ~1 block per CPU BEFORE band expansion (moving
+    400k×24 B rows instead of the 43×-larger band table: the round-1
+    post-expansion repartition cost ~2× the whole stage), and the
+    band-bucket groupby keys on ~band_rows/4096 coarse partitions —
+    high enough cardinality for Ray's sort shuffle, low enough not to
+    drown the driver in per-group dispatch."""
+    import itertools as _it
+
+    n_bands = sum(
+        1
+        for c in (cfg.text_lsh, cfg.image_lsh)
+        for _ in _it.combinations(range(c.n_blocks), c.combo_m)
+    )
+    n_reps_max = collapsed.count()  # metadata read on materialized input
+    band_parts = int(min(65536, max(256, (n_reps_max * n_bands) // 4096)))
+    cpus = int(ray.cluster_resources().get("CPU", 32))
+    reps = (
+        collapsed.filter(expr="is_rep == True")
+        .select_columns(["image_id", "simhash", "phash"])
+        .repartition(max(32, cpus))
     )
     expander = make_band_expander(
         [(TEXT_SPACE, "simhash", cfg.text_lsh), (IMAGE_SPACE, "phash", cfg.image_lsh)],
         id_col="image_id",
-        n_parts=n_parts,
+        n_parts=band_parts,
     )
     bands = reps.map_batches(expander, batch_format="pyarrow")
     verified = candidate_pairs(
@@ -95,6 +116,7 @@ def dup_edges(
             TEXT_SPACE: cfg.text_lsh.hamming_tau,
             IMAGE_SPACE: cfg.image_lsh.hamming_tau,
         },
+        shuffle_blocks=None,  # pre-partitioned above, narrow side
     )
     from ..stages.cluster import dedupe_edges
 
@@ -104,12 +126,15 @@ def dup_edges(
 def choose_n_parts(n_rows: int) -> int:
     """Coarse-partition count for a bucket shuffle over ``n_rows``.
 
-    Two opposing costs, both measured at sf0.1: Ray's sort-based
-    shuffle degrades on low-cardinality keys (17M rows: 64 parts →
-    50s, 16k parts → 10s), while ``map_groups`` schedules one task
-    per group, so tens of thousands of parts stall the driver on task
-    dispatch.  ~1 part per 1-2k rows, bounded, balances the two."""
-    return int(min(8192, max(64, n_rows // 1024)))
+    Two opposing costs, both measured at sf0.1 (32 CPUs): Ray's
+    sort-based shuffle degrades on low-cardinality keys (17M rows: 64
+    parts → 50s), while ``map_groups`` schedules one task per group —
+    round 1's ~1 part/1k rows put the 400k-row exact-collapse at 390
+    parts = 11.5 s where 128 parts runs it in 2 s (round-2 sweep in
+    BASELINE.md).  ~1 part per 3-4k rows, bounded, balances the two;
+    the band-bucket shuffle sizes its own parts from the 43×-larger
+    band-row count (see dup_edges)."""
+    return int(min(8192, max(64, n_rows // 3072)))
 
 
 def cluster_broadcast(collapsed: rd.Dataset, cfg: DedupConfig):

@@ -356,19 +356,20 @@ def candidate_pairs(
     band_rows: rd.Dataset,
     pair_full_threshold: int = 256,
     taus: dict[int, int] | None = None,
-    shuffle_blocks: int = 256,
+    shuffle_blocks: int | None = None,
 ) -> rd.Dataset:
     """ONE all-to-all shuffle (coarse hash partition) → vectorized
     within-partition bucket pairing (+ fused verify when taus given).
 
     ``shuffle_blocks``: Ray's sort-based shuffle runs one map task per
     input block — a handful of 128 MiB blocks serializes the whole
-    exchange, so split the (narrow) band rows first."""
-    return (
-        band_rows.repartition(shuffle_blocks)
-        .groupby("part")
-        .map_groups(
-            make_pair_generator(pair_full_threshold, taus),
-            batch_format="pyarrow",
-        )
+    exchange.  Prefer repartitioning the NARROW pre-band table on the
+    caller side (pipelines/dedup_images.dup_edges does: moving 24 B/row
+    beats moving the 43×-larger band table) and leave this None; pass
+    a block count only when the input arrives as a few huge blocks."""
+    if shuffle_blocks:
+        band_rows = band_rows.repartition(shuffle_blocks)
+    return band_rows.groupby("part").map_groups(
+        make_pair_generator(pair_full_threshold, taus),
+        batch_format="pyarrow",
     )
