@@ -1,0 +1,91 @@
+"""The `Stage` protocol — the engine's user-extension seam
+(SURVEY.md §2.7).
+
+The reference's only plugin surface is the ``Model`` record of
+closures (/root/reference/src/Htm/Model.hs:23-28) consumed by a
+generic ``Runner`` (/root/reference/src/Htm/Runner.hs:44-48).  The
+batch-engine analogue: a ``Stage`` is batch-in/batch-out with
+once-per-replica ``setup()`` and a ``checkpoint()`` state snapshot for
+lineage manifests; ``compile_pipeline`` folds an ordered stage list
+onto ONE ``ray.data.Dataset`` — each stage becomes a ``map_batches``
+actor-pool operator, so the streaming executor pipelines and
+backpressures them as usual.
+
+Any callable class with ``__call__(pa.Table) -> pa.Table`` already
+satisfies the hot-path half (SimHashEncoder, LangIdScorer, ...);
+``StageAdapter`` bridges either shape into the pool.
+"""
+
+from __future__ import annotations
+
+from typing import Protocol, runtime_checkable
+
+import pyarrow as pa
+import ray.data as rd
+
+
+@runtime_checkable
+class Stage(Protocol):
+    """Pluggable pipeline stage.
+
+    - ``setup()``      — once per actor replica, after construction
+      (load models, compile patterns, warm caches).
+    - ``process_batch``— zero-copy Arrow batch in, Arrow batch out.
+    - ``checkpoint()`` — JSON-serializable state snapshot, recorded in
+      the stage's lineage manifest (config hashes, vocab sizes, ...);
+      stateless stages return {}.
+    """
+
+    def setup(self) -> None: ...
+
+    def process_batch(self, batch: pa.Table) -> pa.Table: ...
+
+    def checkpoint(self) -> dict: ...
+
+
+class StatelessStage:
+    """Convenience base: no setup, empty checkpoint."""
+
+    def setup(self) -> None:
+        pass
+
+    def checkpoint(self) -> dict:
+        return {}
+
+    def process_batch(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
+        raise NotImplementedError
+
+
+class StageAdapter:
+    """map_batches callable wrapping a Stage class: construct + setup
+    once per actor, delegate per batch."""
+
+    def __init__(self, stage_cls, **kwargs):
+        self.stage = stage_cls(**kwargs)
+        if hasattr(self.stage, "setup"):
+            self.stage.setup()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fn = getattr(self.stage, "process_batch", None)
+        return fn(batch) if fn is not None else self.stage(batch)
+
+
+def compile_pipeline(
+    ds: rd.Dataset,
+    stages: list[tuple[type, dict]],
+    batch_size: int = 4096,
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """Fold ``[(StageCls, ctor_kwargs), ...]`` onto one Dataset —
+    ordered actor-pool ``map_batches`` operators, streaming end-to-end
+    (no barrier between stages)."""
+    for stage_cls, kwargs in stages:
+        ds = ds.map_batches(
+            StageAdapter,
+            fn_constructor_kwargs={"stage_cls": stage_cls, **kwargs},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    return ds

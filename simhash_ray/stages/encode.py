@@ -22,7 +22,10 @@ from ..simhash import TokenHashCache, simhash_batch
 
 class SimHashEncoder:
     """Callable class for ``map_batches``: adds an int64 ``simhash``
-    column computed from a text column."""
+    column computed from a text column.  Conforms to the ``Stage``
+    protocol (stages/base.py) — ``setup``/``process_batch``/
+    ``checkpoint`` — so it is pluggable through ``compile_pipeline``
+    as well as usable directly."""
 
     def __init__(
         self,
@@ -35,11 +38,19 @@ class SimHashEncoder:
         self.out_col = out_col
         self.cache = TokenHashCache(cfg)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def setup(self) -> None:  # state already built in __init__
+        pass
+
+    def checkpoint(self) -> dict:
+        return {"config_hash": self.cfg.config_hash()}
+
+    def process_batch(self, batch: pa.Table) -> pa.Table:
         sigs = simhash_batch(batch[self.text_col], self.cfg, self.cache)
         return batch.append_column(
             self.out_col, pa.array(sigs.view(np.int64), type=pa.int64())
         )
+
+    __call__ = process_batch
 
 
 def encode_signatures(

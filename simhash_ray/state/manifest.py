@@ -138,12 +138,16 @@ class CheckpointedRun:
         Shard decomposition must be deterministic w.r.t. the input
         (e.g. one shard per input file / key range) — the
         ``input_fingerprint`` should capture it."""
+        from .progress import ProgressEstimator
+
         t0 = time.perf_counter()
         n_resumed = 0
+        progress = ProgressEstimator(total=len(shard_fns), name=f"stage {name}")
         for i, fn in enumerate(shard_fns):
             out, tmp, manifest = self._shard_paths(name, i)
             if self.shard_is_committed(name, i, input_fingerprint):
                 n_resumed += 1
+                progress.update()
                 continue
             ds = fn()
             if os.path.exists(tmp):
@@ -164,6 +168,8 @@ class CheckpointedRun:
             with open(mtmp, "w") as f:
                 json.dump(payload, f)
             os.replace(mtmp, manifest)  # shard done
+            progress.update()
+            progress.maybe_emit()  # throttled shard-level ETA narration
         # read_parquet takes files, not a list of directories — expand
         files: list[str] = []
         for i in range(len(shard_fns)):

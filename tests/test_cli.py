@@ -8,12 +8,10 @@ import subprocess
 import sys
 
 import pyarrow.parquet as pq
-import pytest
 
 from simhash_ray.fixtures import FixtureSpec, default_fixture_dir, write_fixture
 
 
-@pytest.mark.timeout(600)
 def test_cli_dedup_smoke(tmp_path):
     fdir = write_fixture(
         default_fixture_dir(FixtureSpec(n_rows=300, seed=13)),
