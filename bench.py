@@ -99,11 +99,12 @@ def _run_bench() -> dict:
 
     n_assigned = timed("e2e_dedup", run_flagship)
     assert n_assigned == n_images, (n_assigned, n_images)
-    t0 = time.perf_counter()
-    run_flagship()
-    timings["e2e_dedup"] = round(
-        min(timings["e2e_dedup"], time.perf_counter() - t0), 3
-    )
+    if not os.environ.get("GRAFT_BENCH_ONESHOT"):  # min-of-2 by default
+        t0 = time.perf_counter()
+        run_flagship()
+        timings["e2e_dedup"] = round(
+            min(timings["e2e_dedup"], time.perf_counter() - t0), 3
+        )
 
     # the cluster-scale regime (exact-sig collapse → band-bucket
     # groupby shuffle → distributed pair-gen), forced via
@@ -114,14 +115,17 @@ def _run_bench() -> dict:
         res = flagship.dedup_images(images, DEFAULT_CONFIG, broadcast_sig_limit=0)
         return res.assignment.count()
 
-    n_dist = timed("e2e_dedup_distributed", run_flagship_distributed)
-    assert n_dist == n_images, (n_dist, n_images)
+    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        n_dist = timed("e2e_dedup_distributed", run_flagship_distributed)
+        assert n_dist == n_images, (n_dist, n_images)
 
-    # operator breadth over the driver testdata
-    timed("doc_simhash_sigs", lambda: q_doc_simhash_sigs(sf_dir).count())
-    timed("pricing_summary", lambda: q_pricing_summary(sf_dir).count())
-    timed("segment_revenue", lambda: q_segment_revenue(sf_dir).count())
-    timed("events_tumbling", lambda: q_events_tumbling(sf_dir).count())
+    # operator breadth over the driver testdata (skipped in the
+    # scaling legs — only the headline is compared across CPU levels)
+    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        timed("doc_simhash_sigs", lambda: q_doc_simhash_sigs(sf_dir).count())
+        timed("pricing_summary", lambda: q_pricing_summary(sf_dir).count())
+        timed("segment_revenue", lambda: q_segment_revenue(sf_dir).count())
+        timed("events_tumbling", lambda: q_events_tumbling(sf_dir).count())
 
     result = {
         "metric": "e2e_dedup_seconds",
@@ -138,7 +142,10 @@ def _run_bench() -> dict:
 
 
 def _run_subprocess(ncpu: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    # headline-only: the scaling metric compares the direct-regime
+    # e2e; skipping the second (distributed) leg keeps the two timed
+    # processes short and comparable
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,

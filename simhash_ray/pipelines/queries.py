@@ -703,7 +703,9 @@ def q_embed_lsh_topk(sf_dir: str):
     embed_topk; probabilistic — rows-only check, recall tested in
     pytest)."""
     vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return lsh_bucketed_topk(vecs, query_ids=list(range(10)), k=5, n_planes=4)
+    return lsh_bucketed_topk(
+        vecs, query_ids=list(range(10)), k=5, n_planes=4, n_probes=3
+    )
 
 
 def q_doc_langid_score(sf_dir: str):

@@ -380,11 +380,20 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    n_probes: int = 1,
 ) -> rd.Dataset:
-    """Approximate top-k: only candidates sharing the query's hyperplane
-    bucket are scored.  Recall < 1 by design; benchmark counterpart of
-    :func:`brute_force_topk` (multi-probe/IVF would be the production
-    refinement — bucket count and probe count are the tuning knobs)."""
+    """Approximate top-k: candidates sharing one of the query's probed
+    hyperplane buckets are scored.  Multi-probe (``n_probes`` > 1) also
+    visits the buckets whose sign patterns differ from the query's in
+    the bits with the SMALLEST projection magnitude — the standard
+    multi-probe LSH refinement: a near-boundary plane is the likeliest
+    to disagree between true neighbors, so flipping it first recovers
+    most of the recall a single probe loses.  Bucket count (n_planes)
+    and probe count are the recall/cost knobs.
+
+    The query vectors (a tiny set) are broadcast with their probe
+    lists; the corpus streams once through the bucket groupby —
+    per-bucket partial top-k, then a small per-query merge."""
     first = vectors.take(1)[0]
     dim = len(first[vec_col])
     hashed = vectors.select_columns([id_col, vec_col]).map_batches(
@@ -395,33 +404,78 @@ def lsh_bucketed_topk(
     )
     qset = [int(q) for q in query_ids]
 
+    def is_query(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, qset)))
+
+    qtbl = (
+        vectors.select_columns([id_col, vec_col])
+        .map_batches(is_query, batch_format="pyarrow")
+        .take_all()
+    )
+    rng_planes = HyperplaneHasher(dim=dim, n_planes=n_planes).planes
+    q_ids = np.array([r[id_col] for r in qtbl], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qtbl])
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    proj = q_mat @ rng_planes  # same seed → same planes as the hasher
+    base = np.zeros(len(q_mat), dtype=np.uint64)
+    for j in range(n_planes):
+        base |= (proj[:, j] > 0).astype(np.uint64) << np.uint64(j)
+    # probe sequence per query: own bucket, then flip planes in order
+    # of |projection| (closest boundary first)
+    probes: dict[int, list[tuple[int, np.ndarray]]] = {}
+    flip_order = np.argsort(np.abs(proj), axis=1)
+    bucket_to_queries: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        bl = [int(base[qi])]
+        for p in range(min(n_probes - 1, n_planes)):
+            bl.append(int(base[qi] ^ np.uint64(1) << np.uint64(flip_order[qi, p])))
+        for b in bl:
+            bucket_to_queries.setdefault(b, []).append(qi)
+    ref = ray.put((q_ids, q_mat, bucket_to_queries))
+
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        qrows = group[group[id_col].isin(qset)]
-        if len(qrows) == 0:
-            return pd.DataFrame(
-                {"query_id": pd.Series([], dtype=np.int64),
-                 "neighbor_id": pd.Series([], dtype=np.int64),
-                 "rank": pd.Series([], dtype=np.int64)}
-            )
+        empty = pd.DataFrame(
+            {"query_id": pd.Series([], dtype=np.int64),
+             "neighbor_id": pd.Series([], dtype=np.int64),
+             "score": pd.Series([], dtype=np.float64)}
+        )
+        if len(group) == 0:
+            return empty
+        uq_ids, uq_mat, b2q = ray.get(ref)
+        bucket = int(group["bucket"].iloc[0])
+        qidxs = b2q.get(bucket, [])
+        if not qidxs:
+            return empty
         mat = np.stack(group[vec_col].map(np.asarray)).astype(np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        ids = group[id_col].to_numpy()
+        ids = group[id_col].to_numpy(dtype=np.int64)
         out = []
-        for _, q in qrows.iterrows():
-            qv = np.asarray(q[vec_col], dtype=np.float64)
-            qv /= np.linalg.norm(qv)
-            scores = mat @ qv
-            order = np.lexsort((ids, -scores))
-            order = order[ids[order] != q[id_col]][:k]
+        for qi in qidxs:
+            scores = mat @ uq_mat[qi]
+            kk = min(k + 1, len(ids))
+            top = np.argpartition(-scores, kk - 1)[:kk]
             out.append(
                 pd.DataFrame(
                     {
-                        "query_id": np.full(len(order), q[id_col], dtype=np.int64),
-                        "neighbor_id": ids[order],
-                        "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+                        "query_id": np.full(len(top), uq_ids[qi], dtype=np.int64),
+                        "neighbor_id": ids[top],
+                        "score": scores[top],
                     }
                 )
             )
         return pd.concat(out, ignore_index=True)
 
-    return hashed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    partials = hashed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        group = group[group["neighbor_id"] != group["query_id"]]
+        group = group.drop_duplicates("neighbor_id")  # multi-probe overlap
+        group = group.sort_values(
+            ["score", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        group = group.reset_index(drop=True)
+        group["rank"] = np.arange(1, len(group) + 1, dtype=np.int64)
+        return group[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

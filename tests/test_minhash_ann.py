@@ -149,6 +149,42 @@ def test_lsh_cosine_pairs_recall_no_materialize():
     assert set(zip(joined["a"], joined["b"])) == found
 
 
+def test_lsh_topk_multiprobe_recovers_planted_neighbors():
+    """Multi-probe LSH top-k: flipping the lowest-|projection| planes
+    recovers most of the recall single-probe loses — the planted
+    near-duplicate must surface as a top-1 neighbor for nearly every
+    query, and multi-probe must not be worse than single-probe."""
+    from simhash_ray.stages.ann import lsh_bucketed_topk
+
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((200, 64))
+    dups = base[:40] + 0.05 * rng.standard_normal((40, 64))
+    mat = np.vstack([base, dups])
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(mat), dtype=np.int64),
+            "embedding": [row.astype(np.float32).tolist() for row in mat],
+        }
+    )
+    vecs = rd.from_pandas(df)
+    queries = list(range(40))  # each has a planted dup at id 200+i
+
+    def hit_rate(n_probes):
+        out = lsh_bucketed_topk(
+            vecs, query_ids=queries, k=3, n_planes=8, n_probes=n_probes
+        ).to_pandas()
+        hits = 0
+        for q in queries:
+            nbrs = set(out[out["query_id"] == q]["neighbor_id"])
+            hits += (200 + q) in nbrs
+        return hits / len(queries)
+
+    single = hit_rate(1)
+    multi = hit_rate(4)
+    assert multi >= single
+    assert multi >= 0.85, f"multi-probe hit rate {multi:.2f}"
+
+
 @pytest.fixture(scope="module")
 def image_fixture():
     return generate_fixture(FixtureSpec(n_rows=120, seed=9))
