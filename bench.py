@@ -49,7 +49,10 @@ def _run_bench() -> dict:
     from simhash_ray.pipelines import dedup_images as flagship
     from simhash_ray.pipelines.queries import (
         fixture_dir_for_sf,
+        q_doc_minhash_pairs,
         q_doc_simhash_sigs,
+        q_doc_substring_pairs,
+        q_embed_dup_pairs_lsh,
         q_events_tumbling,
         q_pricing_summary,
         q_segment_revenue,
@@ -126,6 +129,9 @@ def _run_bench() -> dict:
         timed("pricing_summary", lambda: q_pricing_summary(sf_dir).count())
         timed("segment_revenue", lambda: q_segment_revenue(sf_dir).count())
         timed("events_tumbling", lambda: q_events_tumbling(sf_dir).count())
+        timed("doc_minhash_pairs", lambda: q_doc_minhash_pairs(sf_dir).count())
+        timed("doc_substring_pairs", lambda: q_doc_substring_pairs(sf_dir).count())
+        timed("embed_dup_pairs_lsh", lambda: q_embed_dup_pairs_lsh(sf_dir).count())
 
     result = {
         "metric": "e2e_dedup_seconds",

@@ -698,6 +698,16 @@ def q_embed_dup_pairs_lsh(sf_dir: str):
     return lsh_cosine_dup_pairs(vecs, 2, 5, n_parts=16)
 
 
+def q_embed_ivf_topk(sf_dir: str):
+    """IVF (k-means coarse quantizer) approximate top-k — the second
+    ANN scale path besides hyperplane LSH (rows-only; planted-neighbor
+    recall pinned in tests/test_minhash_ann.py)."""
+    from ..stages.ann import ivf_topk
+
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(vecs, query_ids=list(range(10)), k=5, n_centroids=8, n_probe=3)
+
+
 def q_embed_lsh_topk(sf_dir: str):
     """Hyperplane-LSH-bucketed approximate top-k (scale path of
     embed_topk; probabilistic — rows-only check, recall tested in
@@ -868,6 +878,7 @@ def ray_queries() -> dict:
         "embed_dup_pairs": q_embed_dup_pairs,
         "embed_dup_pairs_lsh": q_embed_dup_pairs_lsh,
         "embed_lsh_topk": q_embed_lsh_topk,
+        "embed_ivf_topk": q_embed_ivf_topk,
         "doc_langid_score": q_doc_langid_score,
         "images_signatures": q_images_signatures,
         "images_dedup": q_images_dedup,

@@ -423,7 +423,6 @@ def lsh_bucketed_topk(
         base |= (proj[:, j] > 0).astype(np.uint64) << np.uint64(j)
     # probe sequence per query: own bucket, then flip planes in order
     # of |projection| (closest boundary first)
-    probes: dict[int, list[tuple[int, np.ndarray]]] = {}
     flip_order = np.argsort(np.abs(proj), axis=1)
     bucket_to_queries: dict[int, list[int]] = {}
     for qi in range(len(q_ids)):
@@ -433,6 +432,18 @@ def lsh_bucketed_topk(
         for b in bl:
             bucket_to_queries.setdefault(b, []).append(qi)
     ref = ray.put((q_ids, q_mat, bucket_to_queries))
+    return _bucketed_scan_topk(
+        hashed, ref, k, id_col, vec_col, bucket_col="bucket"
+    )
+
+
+def _bucketed_scan_topk(
+    bucketed: rd.Dataset, ref, k: int, id_col: str, vec_col: str, bucket_col: str
+) -> rd.Dataset:
+    """Shared tail of the bucketed ANN variants (hyperplane LSH + IVF):
+    per-bucket partial top-k for the queries probing that bucket
+    (broadcast (q_ids, q_mat, bucket→queries) in ``ref``), then a small
+    per-query merge."""
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -443,7 +454,7 @@ def lsh_bucketed_topk(
         if len(group) == 0:
             return empty
         uq_ids, uq_mat, b2q = ray.get(ref)
-        bucket = int(group["bucket"].iloc[0])
+        bucket = int(group[bucket_col].iloc[0])
         qidxs = b2q.get(bucket, [])
         if not qidxs:
             return empty
@@ -466,7 +477,9 @@ def lsh_bucketed_topk(
             )
         return pd.concat(out, ignore_index=True)
 
-    partials = hashed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    partials = bucketed.groupby(bucket_col).map_groups(
+        per_bucket, batch_format="pandas"
+    )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         group = group[group["neighbor_id"] != group["query_id"]]
@@ -479,3 +492,87 @@ def lsh_bucketed_topk(
         return group[["query_id", "neighbor_id", "rank"]]
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+class CentroidAssigner:
+    """Actor stage: adds a ``cent`` column = argmax-cosine centroid id
+    against a broadcast centroid matrix (state = the matrix ref)."""
+
+    def __init__(self, cent_ref, id_col: str, vec_col: str):
+        self.cents = ray.get(cent_ref)  # (n_centroids, dim), L2-normalized
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch[self.vec_col])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cent = np.argmax(mat @ self.cents.T, axis=1).astype(np.int64)
+        return batch.append_column("cent", pa.array(cent, type=pa.int64()))
+
+
+def ivf_topk(
+    vectors: rd.Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+    lloyd_iters: int = 10,
+    seed: int = 47,
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer
+    counterpart of :func:`lsh_bucketed_topk`.
+
+    Train: spherical k-means on a driver-side sample (``limit`` pull,
+    tiny); Assign: one actor-pool pass adds the nearest-centroid id;
+    Search: queries probe their ``n_probe`` nearest centroid lists via
+    the same bucket-groupby partial-top-k machinery as the LSH variant.
+    Recall/cost knobs: n_centroids (list length ~ n/n_centroids) and
+    n_probe."""
+    sample = vectors.select_columns([id_col, vec_col]).limit(train_sample).take_all()
+    smat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    smat /= np.linalg.norm(smat, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cents = smat[rng.choice(len(smat), size=min(n_centroids, len(smat)), replace=False)]
+    for _ in range(lloyd_iters):  # spherical k-means on the sample
+        assign = np.argmax(smat @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = smat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    cent_ref = ray.put(cents)
+
+    assigned = vectors.select_columns([id_col, vec_col]).map_batches(
+        CentroidAssigner,
+        fn_constructor_kwargs={"cent_ref": cent_ref, "id_col": id_col,
+                               "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    qset = [int(q) for q in query_ids]
+
+    def is_query(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, qset)))
+
+    qtbl = (
+        vectors.select_columns([id_col, vec_col])
+        .map_batches(is_query, batch_format="pyarrow")
+        .take_all()
+    )
+    q_ids = np.array([r[id_col] for r in qtbl], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qtbl])
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    order = np.argsort(-(q_mat @ cents.T), axis=1)[:, : min(n_probe, len(cents))]
+    bucket_to_queries: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for c in order[qi]:
+            bucket_to_queries.setdefault(int(c), []).append(qi)
+    ref = ray.put((q_ids, q_mat, bucket_to_queries))
+    return _bucketed_scan_topk(assigned, ref, k, id_col, vec_col, bucket_col="cent")

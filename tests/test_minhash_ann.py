@@ -185,6 +185,32 @@ def test_lsh_topk_multiprobe_recovers_planted_neighbors():
     assert multi >= 0.85, f"multi-probe hit rate {multi:.2f}"
 
 
+def test_ivf_topk_recovers_planted_neighbors():
+    """IVF coarse quantizer: a near-duplicate lands in the same (or a
+    probed) centroid list, so planted dups surface as top neighbors."""
+    from simhash_ray.stages.ann import ivf_topk
+
+    rng = np.random.default_rng(37)
+    base = rng.standard_normal((200, 64))
+    dups = base[:40] + 0.05 * rng.standard_normal((40, 64))
+    mat = np.vstack([base, dups])
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(mat), dtype=np.int64),
+            "embedding": [row.astype(np.float32).tolist() for row in mat],
+        }
+    )
+    vecs = rd.from_pandas(df)
+    queries = list(range(40))
+    out = ivf_topk(
+        vecs, query_ids=queries, k=3, n_centroids=8, n_probe=4, concurrency=(1, 2)
+    ).to_pandas()
+    hits = sum(
+        (200 + q) in set(out[out["query_id"] == q]["neighbor_id"]) for q in queries
+    )
+    assert hits / len(queries) >= 0.9, f"ivf hit rate {hits / len(queries):.2f}"
+
+
 @pytest.fixture(scope="module")
 def image_fixture():
     return generate_fixture(FixtureSpec(n_rows=120, seed=9))
