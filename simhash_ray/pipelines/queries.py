@@ -410,6 +410,137 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def q_order_priority_revenue(sf_dir: str):
+    """Distributed hash join (Dataset.join) after per-key partial
+    aggregation: lineitem revenue pre-summed per order (the narrow
+    side of the join is one row per order, not one per lineitem), then
+    joined to orders and grouped by priority — the shuffle-join
+    pattern for when neither side fits a broadcast."""
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    part_schema = pa.schema([("l_orderkey", pa.int64()), ("rev_c", pa.int64())])
+
+    def part_li(batch: pa.Table) -> pa.Table:
+        price_c = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.round(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                "rev_c": price_c * (100 - disc_c),
+            }
+        )
+        agg = df.groupby("l_orderkey", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False, schema=part_schema)
+
+    li_agg = (
+        li.map_batches(part_li, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    orders_k = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    # join partitions sized to the session: the hash-shuffle spawns one
+    # aggregator actor per partition — a fixed 8 would starve small
+    # (≤4-CPU) sessions
+    n_join = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    joined = li_agg.join(
+        orders_k,
+        join_type="inner",
+        num_partitions=n_join,
+        on=("l_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.5},
+    )
+    out = joined.groupby("o_orderpriority").aggregate(
+        Sum("rev_c", alias_name="rev_c"), Count(alias_name="n_orders")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "n_orders": batch["n_orders"],
+                "revenue": batch["rev_c"].to_numpy(zero_copy_only=False) / 10000.0,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDER_PRIORITY_REVENUE = """
+WITH li AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_c
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       SUM(rev_c) / 10000.0 AS revenue
+FROM li JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_orders_monthly(sf_dir: str):
+    """Calendar-month rollup (date_trunc analogue) with in-batch
+    partial aggregation."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    part_schema = pa.schema(
+        [("month", pa.timestamp("us")), ("n_orders", pa.int64()), ("rev_c", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dt = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        month = dt.astype("datetime64[M]").astype("datetime64[us]")
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"month": month, "n_orders": np.ones(len(month), dtype=np.int64),
+             "rev_c": cents}
+        )
+        agg = df.groupby("month", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False, schema=part_schema)
+
+    out = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"), Sum("rev_c", alias_name="rev_c")
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "month": batch["month"],
+                "n_orders": batch["n_orders"],
+                "revenue": batch["rev_c"].to_numpy(zero_copy_only=False) / 100.0,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDERS_MONTHLY = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       COUNT(*) AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # text / dedup operators over documents
 
@@ -432,6 +563,61 @@ SELECT doc_id,
        length(regexp_replace(text, '[^0-9]', '', 'g'))            AS digit_chars,
        length(regexp_replace(text, '[^ ]', '', 'g'))              AS space_chars
 FROM documents
+"""
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality scoring: integer token/stopword/char counters + the
+    rational-threshold quality flag (≥20 tokens AND ≥1 stopword per 10
+    tokens — the length/stopword-ratio heuristic of training-data
+    pipelines, in exactly-SQL-matchable integer form)."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    out = docs.map_batches(text_ops.token_count_batch, batch_format="pyarrow")
+    out = out.map_batches(text_ops.stopword_count_batch, batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_tok = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        n_stop = batch["n_stopwords"].to_numpy(zero_copy_only=False)
+        quality = (n_tok >= 20) & (n_stop * 10 >= n_tok)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": batch["n_tokens"],
+                "n_stopwords": batch["n_stopwords"],
+                "is_quality": pa.array(quality),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _stopword_any_values_sql() -> str:
+    toks = sorted(frozenset().union(*text_ops._STOPWORDS.values()))
+    return ", ".join(f"('{t}')" for t in toks)
+
+
+SQL_DOC_QUALITY = rf"""
+WITH sw(tok) AS (VALUES {_stopword_any_values_sql()}),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+cnt AS (
+  SELECT t.doc_id, COUNT(*) AS n_stopwords
+  FROM toks t JOIN sw s ON t.tok = s.tok
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CASE WHEN trim(d.text) = '' THEN 0
+            ELSE len(string_split_regex(trim(d.text), '\s+')) END AS n_tokens,
+       COALESCE(c.n_stopwords, 0) AS n_stopwords,
+       (CASE WHEN trim(d.text) = '' THEN 0
+             ELSE len(string_split_regex(trim(d.text), '\s+')) END >= 20
+        AND COALESCE(c.n_stopwords, 0) * 10 >=
+            CASE WHEN trim(d.text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(d.text), '\s+')) END
+       ) AS is_quality
+FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
 """
 
 
@@ -862,6 +1048,9 @@ def ray_queries() -> dict:
         "supplier_customer_union": q_supplier_customer_union,
         "event_type_counts": q_event_type_counts,
         "events_tumbling": q_events_tumbling,
+        "order_priority_revenue": q_order_priority_revenue,
+        "orders_monthly": q_orders_monthly,
+        "doc_quality": q_doc_quality,
         "sessionize": q_sessionize,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
@@ -897,6 +1086,9 @@ def oracle_sqls() -> dict:
         "supplier_customer_union": SQL_UNION,
         "event_type_counts": SQL_EVENT_TYPE_COUNTS,
         "events_tumbling": SQL_EVENTS_TUMBLING,
+        "order_priority_revenue": SQL_ORDER_PRIORITY_REVENUE,
+        "orders_monthly": SQL_ORDERS_MONTHLY,
+        "doc_quality": SQL_DOC_QUALITY,
         "sessionize": SQL_SESSIONIZE,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,

@@ -95,6 +95,27 @@ class LangIdScorer:
         return batch.append_column("lang_pred", pa.array(pred, type=pa.string()))
 
 
+def stopword_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-row count of token OCCURRENCES that are a stopword in any
+    language — the "stopword ratio" ingredient of quality scoring,
+    kept integer so the SQL oracle matches exactly.  Vectorized over
+    the batch's unique-token dictionary (membership test runs once per
+    distinct token, the per-row step is a bincount)."""
+    text = batch[text_col].combine_chunks().cast(pa.string())
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(text))
+    flat = pc.list_flatten(toks)
+    n = len(toks)
+    lens = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
+    dict_arr = flat.dictionary_encode()
+    uniq = dict_arr.dictionary.to_pylist()
+    any_stop = frozenset().union(*_STOPWORDS.values())
+    is_stop = np.array([t in any_stop for t in uniq], dtype=np.int64)
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    row_of = np.repeat(np.arange(n), lens)
+    counts = np.bincount(row_of, weights=is_stop[codes], minlength=n).astype(np.int64)
+    return batch.append_column("n_stopwords", pa.array(counts, type=pa.int64()))
+
+
 def md5_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Content fingerprint = md5 hex of the raw text (DuckDB-matchable)."""
     texts = batch[text_col].to_pylist()
