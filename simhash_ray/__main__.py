@@ -64,8 +64,14 @@ def cmd_dedup(args) -> int:
     images = _read_images(args.table, None if args.survivors else ["image_id", "caption", "phash"])
     narrow = images.select_columns(["image_id", "caption", "phash"])
     if args.ckpt:
+        table_path = args.table if args.table.endswith(".parquet") else None
         result = flagship.dedup_images_checkpointed(
-            narrow, args.ckpt, DEFAULT_CONFIG, input_fingerprint=args.table
+            narrow,
+            args.ckpt,
+            DEFAULT_CONFIG,
+            input_fingerprint=args.table,
+            table_path=table_path,
+            signature_shards=args.shards if table_path else 0,
         )
     else:
         result = flagship.dedup_images(narrow, DEFAULT_CONFIG)
@@ -116,6 +122,11 @@ def main(argv=None) -> int:
     d.add_argument("table", help="Parquet file or directory with images.parquet")
     d.add_argument("--out", required=True, help="output directory")
     d.add_argument("--ckpt", default=None, help="checkpoint dir (resumable run)")
+    d.add_argument(
+        "--shards", type=int, default=8,
+        help="per-shard signature checkpointing granularity (with --ckpt "
+        "and a single-file table; 0 disables)",
+    )
     d.add_argument(
         "--survivors", action="store_true",
         help="also write the deduplicated (representatives-only) table",

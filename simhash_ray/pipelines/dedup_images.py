@@ -370,25 +370,61 @@ def attach_clusters(
     return assignment, n_clusters, n_nodes
 
 
+def _signature_shard_fns(table_path: str, cfg: DedupConfig, n_shards: int):
+    """Deterministic row-group-range shards of one Parquet file, each
+    producing its slice of the signature table (used by the per-shard
+    checkpointing paths)."""
+    import pyarrow.parquet as pq
+
+    n_rg = pq.ParquetFile(table_path).metadata.num_row_groups
+    groups = np.array_split(np.arange(n_rg), max(1, min(n_shards, n_rg)))
+
+    def make_fn(rgs):
+        def fn():
+            tbl = pq.ParquetFile(table_path).read_row_groups(
+                [int(r) for r in rgs],
+                columns=["image_id", "caption", "phash"],
+            )
+            return signatures(rd.from_arrow(tbl), cfg)
+
+        return fn
+
+    return [make_fn(rgs) for rgs in groups if len(rgs)]
+
+
 def dedup_images_checkpointed(
     images: rd.Dataset,
     ckpt_dir: str,
     cfg: DedupConfig = DEFAULT_CONFIG,
     n_parts: int | None = None,
     input_fingerprint: str = "",
+    table_path: str | None = None,
+    signature_shards: int = 0,
 ) -> DedupResult:
     """Checkpoint-resumable flagship run: each stage commits a Parquet
     directory + lineage manifest (state/manifest.py); a rerun skips
     committed stages — kill-and-rerun yields identical output
-    (SURVEY.md §5.5 resume test)."""
+    (SURVEY.md §5.5 resume test).
+
+    With ``table_path`` + ``signature_shards`` > 0, the (dominant)
+    signature stage commits PER SHARD — a run killed mid-encode
+    resumes at the first uncommitted row-group range instead of
+    re-encoding everything (the 100-TB resume granularity)."""
     from ..state.manifest import CheckpointedRun
 
     if n_parts is None:
         n_parts = choose_n_parts(images.count())
     run = CheckpointedRun(ckpt_dir, cfg.config_hash())
-    sigs = run.stage(
-        "signatures", lambda: signatures(images, cfg), input_fingerprint
-    )
+    if table_path and signature_shards > 0:
+        sigs = run.sharded_stage(
+            "signatures",
+            _signature_shard_fns(table_path, cfg, signature_shards),
+            input_fingerprint or table_path,
+        )
+    else:
+        sigs = run.stage(
+            "signatures", lambda: signatures(images, cfg), input_fingerprint
+        )
     collapsed = run.stage(
         "collapsed", lambda: collapse_exact(sigs, n_parts), input_fingerprint
     )
@@ -437,27 +473,12 @@ def sharded_signatures_checkpointed(
     10^12 rows runs for hours).
 
     Returns (signatures Dataset, CheckpointedRun)."""
-    import pyarrow.parquet as pq
-
     from ..state.manifest import CheckpointedRun
-
-    n_rg = pq.ParquetFile(table_path).metadata.num_row_groups
-    groups = np.array_split(np.arange(n_rg), max(1, min(n_shards, n_rg)))
-
-    def make_fn(rgs):
-        def fn():
-            tbl = pq.ParquetFile(table_path).read_row_groups(
-                [int(r) for r in rgs],
-                columns=["image_id", "caption", "phash"],
-            )
-            return signatures(rd.from_arrow(tbl), cfg)
-
-        return fn
 
     run = CheckpointedRun(ckpt_dir, cfg.config_hash())
     sigs = run.sharded_stage(
         "signatures",
-        [make_fn(rgs) for rgs in groups if len(rgs)],
+        _signature_shard_fns(table_path, cfg, n_shards),
         input_fingerprint=table_path,
     )
     return sigs, run

@@ -134,6 +134,28 @@ def test_sharded_signatures_resume_identical(tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_checkpointed_flagship_with_sharded_signatures(tmp_path, images_tbl):
+    """The flagship checkpointed run with per-shard signature commits
+    produces the same assignment as the plain pipeline, and the shard
+    manifests exist for mid-encode resume."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "images.parquet")
+    pq.write_table(images_tbl, path, row_group_size=50)
+    images = rd.from_arrow(images_tbl)
+    plain = dedup_images(images, DEFAULT_CONFIG, n_parts=8)
+    root = str(tmp_path / "run")
+    ckpt = dedup_images_checkpointed(
+        images, root, DEFAULT_CONFIG, n_parts=8,
+        table_path=path, signature_shards=4,
+    )
+    pd.testing.assert_frame_equal(_canon(plain.assignment), _canon(ckpt.assignment))
+    for i in range(4):
+        assert os.path.exists(
+            os.path.join(root, f"signatures.shard_{i:05d}.manifest.json")
+        )
+
+
 def test_config_change_invalidates(tmp_path, images_tbl):
     images = rd.from_arrow(images_tbl)
     root = str(tmp_path / "run")
