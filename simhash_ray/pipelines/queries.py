@@ -410,6 +410,57 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def q_event_props_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the JSON ``props`` string with a vectorized RE2 kernel
+    (pc.extract_regex) and aggregate per event type — the
+    nested/JSON-payload pattern of event pipelines."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"])
+    from ray.data.aggregate import Max
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("sum_k", pa.int64()),
+         ("max_k", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(
+            batch["props"].combine_chunks().cast(pa.string()), r'"k":\s*(?P<k>\d+)'
+        )
+        k = pc.struct_field(m, "k").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+                "sum_k": k,
+                "max_k": k,
+                "n": np.ones(batch.num_rows, dtype=np.int64),
+            }
+        )
+        agg = df.groupby("event_type", as_index=False).agg(
+            sum_k=("sum_k", "sum"), max_k=("max_k", "max"), n=("n", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False, schema=part_schema)
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+SQL_EVENT_PROPS_STATS = r"""
+SELECT event_type,
+       SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
+       MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def q_order_priority_revenue(sf_dir: str):
     """Distributed hash join (Dataset.join) after per-key partial
     aggregation: lineitem revenue pre-summed per order (the narrow
@@ -1051,6 +1102,7 @@ def ray_queries() -> dict:
         "order_priority_revenue": q_order_priority_revenue,
         "orders_monthly": q_orders_monthly,
         "doc_quality": q_doc_quality,
+        "event_props_stats": q_event_props_stats,
         "sessionize": q_sessionize,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1089,6 +1141,7 @@ def oracle_sqls() -> dict:
         "order_priority_revenue": SQL_ORDER_PRIORITY_REVENUE,
         "orders_monthly": SQL_ORDERS_MONTHLY,
         "doc_quality": SQL_DOC_QUALITY,
+        "event_props_stats": SQL_EVENT_PROPS_STATS,
         "sessionize": SQL_SESSIONIZE,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,

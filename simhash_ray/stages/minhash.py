@@ -43,25 +43,82 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 MINHASH_BROADCAST_LIMIT = 2_000_000
 
 
-def _shingle_hashes(texts: pa.ChunkedArray | pa.Array, k: int) -> list[np.ndarray]:
-    """Per row: u64 hashes of the distinct word k-gram shingles."""
+_ACC_SEED = np.uint64(0x5851F42D4C957F2D)
+
+
+def _shingle_hashes_flat(
+    texts: pa.ChunkedArray | pa.Array, k: int, short_rows: str = "fold"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-batch shingle hashing, no per-row Python in the main path.
+
+    ``short_rows``: rows with fewer than k tokens either "fold" into a
+    single whole-row shingle (MinHash semantics, kk = len(row)) or
+    "drop" (windowed-substring semantics: no window fits).
+
+    Returns (shingles, row_of, n_rows): sorted-deduped u64 k-gram
+    hashes of every row concatenated, with each shingle's row index.
+    Token hashing runs ONCE over the flattened token column; the
+    k-gram rolling combine is a length-k vectorized fold over the flat
+    array with cross-row positions masked out; per-row dedup is one
+    lexsort + run collapse.  Rows shorter than k fall back to a tiny
+    Python loop (kk = len(row)), identical to the historical per-row
+    semantics — signatures are bit-for-bit unchanged."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     toks = pc.utf8_split_whitespace(pc.utf8_lower(texts.cast(pa.string())))
-    out = []
-    for row in toks.to_pylist():
-        row = [t for t in (row or []) if t]
-        if len(row) == 0:
-            out.append(np.empty(0, dtype=np.uint64))
-            continue
-        kk = min(k, len(row))
-        th = pd.util.hash_array(np.array(row, dtype=object))
-        acc = np.full(len(th) - kk + 1, np.uint64(0x5851F42D4C957F2D), dtype=np.uint64)
-        for j in range(kk):
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    n = len(toks)
+    lens0 = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
+    row_of_tok = np.repeat(np.arange(n), lens0)[keep]
+    tok_list = np.asarray(flat.to_pylist(), dtype=object)[keep]
+    lens = np.bincount(row_of_tok, minlength=n)
+    if len(tok_list) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64), n
+    th = pd.util.hash_array(tok_list)
+
+    parts_s: list[np.ndarray] = []
+    parts_r: list[np.ndarray] = []
+    if len(th) >= k:
+        acc = np.full(len(th) - k + 1, _ACC_SEED, dtype=np.uint64)
+        for j in range(k):
             acc = (acc ^ th[j : j + len(acc)]) * _MIX
         acc ^= acc >> np.uint64(31)
-        out.append(np.unique(acc))
-    return out
+        valid = row_of_tok[: len(acc)] == row_of_tok[k - 1 :]
+        parts_s.append(acc[valid])
+        parts_r.append(row_of_tok[: len(acc)][valid])
+    # rows with 0 < len < k: kk = len(row) → one shingle = the whole row
+    short_rows_idx = np.flatnonzero((lens > 0) & (lens < k))
+    if short_rows == "drop":
+        short_rows_idx = short_rows_idx[:0]
+    if len(short_rows_idx):
+        starts = np.concatenate([[0], np.cumsum(lens)])
+        for r in short_rows_idx:
+            seg = th[starts[r] : starts[r + 1]]
+            kk = len(seg)
+            acc = np.full(1, _ACC_SEED, dtype=np.uint64)
+            for j in range(kk):
+                acc = (acc ^ seg[j : j + 1]) * _MIX
+            acc ^= acc >> np.uint64(31)
+            parts_s.append(acc)
+            parts_r.append(np.array([r], dtype=np.int64))
+    if not parts_s:
+        return np.empty(0, np.uint64), np.empty(0, np.int64), n
+    sh = np.concatenate(parts_s)
+    rows = np.concatenate(parts_r).astype(np.int64)
+    order = np.lexsort((sh, rows))
+    sh, rows = sh[order], rows[order]
+    first = np.ones(len(sh), dtype=bool)
+    first[1:] = (rows[1:] != rows[:-1]) | (sh[1:] != sh[:-1])
+    return sh[first], rows[first], n
+
+
+def _shingle_hashes(texts: pa.ChunkedArray | pa.Array, k: int) -> list[np.ndarray]:
+    """Per row: u64 hashes of the distinct word k-gram shingles
+    (ragged-list view over :func:`_shingle_hashes_flat`)."""
+    sh, rows, n = _shingle_hashes_flat(texts, k)
+    counts = np.bincount(rows, minlength=n)
+    return np.split(sh, np.cumsum(counts)[:-1])
 
 
 def _minhash_sig(shingles: np.ndarray, n_perm: int, seeds: np.ndarray) -> np.ndarray:
@@ -99,10 +156,19 @@ class MinHashEncoder:
         self.seeds = _default_seeds(n_perm, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        shingles = _shingle_hashes(batch[self.text_col], self.shingle_k)
-        sigs = np.stack(
-            [_minhash_sig(s, self.n_perm, self.seeds) for s in shingles]
-        )  # (n, n_perm)
+        sh, rows, n = _shingle_hashes_flat(batch[self.text_col], self.shingle_k)
+        # one (n_perm × total_shingles) permutation pass + segment-min
+        # per row via reduceat — no per-row Python
+        sigs = np.full((n, self.n_perm), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+        if len(sh):
+            counts = np.bincount(rows, minlength=n)
+            nonempty = np.flatnonzero(counts)
+            starts = np.concatenate([[0], np.cumsum(counts[nonempty])[:-1]])
+            z = sh[None, :] ^ self.seeds[:, None]
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z ^= z >> np.uint64(31)
+            sigs[nonempty, :] = np.minimum.reduceat(z, starts, axis=1).T
         return pa.table(
             {
                 "id": batch[self.id_col].cast(pa.int64()),

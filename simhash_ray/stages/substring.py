@@ -28,28 +28,18 @@ from __future__ import annotations
 import logging
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data as rd
 
-from ..functions.hashing import hash_strings, part_of_ints
+from ..functions.hashing import part_of_ints
 
 
-def _windows(texts, window: int) -> list[list[str]]:
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    toks = pc.utf8_split_whitespace(pc.utf8_lower(texts.cast(pa.string())))
-    out = []
-    for row in toks.to_pylist():
-        row = [t for t in (row or []) if t]
-        if len(row) < window:
-            out.append([])
-            continue
-        out.append(
-            sorted({" ".join(row[i : i + window]) for i in range(len(row) - window + 1)})
-        )
-    return out
+# window hashing rides the vectorized flat shingle machinery (one
+# token-hash pass + masked rolling fold + lexsort dedupe); rows
+# shorter than the window contribute nothing ("drop"), matching the
+# SQL oracle's `i <= len(t) - 7` bound.  Window identity is hash
+# identity — same probabilistic-collision stance as before, now
+# without building per-window Python strings.
 
 
 def shared_substring_pairs(
@@ -67,16 +57,16 @@ def shared_substring_pairs(
     that definition — see module docstring's boilerplate guard)."""
 
     def explode(batch: pa.Table) -> pa.Table:
+        from .minhash import _shingle_hashes_flat
+
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        wins = _windows(batch[text_col], window)
-        out_doc, out_win = [], []
-        for i, ws in enumerate(wins):
-            out_doc.extend([ids[i]] * len(ws))
-            out_win.extend(ws)
-        wh = hash_strings(np.array(out_win, dtype=object)).view(np.int64)
+        sh, rows, _ = _shingle_hashes_flat(
+            batch[text_col], window, short_rows="drop"
+        )
+        wh = sh.view(np.int64)
         return pa.table(
             {
-                "doc": pa.array(out_doc, type=pa.int64()),
+                "doc": pa.array(ids[rows], type=pa.int64()),
                 "win": pa.array(wh, type=pa.int64()),
                 "part": pa.array(part_of_ints(n_parts, wh), type=pa.int32()),
             }
