@@ -315,24 +315,28 @@ def attach_clusters(
     edges: rd.Dataset,
     cfg: DedupConfig = DEFAULT_CONFIG,
     n_parts: int = 64,
+    broadcast_limit: int | None = None,
 ) -> tuple[rd.Dataset, int, int]:
     """Cluster the verified edges and attach cluster ids to every row.
 
     The verified edge set is tiny relative to the input (only near-dup
     pairs): below BROADCAST_LIMIT run union-find on the driver (one
     collect, zero extra shuffles); above it, the distributed min-label-
-    propagation rounds + a hash ``Dataset.join`` take over."""
+    propagation rounds + a hash ``Dataset.join`` take over
+    (``broadcast_limit=0`` forces that path — equivalence-tested in
+    tests/test_pipeline.py)."""
+    limit = BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
     n_edges = edges.count()
     labels = None
-    if n_edges <= BROADCAST_LIMIT:
+    if n_edges <= limit:
         from ..stages.cluster import unionfind_driver
 
         label_df = unionfind_driver(edges.to_pandas())
         n_nodes = len(label_df)
-    else:  # pragma: no cover - cluster-scale path, tested separately
+    else:  # cluster-scale path
         labels = connected_components(edges, cfg.max_cluster_rounds, n_parts)
         n_nodes = labels.count()
-        label_df = labels.to_pandas() if n_nodes <= BROADCAST_LIMIT else None
+        label_df = labels.to_pandas() if n_nodes <= limit else None
 
     if label_df is not None:
         assignment = _attach_with_label_df(collapsed, label_df)
@@ -485,15 +489,21 @@ def sharded_signatures_checkpointed(
 
 
 def survivors(
-    images: rd.Dataset, result: DedupResult, n_parts: int = 64
+    images: rd.Dataset,
+    result: DedupResult,
+    n_parts: int = 64,
+    broadcast_limit: int | None = None,
 ) -> rd.Dataset:
     """Semi-join the byte-bearing table down to cluster representatives.
 
     Ships the small side (non-representative ids) as a broadcast set;
-    the wide ``bytes`` rows are filtered in place, never shuffled."""
+    the wide ``bytes`` rows are filtered in place, never shuffled.
+    Above ``broadcast_limit`` dup ids, an inner hash join on the
+    representative ids takes over (forced with 0 in tests)."""
+    limit = BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
     dup_ids_ds = result.assignment.filter(expr="is_representative == False")
     n_dups = dup_ids_ds.count()
-    if n_dups <= BROADCAST_LIMIT:
+    if n_dups <= limit:
         dup_df = dup_ids_ds.select_columns(["image_id"]).to_pandas()
         dup_ref = ray.put(pa.array(dup_df["image_id"], type=pa.string()))
 
@@ -505,12 +515,16 @@ def survivors(
             return batch.filter(mask)
 
         return images.map_batches(keep, batch_format="pyarrow")
-    # large-scale path: hash semi-join on image_id  # pragma: no cover
+    # large-scale path: hash semi-join on image_id
     reps = result.assignment.filter(expr="is_representative == True").select_columns(
         ["image_id"]
     )
     return images.join(
-        reps, join_type="inner", num_partitions=n_parts, on=("image_id",)
+        reps,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("image_id",),
+        aggregator_ray_remote_args={"num_cpus": 0.5},
     )
 
 

@@ -82,6 +82,41 @@ def test_exact_dups_always_collapse(fixture_tables, result):
         assert adf.loc[dup_id, "cluster_id"] == adf.loc[src_id, "cluster_id"]
 
 
+def test_cluster_scale_attach_and_survivor_join_paths(fixture_tables, result):
+    """Force the >BROADCAST_LIMIT code paths (distributed CC + label
+    left-join attach; survivor hash semi-join) with broadcast_limit=0
+    and assert they equal the broadcast paths."""
+    import pandas as pd
+
+    from simhash_ray.pipelines.dedup_images import (
+        attach_clusters,
+        dup_edges,
+        signatures,
+        survivors,
+    )
+    from simhash_ray.stages.collapse import collapse_exact
+
+    images = rd.from_arrow(fixture_tables["images"])
+    sigs = signatures(images, DEFAULT_CONFIG, concurrency=(1, 2))
+    collapsed = collapse_exact(sigs, 8).materialize()
+    edges = dup_edges(collapsed, DEFAULT_CONFIG, 8).materialize()
+
+    def canon(ds):
+        return ds.to_pandas().sort_values("image_id", ignore_index=True)
+
+    a_bc, nc_bc, _ = attach_clusters(collapsed, edges, DEFAULT_CONFIG, 8)
+    a_join, nc_join, _ = attach_clusters(
+        collapsed, edges, DEFAULT_CONFIG, n_parts=2, broadcast_limit=0
+    )
+    pd.testing.assert_frame_equal(canon(a_bc), canon(a_join))
+    assert nc_bc == nc_join
+
+    surv_bc = canon(survivors(images, result))
+    surv_join = canon(survivors(images, result, n_parts=2, broadcast_limit=0))
+    assert list(surv_bc["image_id"]) == list(surv_join["image_id"])
+    assert list(surv_bc.columns) == list(surv_join.columns)
+
+
 def test_distributed_regime_matches_direct():
     """Compose-test the cluster-scale regime (exact-sig collapse →
     band-bucket groupby shuffle → distributed pair-gen → attach) that
