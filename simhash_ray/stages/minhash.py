@@ -117,6 +117,8 @@ def _shingle_hashes(texts: pa.ChunkedArray | pa.Array, k: int) -> list[np.ndarra
     """Per row: u64 hashes of the distinct word k-gram shingles
     (ragged-list view over :func:`_shingle_hashes_flat`)."""
     sh, rows, n = _shingle_hashes_flat(texts, k)
+    if n == 0:
+        return []
     counts = np.bincount(rows, minlength=n)
     return np.split(sh, np.cumsum(counts)[:-1])
 

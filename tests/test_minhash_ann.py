@@ -35,6 +35,49 @@ def corpus():
     return _paraphrase_corpus()
 
 
+def test_flat_shingle_hashes_match_per_row_reference():
+    """Property: the whole-batch flat shingle hashing is bit-identical
+    to a straightforward per-row implementation, including empty rows,
+    whitespace runs, and rows shorter than k (the segment-boundary
+    class of bug hypothesis caught in the round-1 encoder)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from simhash_ray.stages.minhash import _MIX, _shingle_hashes
+
+    token = st.text(alphabet="abcXYZ019", min_size=0, max_size=4)
+    row = st.lists(token, min_size=0, max_size=12).map(" ".join)
+
+    def slow_reference(texts, k):
+        out = []
+        for t in texts:
+            toks = [w for w in t.lower().split() if w]
+            if not toks:
+                out.append(np.empty(0, dtype=np.uint64))
+                continue
+            kk = min(k, len(toks))
+            th = pd.util.hash_array(np.array(toks, dtype=object))
+            acc = np.full(
+                len(th) - kk + 1, np.uint64(0x5851F42D4C957F2D), dtype=np.uint64
+            )
+            for j in range(kk):
+                acc = (acc ^ th[j : j + len(acc)]) * _MIX
+            acc ^= acc >> np.uint64(31)
+            out.append(np.unique(acc))
+        return out
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(row, min_size=0, max_size=8), st.integers(1, 4))
+    def check(texts, k):
+        got = _shingle_hashes(pa.array(texts, type=pa.string()), k)
+        want = slow_reference(texts, k)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert (g == w).all()
+
+    check()
+
+
 def test_minhash_recall_vs_exact(corpus):
     docs = rd.from_pandas(corpus)
     exact = all_pairs_jaccard(docs, 75, 100, shingle_k=2).to_pandas()
