@@ -672,6 +672,22 @@ FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
 """
 
 
+def q_doc_bpe_tokens(sf_dir: str):
+    """BPE-ish regex token counting (the subword-pretokenizer counter a
+    training-data pipeline tracks next to whitespace tokens)."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return docs.map_batches(
+        text_ops.bpe_token_count_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_bpe_tokens"])
+
+
+SQL_DOC_BPE_TOKENS = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{text_ops.BPE_ISH_PATTERN}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_doc_fingerprint(sf_dir: str):
     docs = _docs(sf_dir, columns=["doc_id", "text"])
     return docs.map_batches(
@@ -1102,6 +1118,7 @@ def ray_queries() -> dict:
         "order_priority_revenue": q_order_priority_revenue,
         "orders_monthly": q_orders_monthly,
         "doc_quality": q_doc_quality,
+        "doc_bpe_tokens": q_doc_bpe_tokens,
         "event_props_stats": q_event_props_stats,
         "sessionize": q_sessionize,
         "doc_token_stats": q_doc_token_stats,
@@ -1141,6 +1158,7 @@ def oracle_sqls() -> dict:
         "order_priority_revenue": SQL_ORDER_PRIORITY_REVENUE,
         "orders_monthly": SQL_ORDERS_MONTHLY,
         "doc_quality": SQL_DOC_QUALITY,
+        "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
         "event_props_stats": SQL_EVENT_PROPS_STATS,
         "sessionize": SQL_SESSIONIZE,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

@@ -33,6 +33,21 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pa.array(counts, type=pa.int64()))
 
 
+# BPE-ish pre-tokenizer chunks (GPT-2-style, RE2-compatible — no
+# lookahead): optional-space word runs, digit runs, punctuation runs.
+BPE_ISH_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """BPE-ish token count: non-overlapping matches of the GPT-2-style
+    pre-tokenizer chunk pattern (one vectorized RE2 kernel; the same
+    pattern runs in the DuckDB oracle via regexp_extract_all)."""
+    n = pc.count_substring_regex(
+        batch[text_col].combine_chunks().cast(pa.string()), BPE_ISH_PATTERN
+    ).cast(pa.int64())
+    return batch.append_column("n_bpe_tokens", n)
+
+
 def quality_counters_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Integer quality counters: total/alpha/digit/space char counts."""
     text = batch[text_col].combine_chunks().cast(pa.string())
