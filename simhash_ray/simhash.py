@@ -153,30 +153,51 @@ class TokenHashCache:
 
     def lookup(self, raw_tokens: list[str]) -> tuple[np.ndarray, np.ndarray]:
         """Vector of token hashes (u64) and matrix of char-gram
-        contributions (int32, n×64) for a list of *unique* raw tokens."""
+        contributions (int32, n×64) for a list of *unique* raw tokens.
+
+        The miss path batches all new tokens: blake2b digests stay a C
+        loop, but the per-gram ±1 bit expansion — the round-1 hot spot
+        when every actor warms its cache on a fresh block — runs as ONE
+        flat (n_grams × 64) numpy pass + segment reduceat."""
         cfg = self.cfg
-        hashes = np.empty(len(raw_tokens), dtype=np.uint64)
-        contribs = np.zeros((len(raw_tokens), 64), dtype=np.int32)
+        n = len(raw_tokens)
+        hashes = np.empty(n, dtype=np.uint64)
+        contribs = np.zeros((n, 64), dtype=np.int32)
+        miss_idx: list[int] = []
         for i, raw in enumerate(raw_tokens):
             h = self._hash.get(raw)
             if h is None:
-                norm = raw.lower() if cfg.lowercase else raw
-                h = token_hash(norm, cfg)
-                if cfg.char_ngram > 0:
-                    c = np.zeros(64, dtype=np.int32)
-                    for g in chargram_hashes(norm, cfg):
-                        bits = (np.uint64(g) >> _SHIFTS) & np.uint64(1)
-                        c += bits.astype(np.int32) * 2 - 1
-                    cv = c
-                else:
-                    cv = _ZERO64
-                if len(self._hash) < self.max_size:
-                    self._hash[raw] = h
-                    self._contrib[raw] = cv
+                miss_idx.append(i)
             else:
-                cv = self._contrib[raw]
-            hashes[i] = h
-            contribs[i] = cv
+                hashes[i] = h
+                contribs[i] = self._contrib[raw]
+        if not miss_idx:
+            return hashes, contribs
+        ng = cfg.char_ngram
+        gram_flat: list[int] = []
+        gram_counts = np.zeros(len(miss_idx), dtype=np.int64)
+        for j, i in enumerate(miss_idx):
+            norm = raw_tokens[i].lower() if cfg.lowercase else raw_tokens[i]
+            hashes[i] = token_hash(norm, cfg)
+            if ng > 0:
+                gh = chargram_hashes(norm, cfg)
+                gram_flat.extend(gh)
+                gram_counts[j] = len(gh)
+        if ng > 0 and gram_flat:
+            g = np.asarray(gram_flat, dtype=np.uint64)
+            pm = ((g[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(
+                np.int32
+            ) * 2 - 1  # (n_grams, 64) of ±1
+            starts = np.zeros(len(miss_idx), dtype=np.int64)
+            np.cumsum(gram_counts[:-1], out=starts[1:])
+            nz = gram_counts > 0
+            mc = np.zeros((len(miss_idx), 64), dtype=np.int32)
+            mc[nz] = np.add.reduceat(pm, starts[nz], axis=0)
+            contribs[np.asarray(miss_idx)] = mc
+        for i in miss_idx:
+            if len(self._hash) < self.max_size:
+                self._hash[raw_tokens[i]] = int(hashes[i])
+                self._contrib[raw_tokens[i]] = contribs[i]
         return hashes, contribs
 
 
