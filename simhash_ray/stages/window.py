@@ -95,26 +95,76 @@ def sessionize(
     gap_s: int = 1800,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    n_parts: int = 64,
 ) -> rd.Dataset:
     """Session windows per user: a new session starts when the gap from
     the previous event exceeds ``gap_s``.  Returns one row per session:
-    (user_id, session_start, session_end, n_events)."""
+    (user_id, session_start, session_end, n_events).
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_col)
-        gaps = g[ts_col].diff().dt.total_seconds().fillna(np.inf)
-        session = (gaps > gap_s).cumsum()
-        out = g.groupby(session).agg(
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
-            n_events=(ts_col, "size"),
+    One coarse groupby on a hash partition of the user id, then the
+    whole partition sessionizes in a single numpy pass (lexsort by
+    (user, ts) → session-start mask → run-boundary gathers) — no
+    per-user Python, so extreme user cardinality costs nothing beyond
+    the one shuffle (round-1 ran a pandas ``map_groups`` per user)."""
+    from ..functions.hashing import part_of_ints, part_of_strings
+
+    def tag(batch: pa.Table) -> pa.Table:
+        users = batch[user_col]
+        if pa.types.is_integer(users.type):
+            part = part_of_ints(
+                n_parts, users.to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        else:
+            part = part_of_strings(
+                np.asarray(users.to_numpy(zero_copy_only=False), dtype=object),
+                n_parts,
+            )
+        return pa.table(
+            {
+                user_col: users,
+                ts_col: batch[ts_col].cast(pa.timestamp("us")),
+                "part": pa.array(part, type=pa.int32()),
+            }
         )
-        out[user_col] = g[user_col].iloc[0]
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return out[[user_col, "session_start", "session_end", "n_events"]]
+
+    gap_us = np.int64(gap_s * 1_000_000)
+
+    def per_part(group: pa.Table) -> pa.Table:
+        users = group[user_col].to_numpy(zero_copy_only=False)
+        ts = group[ts_col].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ts_i = ts.view(np.int64)
+        order = np.lexsort((ts_i, users))
+        users, ts_i = users[order], ts_i[order]
+        n = len(users)
+        if n == 0:
+            return pa.table(
+                {
+                    user_col: group[user_col],
+                    "session_start": pa.array([], type=pa.timestamp("us")),
+                    "session_end": pa.array([], type=pa.timestamp("us")),
+                    "n_events": pa.array([], type=pa.int64()),
+                }
+            )
+        start = np.ones(n, dtype=bool)
+        start[1:] = (users[1:] != users[:-1]) | (ts_i[1:] - ts_i[:-1] > gap_us)
+        starts = np.flatnonzero(start)
+        ends = np.append(starts[1:], n) - 1
+        return pa.table(
+            {
+                user_col: pa.array(users[starts], type=group[user_col].type),
+                "session_start": pa.array(
+                    ts_i[starts].view("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "session_end": pa.array(
+                    ts_i[ends].view("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+            }
+        )
 
     return (
         events.select_columns([user_col, ts_col])
-        .groupby(user_col)
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
     )
