@@ -672,6 +672,45 @@ FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
 """
 
 
+def q_doc_split(sf_dir: str):
+    """Deterministic train/valid/test split by content-independent id
+    hash (md5 of the id string → first hex nibble: 0-b train, c-d
+    valid, e-f test ≈ 75/12.5/12.5).  Stable across runs and engines —
+    the reproducible-split primitive every training pipeline needs."""
+    import hashlib
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nib = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) for i in ids],
+            dtype=np.int64,
+        )
+        name = np.where(nib < 12, "train", np.where(nib < 14, "valid", "test"))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "split": pa.array(name.astype(object), type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(split, batch_format="pyarrow")
+
+
+SQL_DOC_SPLIT = """
+SELECT doc_id,
+       CASE WHEN nib < 12 THEN 'train'
+            WHEN nib < 14 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS BIGINT) AS nib
+  FROM documents
+)
+"""
+
+
 def q_doc_bpe_tokens(sf_dir: str):
     """BPE-ish regex token counting (the subword-pretokenizer counter a
     training-data pipeline tracks next to whitespace tokens)."""
@@ -1119,6 +1158,7 @@ def ray_queries() -> dict:
         "orders_monthly": q_orders_monthly,
         "doc_quality": q_doc_quality,
         "doc_bpe_tokens": q_doc_bpe_tokens,
+        "doc_split": q_doc_split,
         "event_props_stats": q_event_props_stats,
         "sessionize": q_sessionize,
         "doc_token_stats": q_doc_token_stats,
@@ -1159,6 +1199,7 @@ def oracle_sqls() -> dict:
         "orders_monthly": SQL_ORDERS_MONTHLY,
         "doc_quality": SQL_DOC_QUALITY,
         "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
+        "doc_split": SQL_DOC_SPLIT,
         "event_props_stats": SQL_EVENT_PROPS_STATS,
         "sessionize": SQL_SESSIONIZE,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
