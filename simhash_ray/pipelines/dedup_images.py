@@ -503,6 +503,8 @@ def survivors(
     limit = BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
     dup_ids_ds = result.assignment.filter(expr="is_representative == False")
     n_dups = dup_ids_ds.count()
+    if n_dups == 0:  # nothing to drop (an empty Dataset loses its schema)
+        return images
     if n_dups <= limit:
         dup_df = dup_ids_ds.select_columns(["image_id"]).to_pandas()
         dup_ref = ray.put(pa.array(dup_df["image_id"], type=pa.string()))

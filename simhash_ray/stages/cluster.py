@@ -263,6 +263,10 @@ def unionfind_driver(edges_df) -> "pd.DataFrame":
     small").  The verified-dup edge set is orders of magnitude smaller
     than the input; the distributed rounds below remain the scale path
     and are tested for identical output."""
+    if len(edges_df) == 0:  # no dups at all (empty frames lose columns)
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype=object), "label": pd.Series([], dtype=object)}
+        )
     edges_df = edges_df.drop_duplicates(["a", "b"])  # cross-band dupes
     parent: dict = {}
 

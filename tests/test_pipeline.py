@@ -147,6 +147,30 @@ def test_distributed_regime_matches_direct():
     assert precision >= 0.99
 
 
+def test_no_duplicates_all_self_clusters():
+    """Degenerate input with zero planted duplicates: every row must be
+    its own representative (empty verified-edge set exercised end to
+    end, in both regimes)."""
+    tables = generate_fixture(
+        FixtureSpec(
+            n_rows=120, seed=19,
+            frac_exact=0.0, frac_near_caption=0.0,
+            frac_near_image=0.0, frac_near_both=0.0,
+        )
+    )
+    images = rd.from_arrow(tables["images"])
+    for limit in (None, 0):  # direct and distributed regimes
+        res = dedup_images(
+            images, DEFAULT_CONFIG, n_parts=8, broadcast_sig_limit=limit
+        )
+        adf = res.assignment.to_pandas()
+        assert len(adf) == 120
+        assert adf["is_representative"].all()
+        assert (adf["cluster_id"] == adf["image_id"]).all()
+        surv = survivors(images, res)
+        assert surv.count() == 120
+
+
 def test_hot_caption_skew_fixture():
     """Skew stressor: one hot caption in 10% of rows — the exact-sig
     collapse must shield LSH, pipeline completes and clusters the hot
