@@ -863,6 +863,17 @@ def q_doc_simhash_sigs(sf_dir: str):
     ).select_columns(["doc_id", "simhash"])
 
 
+def q_doc_simhash_dedup(sf_dir: str):
+    """End-to-end SimHash near-dup dedup over the documents table —
+    the flagship pipeline in the reference's own (text) domain
+    (rows-only; planted-paraphrase co-clustering pytest-gated in
+    tests/test_minhash_ann.py)."""
+    from .dedup_docs import dedup_documents
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return dedup_documents(docs, DEFAULT_CONFIG, concurrency=(1, 4))
+
+
 def q_doc_lang_pred(sf_dir: str):
     docs = _docs(sf_dir, columns=["doc_id", "text", "lang"])
     return docs.map_batches(
@@ -1169,6 +1180,7 @@ def ray_queries() -> dict:
         "doc_substring_pairs": q_doc_substring_pairs,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_sigs": q_doc_simhash_sigs,
+        "doc_simhash_dedup": q_doc_simhash_dedup,
         "doc_lang_pred": q_doc_lang_pred,
         "doc_rolling_fp": q_doc_rolling_fp,
         "embed_topk": q_embed_topk,
