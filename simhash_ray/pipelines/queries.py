@@ -1143,6 +1143,25 @@ def q_images_dedup(sf_dir: str):
     return res.assignment
 
 
+def q_images_embed_dedup(sf_dir: str):
+    """Multimodal → embedding-space dedup composition: decode images
+    into color-histogram embeddings (actor pool over the wide binary
+    column) and find cosine-0.999 near-dup pairs via the banded LSH
+    operator (rows-only; exact-dup hit rate pytest-gated)."""
+    from ..stages.ann import lsh_cosine_dup_pairs
+    from ..stages.multimodal import image_embeddings
+
+    images = read_images_fixture(sf_dir)
+    emb = image_embeddings(images, concurrency=(1, 4))
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.replace_substring(batch["image_id"], "img", ""), pa.int64())
+        return pa.table({"vec_id": ids, "embedding": batch["embedding"]})
+
+    vecs = emb.map_batches(to_int, batch_format="pyarrow")
+    return lsh_cosine_dup_pairs(vecs, 999, 1000, n_parts=16)
+
+
 def q_images_stats(sf_dir: str):
     images = read_images_fixture(sf_dir)
     return image_stats(images, concurrency=(1, 4)).select_columns(
@@ -1192,6 +1211,7 @@ def ray_queries() -> dict:
         "doc_langid_score": q_doc_langid_score,
         "images_signatures": q_images_signatures,
         "images_dedup": q_images_dedup,
+        "images_embed_dedup": q_images_embed_dedup,
         "images_stats": q_images_stats,
     }
 

@@ -88,6 +88,58 @@ class ImageResize:
         )
 
 
+class ImageFeatures:
+    """Decode → 48-dim color-histogram embedding (16 bins × RGB,
+    L2-normalized float32 list column) — the image-side feature
+    extractor that bridges the multimodal table into the embedding
+    operators (lsh_cosine_dup_pairs / ivf_topk / brute_force_topk):
+    visually-near-identical images land at cosine ≈ 1."""
+
+    def __init__(self, bins: int = 16):
+        self.bins = bins
+        self.decode = decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        feats = np.zeros((n, self.bins * 3), dtype=np.float32)
+        data = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        for i in range(n):  # per-row decode is inherent; hist is numpy
+            pix = self.decode(data[i], fmts[i], ws[i], hs[i])
+            for c in range(3):
+                h, _ = np.histogram(
+                    pix[:, :, c], bins=self.bins, range=(0, 256)
+                )
+                feats[i, c * self.bins : (c + 1) * self.bins] = h
+            nrm = np.linalg.norm(feats[i])
+            if nrm > 0:
+                feats[i] /= nrm
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "embedding": pa.array(
+                    list(feats), type=pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+def image_embeddings(
+    ds: rd.Dataset, bins: int = 16, concurrency=(1, 8), batch_size: int = 256
+) -> rd.Dataset:
+    """(image_id, embedding) — actor-pool feature extraction over the
+    wide binary column (placed before any embedding-space dedup/ANN)."""
+    return ds.map_batches(
+        ImageFeatures,
+        fn_constructor_kwargs={"bins": bins},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class AudioFeatureStub:
     """STUB: audio decode/feature-extract (no audio libs in-sandbox).
 

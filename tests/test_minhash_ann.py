@@ -286,6 +286,42 @@ def test_ivf_topk_recovers_planted_neighbors():
     assert hits / len(queries) >= 0.9, f"ivf hit rate {hits / len(queries):.2f}"
 
 
+def test_image_embeddings_feed_cosine_dedup(request):
+    """Multimodal → embedding bridge: decode images to color-histogram
+    embeddings (actor pool), then run the banded cosine near-dup
+    operator over them — planted exact-dup images must surface as
+    cosine-1 pairs."""
+    import pyarrow.compute as pc_
+
+    from simhash_ray.stages.ann import lsh_cosine_dup_pairs
+    from simhash_ray.stages.multimodal import image_embeddings
+
+    tables = generate_fixture(FixtureSpec(n_rows=200, seed=29))
+    images = rd.from_arrow(tables["images"])
+    emb = image_embeddings(images, concurrency=(1, 2))
+
+    # numeric ids for the pair machinery: the fixture id is 'img<NNN>'
+    def to_int(batch):
+        ids = pc_.cast(
+            pc_.replace_substring(batch["image_id"], "img", ""), pa.int64()
+        )
+        return pa.table({"vec_id": ids, "embedding": batch["embedding"]})
+
+    vecs = emb.map_batches(to_int, batch_format="pyarrow")
+    pairs = lsh_cosine_dup_pairs(vecs, 999, 1000, n_parts=4).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+
+    tdf = tables["truth"].to_pandas()
+    exact = tdf[tdf["kind"] == "exact_dup"]
+    originals = tdf.iloc[exact["cluster_id"].values]
+    n_hit = 0
+    for dup_id, src_id in zip(exact["image_id"], originals["image_id"]):
+        a, b = int(src_id[3:]), int(dup_id[3:])
+        n_hit += (min(a, b), max(a, b)) in found
+    assert len(exact) > 5
+    assert n_hit / len(exact) >= 0.95, f"embed dedup hit {n_hit}/{len(exact)}"
+
+
 @pytest.fixture(scope="module")
 def image_fixture():
     return generate_fixture(FixtureSpec(n_rows=120, seed=9))
