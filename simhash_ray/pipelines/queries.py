@@ -672,6 +672,51 @@ FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
 """
 
 
+def q_doc_top_tokens(sf_dir: str):
+    """Corpus vocabulary head: top-20 tokens by occurrence (the
+    vocab-building aggregate of tokenizer training), with in-batch
+    partial counting over the unique-token dictionary before the
+    (tiny) token groupby; ties broken (count DESC, token ASC)."""
+    docs = _docs(sf_dir, columns=["text"])
+
+    part_schema = pa.schema([("tok", pa.string()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_lower(batch["text"].combine_chunks().cast(pa.string()))
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        denc = flat.dictionary_encode()
+        counts = np.bincount(
+            denc.indices.to_numpy(zero_copy_only=False),
+            minlength=len(denc.dictionary),
+        ).astype(np.int64)
+        return pa.table(
+            {"tok": denc.dictionary, "n": pa.array(counts)}, schema=part_schema
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.sort(["n", "tok"], descending=[True, False]).limit(20)
+
+
+SQL_DOC_TOP_TOKENS = r"""
+SELECT tok, COUNT(*) AS n
+FROM (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+)
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY n DESC, tok ASC
+LIMIT 20
+"""
+
+
 def q_doc_split(sf_dir: str):
     """Deterministic train/valid/test split by content-independent id
     hash (md5 of the id string → first hex nibble: 0-b train, c-d
@@ -1189,6 +1234,7 @@ def ray_queries() -> dict:
         "doc_quality": q_doc_quality,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_split": q_doc_split,
+        "doc_top_tokens": q_doc_top_tokens,
         "event_props_stats": q_event_props_stats,
         "sessionize": q_sessionize,
         "doc_token_stats": q_doc_token_stats,
@@ -1232,6 +1278,7 @@ def oracle_sqls() -> dict:
         "doc_quality": SQL_DOC_QUALITY,
         "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
         "doc_split": SQL_DOC_SPLIT,
+        "doc_top_tokens": SQL_DOC_TOP_TOKENS,
         "event_props_stats": SQL_EVENT_PROPS_STATS,
         "sessionize": SQL_SESSIONIZE,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
