@@ -124,7 +124,11 @@ def _shingle_hashes(texts: pa.ChunkedArray | pa.Array, k: int) -> list[np.ndarra
 
 
 def _minhash_sig(shingles: np.ndarray, n_perm: int, seeds: np.ndarray) -> np.ndarray:
-    """64-bit universal-hash permutations: h_i(x) = splitmix(x ^ seed_i)."""
+    """64-bit universal-hash permutations: h_i(x) = splitmix(x ^ seed_i).
+
+    Per-row reference implementation — the batch encoder's reduceat
+    path is pinned bit-identical to this in
+    tests/test_minhash_ann.py::test_encoder_matches_per_row_reference."""
     if len(shingles) == 0:
         return np.full(n_perm, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
     z = shingles[None, :] ^ seeds[:, None]  # (n_perm, n_shingles)

@@ -78,6 +78,32 @@ def test_flat_shingle_hashes_match_per_row_reference():
     check()
 
 
+def test_encoder_matches_per_row_reference(corpus):
+    """The whole-batch MinHash encoder (flat shingles + reduceat
+    minima) is bit-identical to the per-row reference _minhash_sig."""
+    from simhash_ray.stages.minhash import (
+        MinHashEncoder,
+        _default_seeds,
+        _minhash_sig,
+        _shingle_hashes,
+    )
+
+    texts = list(corpus["text"].head(80)) + ["", "one", "two words"]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = MinHashEncoder()(batch)
+    got = [np.frombuffer(s, dtype=np.uint64) for s in out["sig"].to_pylist()]
+    seeds = _default_seeds(64)
+    want = [
+        _minhash_sig(s, 64, seeds) for s in _shingle_hashes(batch["text"], 2)
+    ]
+    assert all((a == b).all() for a, b in zip(got, want))
+
+
 def test_minhash_recall_vs_exact(corpus):
     docs = rd.from_pandas(corpus)
     exact = all_pairs_jaccard(docs, 75, 100, shingle_k=2).to_pandas()
