@@ -385,6 +385,35 @@ FROM events GROUP BY event_type, window_start
 """
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping (sliding) window aggregate: 2h windows every 1h — each
+    event contributes to two overlapping windows."""
+    from ..stages.window import hopping_window_agg
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return hopping_window_agg(ev, size_s=7200, hop_s=3600)
+
+
+# each event belongs to windows starting at its hop boundary and one
+# hop earlier (size = 2 * hop)
+SQL_EVENTS_HOPPING = """
+WITH e AS (
+  SELECT event_type, value,
+         date_trunc('hour', ts) AS b
+  FROM events
+),
+x AS (
+  SELECT event_type, value, b AS window_start FROM e
+  UNION ALL
+  SELECT event_type, value, b - INTERVAL 1 HOUR AS window_start FROM e
+)
+SELECT event_type, window_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM x GROUP BY event_type, window_start
+"""
+
+
 def q_sessionize(sf_dir: str):
     ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
     return sessionize(ev, gap_s=1800)
@@ -1229,6 +1258,7 @@ def ray_queries() -> dict:
         "supplier_customer_union": q_supplier_customer_union,
         "event_type_counts": q_event_type_counts,
         "events_tumbling": q_events_tumbling,
+        "events_hopping": q_events_hopping,
         "order_priority_revenue": q_order_priority_revenue,
         "orders_monthly": q_orders_monthly,
         "doc_quality": q_doc_quality,
@@ -1273,6 +1303,7 @@ def oracle_sqls() -> dict:
         "supplier_customer_union": SQL_UNION,
         "event_type_counts": SQL_EVENT_TYPE_COUNTS,
         "events_tumbling": SQL_EVENTS_TUMBLING,
+        "events_hopping": SQL_EVENTS_HOPPING,
         "order_priority_revenue": SQL_ORDER_PRIORITY_REVENUE,
         "orders_monthly": SQL_ORDERS_MONTHLY,
         "doc_quality": SQL_DOC_QUALITY,

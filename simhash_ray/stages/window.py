@@ -90,6 +90,85 @@ def tumbling_window_agg(
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def hopping_window_agg(
+    events: rd.Dataset,
+    size_s: int = 7200,
+    hop_s: int = 3600,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Hopping (sliding) windows: size ``size_s`` advancing by
+    ``hop_s`` — each event lands in ``size/hop`` overlapping windows.
+    The fan-out happens INSIDE the per-batch partial (a tiled bucket
+    column), so the shuffle still moves only pre-aggregated partials,
+    ``size/hop`` × the tumbling volume, never raw events."""
+    assert size_s % hop_s == 0
+    k = size_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    part_schema = pa.schema(
+        [
+            ("window_start", pa.int64()),
+            (key_col, pa.string()),
+            ("n_events", pa.int64()),
+            ("sum_value", pa.float64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        base = (ts // hop_us) * hop_us  # most recent hop boundary
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        vals = batch[value_col].to_numpy(zero_copy_only=False)
+        # window starts: base, base-hop, ..., base-(k-1)*hop
+        starts = np.concatenate([base - j * hop_us for j in range(k)])
+        df = pd.DataFrame(
+            {
+                "window_start": starts,
+                key_col: np.tile(keys, k),
+                "n_events": np.ones(len(starts), dtype=np.int64),
+                "sum_value": np.tile(vals, k),
+            }
+        )
+        agg = df.groupby(["window_start", key_col], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False, schema=part_schema)
+
+    out = (
+        events.select_columns([key_col, ts_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "window_start": batch["window_start"].cast(pa.timestamp("us")),
+                "n_events": batch["n_events"],
+                "sum_value": pa.array(
+                    np.round(
+                        batch["sum_value"].to_numpy(zero_copy_only=False), 6
+                    ),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def sessionize(
     events: rd.Dataset,
     gap_s: int = 1800,
