@@ -1,29 +1,35 @@
-"""simhash_ray — a Ray-Data-native near-duplicate detection + clustering
-engine, built from scratch with the capabilities of Lupino/simhash
-(reference surveyed in /root/repo/SURVEY.md).
+"""simhash_ray — Ray-Data-native near-duplicate detection engine.
 
-Layout:
-  config.py    pinned SimHash / LSH / pipeline configs
-  simhash.py   64-bit SimHash encoder (oracle + vectorized)
-  phash.py     8×8 DCT-sign perceptual hash (fixture-side)
-  imgcodec.py  stdlib raw/BMP/PNG image encode/decode
-  fixtures.py  deterministic image+caption fixture generator
-  sources/     table readers (Lance-or-Parquet adapter)
-  stages/      Ray Data stage building blocks (encode, band, pair,
-               verify, cluster, text ops, ann, minhash, multimodal)
-  pipelines/   end-to-end pipelines (flagship image dedup, text dedup)
-  state/       lineage manifests, metrics, resume
+Public surface (see README.md for the full map):
+
+- flagship image pipeline: :func:`dedup_images`,
+  :func:`dedup_images_checkpointed`, :func:`survivors`
+- text-domain flagship: :func:`dedup_documents`
+- building blocks live under ``simhash_ray.stages`` (encode, lsh,
+  cluster, minhash, substring, ann, text, window, multimodal) and
+  ``simhash_ray.state`` (manifests, progress)
+- the full query/operator catalog: ``simhash_ray.pipelines.queries``
+- CLI: ``python -m simhash_ray dedup <table> --out DIR``
+
+Nothing here calls ``ray.init`` — the caller owns the session
+(driver contract, /root/repo/__ray_entry__.py).
 """
 
 from .config import DEFAULT_CONFIG, DedupConfig, LSHConfig, SimHashConfig
-from .simhash import hamming64, simhash_batch, simhash_oracle
+from .pipelines.dedup_docs import dedup_documents
+from .pipelines.dedup_images import (
+    dedup_images,
+    dedup_images_checkpointed,
+    survivors,
+)
 
 __all__ = [
     "DEFAULT_CONFIG",
     "DedupConfig",
     "LSHConfig",
     "SimHashConfig",
-    "hamming64",
-    "simhash_batch",
-    "simhash_oracle",
+    "dedup_documents",
+    "dedup_images",
+    "dedup_images_checkpointed",
+    "survivors",
 ]
