@@ -33,10 +33,12 @@ def dedup_documents(
     """(doc_id, cluster_id, is_representative) — near-dup clusters of a
     document table at the pinned SimHash/LSH config.
 
-    Direct regime only is implemented here (signature table collected
-    once below the broadcast limit); corpora beyond it should run the
-    image pipeline's distributed machinery with the text space — the
-    stages are shared, see pipelines/dedup_images.dup_edges."""
+    Two regimes, equivalent outputs (like the image flagship): below
+    ``broadcast_sig_limit`` the signature table is collected once and
+    banded via broadcast Ray tasks; above it the fully-distributed
+    stages run (collapse → band-bucket groupby → distributed pair-gen
+    → attach) with a text-only signature space — force with
+    ``broadcast_sig_limit=0`` (equivalence-tested)."""
     limit = BROADCAST_SIG_LIMIT if broadcast_sig_limit is None else broadcast_sig_limit
     sigs = encode_signatures(
         docs.select_columns([id_col, text_col]),
@@ -46,11 +48,7 @@ def dedup_documents(
     ).select_columns([id_col, "simhash"])
     n = sigs.count()
     if n > limit:
-        raise NotImplementedError(
-            "document corpus exceeds the broadcast regime; compose the "
-            "distributed stages (collapse_exact + dup_edges) as "
-            "dedup_images does"
-        )
+        return _dedup_documents_distributed(sigs, cfg, id_col, n)
     sig_df = sigs.to_pandas().sort_values(id_col, ignore_index=True)
     ids = sig_df[id_col].to_numpy()
     ai, bi = broadcast_candidate_edges(
@@ -73,3 +71,72 @@ def dedup_documents(
         }
     )
     return rd.from_arrow(out)
+
+
+_WIRE_PAD = 20  # zero-pad width: lexicographic order == numeric order
+
+
+def _dedup_documents_distributed(
+    sigs: rd.Dataset, cfg: DedupConfig, id_col: str, n_rows: int
+) -> rd.Dataset:
+    """Cluster-scale regime: reuse the image flagship's distributed
+    stages (exact-sig collapse → band-bucket groupby → distributed
+    pair-gen → attach) with a TEXT-only signature space.
+
+    Integer doc ids travel as zero-padded strings through the
+    string-keyed stages so lexicographic min == numeric min (both
+    regimes elect identical representatives — equivalence-tested)."""
+    import pyarrow.compute as pc
+
+    from ..stages.collapse import collapse_exact
+    from .dedup_images import attach_clusters, choose_n_parts, dup_edges
+
+    schema = sigs.schema()  # ray Schema wrapper: .names / .types
+    int_ids = pa.types.is_integer(dict(zip(schema.names, schema.types))[id_col])
+
+    def to_wire(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if int_ids:
+            wire = np.char.zfill(
+                ids.to_numpy(zero_copy_only=False).astype("U"), _WIRE_PAD
+            )
+            arr = pa.array(wire, type=pa.string())
+        else:
+            arr = ids.cast(pa.string())
+        return pa.table(
+            {
+                "image_id": arr,
+                "simhash": batch["simhash"],
+                # single-space run: collapse keys on (simhash, phash),
+                # a constant phash makes that a collapse on simhash
+                "phash": pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    n_parts = choose_n_parts(n_rows)
+    wire = sigs.map_batches(to_wire, batch_format="pyarrow")
+    collapsed = collapse_exact(wire, n_parts).materialize()
+    from ..stages.lsh import TEXT_SPACE as _TS
+
+    edges = dup_edges(
+        collapsed, cfg, n_parts, spaces=[(_TS, "simhash", cfg.text_lsh)]
+    ).materialize()
+    assignment, _, _ = attach_clusters(collapsed, edges, cfg, n_parts)
+
+    def from_wire(batch: pa.Table) -> pa.Table:
+        if int_ids:
+            ids = pc.cast(batch["image_id"], pa.int64())
+            cluster = pc.cast(batch["cluster_id"], pa.int64())
+        else:
+            ids, cluster = batch["image_id"], batch["cluster_id"]
+        return pa.table(
+            {
+                id_col: ids,
+                "cluster_id": cluster,
+                "is_representative": batch["is_representative"],
+            }
+        )
+
+    return assignment.map_batches(from_wire, batch_format="pyarrow")

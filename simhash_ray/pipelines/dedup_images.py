@@ -71,7 +71,10 @@ def signatures(
 
 
 def dup_edges(
-    collapsed: rd.Dataset, cfg: DedupConfig = DEFAULT_CONFIG, n_parts: int = 64
+    collapsed: rd.Dataset,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    n_parts: int = 64,
+    spaces: list | None = None,
 ) -> rd.Dataset:
     """Distinct-signature nodes → banding → bucket pairs → verified
     (a, b) dup edges.
@@ -86,21 +89,27 @@ def dup_edges(
     drown the driver in per-group dispatch."""
     import itertools as _it
 
+    if spaces is None:  # default: both north-rule signature spaces
+        spaces = [
+            (TEXT_SPACE, "simhash", cfg.text_lsh),
+            (IMAGE_SPACE, "phash", cfg.image_lsh),
+        ]
     n_bands = sum(
         1
-        for c in (cfg.text_lsh, cfg.image_lsh)
+        for _, _, c in spaces
         for _ in _it.combinations(range(c.n_blocks), c.combo_m)
     )
     n_reps_max = collapsed.count()  # metadata read on materialized input
     band_parts = int(min(65536, max(256, (n_reps_max * n_bands) // 4096)))
     cpus = int(ray.cluster_resources().get("CPU", 32))
+    sig_cols = sorted({col for _, col, _ in spaces})
     reps = (
         collapsed.filter(expr="is_rep == True")
-        .select_columns(["image_id", "simhash", "phash"])
+        .select_columns(["image_id", *sig_cols])
         .repartition(max(32, cpus))
     )
     expander = make_band_expander(
-        [(TEXT_SPACE, "simhash", cfg.text_lsh), (IMAGE_SPACE, "phash", cfg.image_lsh)],
+        spaces,
         id_col="image_id",
         n_parts=band_parts,
     )
@@ -108,14 +117,9 @@ def dup_edges(
     verified = candidate_pairs(
         bands,
         # pairing thresholds are per-pipeline (shared across spaces):
-        # the stricter (smaller) of the two configs wins
-        pair_full_threshold=min(
-            cfg.text_lsh.pair_full_threshold, cfg.image_lsh.pair_full_threshold
-        ),
-        taus={
-            TEXT_SPACE: cfg.text_lsh.hamming_tau,
-            IMAGE_SPACE: cfg.image_lsh.hamming_tau,
-        },
+        # the stricter (smaller) of the configs wins
+        pair_full_threshold=min(c.pair_full_threshold for _, _, c in spaces),
+        taus={sp: c.hamming_tau for sp, _, c in spaces},
         shuffle_blocks=None,  # pre-partitioned above, narrow side
     )
     from ..stages.cluster import dedupe_edges

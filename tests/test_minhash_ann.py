@@ -286,6 +286,30 @@ def test_dedup_documents_coclusters_paraphrases():
     assert set(out["cluster_id"]) == set(reps.index)
 
 
+def test_dedup_documents_distributed_matches_direct():
+    """The text flagship's distributed regime (collapse → band groupby
+    → distributed pair-gen, text-only space) produces the identical
+    assignment to the broadcast regime."""
+    from simhash_ray.config import DEFAULT_CONFIG
+    from simhash_ray.pipelines.dedup_docs import dedup_documents
+
+    dfc = _paraphrase_corpus(n_base=150, n_dup=60, seed=6, drop=0.015)
+    direct = (
+        dedup_documents(rd.from_pandas(dfc), DEFAULT_CONFIG, concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    dist = (
+        dedup_documents(
+            rd.from_pandas(dfc), DEFAULT_CONFIG, concurrency=(1, 2),
+            broadcast_sig_limit=0,
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(direct, dist)
+
+
 def test_ivf_topk_recovers_planted_neighbors():
     """IVF coarse quantizer: a near-duplicate lands in the same (or a
     probed) centroid list, so planted dups surface as top neighbors."""
