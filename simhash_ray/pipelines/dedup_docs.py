@@ -46,6 +46,10 @@ def dedup_documents(
         text_col=text_col,
         concurrency=concurrency,
     ).select_columns([id_col, "simhash"])
+    # materialize before counting: count() would otherwise execute the
+    # (dominant) encode stage once for the count and again for the
+    # downstream consumer (to_pandas / collapse_exact)
+    sigs = sigs.materialize()
     n = sigs.count()
     if n > limit:
         return _dedup_documents_distributed(sigs, cfg, id_col, n)
@@ -97,9 +101,17 @@ def _dedup_documents_distributed(
     def to_wire(batch: pa.Table) -> pa.Table:
         ids = batch[id_col]
         if int_ids:
-            wire = np.char.zfill(
-                ids.to_numpy(zero_copy_only=False).astype("U"), _WIRE_PAD
-            )
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            if ids_np.size and ids_np.min() < 0:
+                # '-0005' < '-0010' lexicographically: zero-padding a
+                # negative id breaks lexicographic==numeric order and
+                # the two regimes would elect different representatives
+                raise ValueError(
+                    f"{id_col} must be non-negative for the distributed "
+                    "regime's string wire format (zero-padded ids); "
+                    f"got min={ids_np.min()}"
+                )
+            wire = np.char.zfill(ids_np.astype("U"), _WIRE_PAD)
             arr = pa.array(wire, type=pa.string())
         else:
             arr = ids.cast(pa.string())

@@ -483,7 +483,7 @@ def q_event_props_stats(sf_dir: str):
 
 SQL_EVENT_PROPS_STATS = r"""
 SELECT event_type,
-       SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k,
        COUNT(*) AS n
 FROM events GROUP BY event_type

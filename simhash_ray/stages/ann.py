@@ -17,11 +17,15 @@ deterministic.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
+
+logger = logging.getLogger(__name__)
 
 
 def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -105,6 +109,7 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact_limit: int = 500_000,
+    allow_approx: bool = True,
 ) -> rd.Dataset:
     """Embedding-cosine near-duplicate pairs: (a, b) with
     cos(a, b) * den >= num (rational threshold, float64 math on both
@@ -114,8 +119,23 @@ def cosine_dup_pairs(
     ``exact_limit`` rows it delegates to the banded
     :func:`lsh_cosine_dup_pairs` scale path (documented approximation:
     recall < 1 for pairs barely over the threshold; exact-cosine
-    verification, so precision stays 1)."""
-    if vectors.count() > exact_limit:
+    verification, so precision stays 1).  The delegation is logged;
+    pass ``allow_approx=False`` to keep the exact contract and raise
+    instead."""
+    n = vectors.count()
+    if n > exact_limit:
+        if not allow_approx:
+            raise ValueError(
+                f"cosine_dup_pairs: {n} rows exceeds exact_limit="
+                f"{exact_limit} and allow_approx=False; use "
+                "lsh_cosine_dup_pairs or raise exact_limit"
+            )
+        logger.warning(
+            "cosine_dup_pairs: %d rows > exact_limit=%d — delegating to "
+            "the approximate lsh_cosine_dup_pairs scale path (recall < 1 "
+            "near the threshold; precision stays 1)",
+            n, exact_limit,
+        )
         return lsh_cosine_dup_pairs(
             vectors, threshold_num, threshold_den, id_col=id_col, vec_col=vec_col
         )

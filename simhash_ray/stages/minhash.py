@@ -299,7 +299,11 @@ def make_pair_generator(pair_full_threshold: int = 512, n_parts: int = 64):
 def _dedupe_pairs(pairs: rd.Dataset) -> rd.Dataset:
     """Global (a, b) dedupe: the same pair collides in up to every
     band.  One groupby on the pair-hash partition, vectorized run
-    dedupe inside (star flag OR-combined so observability survives)."""
+    dedupe inside.  Star-flag semantics: the kept row is the non-star
+    one when ANY band produced the pair via full pairing (lexsort
+    ascending + keep-first), i.e. ``star`` is effectively AND-combined
+    across bands — a surviving ``star=True`` means the pair was ONLY
+    ever seen through the hot-bucket star fallback."""
 
     def per_part(group: pa.Table) -> pa.Table:
         a = group["a"].to_numpy(zero_copy_only=False)

@@ -115,7 +115,15 @@ class CheckpointedRun:
             self.root, f"{name}.shard_{i:05d}.manifest.json"
         )
 
-    def shard_is_committed(self, name: str, i: int, input_fingerprint: str = "") -> bool:
+    def shard_is_committed(
+        self, name: str, i: int, input_fingerprint: str = "", n_shards: int = 0
+    ) -> bool:
+        """A shard manifest matches only if the whole decomposition
+        matches: the same config, input AND total shard count.  A rerun
+        with a different ``n_shards`` changes every shard's row range,
+        so manifests committed under the old decomposition must not be
+        trusted — skipping them would silently duplicate and/or drop
+        rows in the unioned stage output."""
         _, _, manifest = self._shard_paths(name, i)
         if not os.path.exists(manifest):
             return False
@@ -124,6 +132,7 @@ class CheckpointedRun:
         return (
             m.get("config_hash") == self.config_hash
             and m.get("input_fingerprint") == input_fingerprint
+            and m.get("n_shards") == n_shards
         )
 
     def sharded_stage(
@@ -135,9 +144,11 @@ class CheckpointedRun:
         at shard k — committed shards are never recomputed or
         rewritten.  Returns the union read of all shard directories.
 
-        Shard decomposition must be deterministic w.r.t. the input
-        (e.g. one shard per input file / key range) — the
-        ``input_fingerprint`` should capture it."""
+        Shard decomposition must be deterministic w.r.t. (input,
+        shard count) — e.g. one shard per input file / row-group range.
+        The shard count is folded into every shard manifest, so a rerun
+        with a different ``len(shard_fns)`` recomputes all shards
+        rather than silently mixing two decompositions."""
         from .progress import ProgressEstimator
 
         t0 = time.perf_counter()
@@ -145,7 +156,7 @@ class CheckpointedRun:
         progress = ProgressEstimator(total=len(shard_fns), name=f"stage {name}")
         for i, fn in enumerate(shard_fns):
             out, tmp, manifest = self._shard_paths(name, i)
-            if self.shard_is_committed(name, i, input_fingerprint):
+            if self.shard_is_committed(name, i, input_fingerprint, len(shard_fns)):
                 n_resumed += 1
                 progress.update()
                 continue
@@ -160,6 +171,7 @@ class CheckpointedRun:
             payload = {
                 "stage": name,
                 "shard": i,
+                "n_shards": len(shard_fns),
                 "config_hash": self.config_hash,
                 "input_fingerprint": input_fingerprint,
                 "row_count": rd.read_parquet(out).count(),

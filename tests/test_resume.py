@@ -103,6 +103,41 @@ def test_sharded_stage_resumes_mid_stage(tmp_path):
     pd.testing.assert_frame_equal(canon(out), canon(clean))
 
 
+def test_shard_count_change_invalidates_all_shards(tmp_path):
+    """Rerunning a sharded stage with a different shard count changes
+    every shard's row range; trusting old manifests would duplicate
+    and/or drop rows, so ALL shards must recompute (ADVICE round 2)."""
+    from simhash_ray.state.manifest import CheckpointedRun
+
+    calls = []
+
+    def make(i, lo, hi):
+        def fn():
+            calls.append(i)
+            return rd.from_pandas(pd.DataFrame({"x": range(lo, hi)}))
+
+        return fn
+
+    root = str(tmp_path / "ck")
+    # 2-shard decomposition of rows 0..9
+    CheckpointedRun(root, "cfg1").sharded_stage(
+        "sigs", [make(0, 0, 5), make(1, 5, 10)], input_fingerprint="tbl"
+    )
+    assert calls == [0, 1]
+
+    # same input, 4-shard decomposition: old manifests must NOT be
+    # trusted (shard 0 now covers rows 0..2, not 0..4)
+    calls.clear()
+    out = CheckpointedRun(root, "cfg1").sharded_stage(
+        "sigs",
+        [make(0, 0, 3), make(1, 3, 5), make(2, 5, 8), make(3, 8, 10)],
+        input_fingerprint="tbl",
+    )
+    assert calls == [0, 1, 2, 3]
+    got = sorted(out.to_pandas()["x"].tolist())
+    assert got == list(range(10)), got
+
+
 def test_sharded_signatures_resume_identical(tmp_path):
     """End-to-end per-shard resume on the real encoder: kill between
     shards, resume, output identical to the unsharded signatures."""
