@@ -40,6 +40,9 @@ def _run_bench() -> dict:
         logging_level="ERROR",
     )
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from simhash_ray.logging_filters import install_empty_schema_drift_filter
+
+    install_empty_schema_drift_filter()
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -30,6 +30,9 @@ import sys
 def _init_ray(num_cpus: int | None = None) -> None:
     import ray
 
+    from .logging_filters import install_empty_schema_drift_filter
+
+    install_empty_schema_drift_filter()
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -38,6 +41,14 @@ def _init_ray(num_cpus: int | None = None) -> None:
             logging_level="ERROR",
             ignore_reinit_error=True,
         )
+
+
+def _load_cfg(args):
+    """--config sidecar (YAML/JSON) → DedupConfig; default config when
+    absent (mirrors the reference's optional <model>.opts.yml)."""
+    from .config import DEFAULT_CONFIG, load_config
+
+    return load_config(args.config) if args.config else DEFAULT_CONFIG
 
 
 def _read_images(table_dir: str, columns):
@@ -58,9 +69,9 @@ def _read_images(table_dir: str, columns):
 
 def cmd_dedup(args) -> int:
     _init_ray(args.num_cpus)
-    from .config import DEFAULT_CONFIG
     from .pipelines import dedup_images as flagship
 
+    cfg = _load_cfg(args)
     images = _read_images(args.table, None if args.survivors else ["image_id", "caption", "phash"])
     narrow = images.select_columns(["image_id", "caption", "phash"])
     if args.ckpt:
@@ -68,13 +79,13 @@ def cmd_dedup(args) -> int:
         result = flagship.dedup_images_checkpointed(
             narrow,
             args.ckpt,
-            DEFAULT_CONFIG,
+            cfg,
             input_fingerprint=args.table,
             table_path=table_path,
             signature_shards=args.shards if table_path else 0,
         )
     else:
-        result = flagship.dedup_images(narrow, DEFAULT_CONFIG)
+        result = flagship.dedup_images(narrow, cfg)
     os.makedirs(args.out, exist_ok=True)
     result.assignment.write_parquet(os.path.join(args.out, "assignment"))
     result.edges.write_parquet(os.path.join(args.out, "edges"))
@@ -82,6 +93,7 @@ def cmd_dedup(args) -> int:
         "n_rows": result.assignment.count(),
         "n_clusters_with_dups": result.n_clusters_with_dups,
         "n_nodes_clustered": result.n_nodes_clustered,
+        "config_hash": cfg.config_hash(),
     }
     if args.survivors:
         surv = flagship.survivors(images, result)
@@ -97,14 +109,14 @@ def cmd_dedup(args) -> int:
 
 def cmd_encode(args) -> int:
     _init_ray(args.num_cpus)
-    from .config import DEFAULT_CONFIG
     from .pipelines import dedup_images as flagship
 
+    cfg = _load_cfg(args)
     images = _read_images(args.table, ["image_id", "caption", "phash"])
-    sigs = flagship.signatures(images, DEFAULT_CONFIG)
+    sigs = flagship.signatures(images, cfg)
     os.makedirs(args.out, exist_ok=True)
     sigs.write_parquet(os.path.join(args.out, "signatures"))
-    print(json.dumps({"n_rows": sigs.count()}))
+    print(json.dumps({"n_rows": sigs.count(), "config_hash": cfg.config_hash()}))
     return 0
 
 
@@ -115,6 +127,12 @@ def main(argv=None) -> int:
     p.add_argument(
         "--num-cpus", type=int, default=None,
         help="Ray session CPU cap (default: all; on a cluster use ray job submit)",
+    )
+    p.add_argument(
+        "--config", default=None, metavar="FILE",
+        help="YAML/JSON config sidecar (sections simhash/text_lsh/image_lsh "
+        "+ max_cluster_rounds; the reference's <model>.opts.yml analogue). "
+        "Default: built-in DEFAULT_CONFIG.",
     )
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -126,3 +126,68 @@ class DedupConfig:
 
 
 DEFAULT_CONFIG = DedupConfig()
+
+
+def load_config(path: str) -> DedupConfig:
+    """Parse a YAML or JSON config sidecar into a :class:`DedupConfig`.
+
+    The analogue of the reference's ``<model>.opts.yml`` loader
+    (/root/reference/src/Htm/V2.hs:41-62,111-116): a run is configured
+    by a small declarative file next to the model, not by code edits.
+    Validation is LOUD (SURVEY.md §2.1 S3): unknown keys, non-mapping
+    sections and type mismatches raise ValueError with the offending
+    key; semantic constraints (the pigeonhole bound) are enforced by
+    the dataclasses themselves."""
+    import dataclasses
+
+    with open(path) as f:
+        text = f.read()
+    if path.endswith((".yml", ".yaml")):
+        import yaml  # vendored with ray; no extra dependency
+
+        raw = yaml.safe_load(text)
+    else:
+        raw = json.loads(text)
+    if not isinstance(raw, dict):
+        raise ValueError(f"config {path}: top level must be a mapping, got {type(raw).__name__}")
+
+    def build(cls, d: dict, where: str):
+        if not isinstance(d, dict):
+            raise ValueError(f"config {path}: section '{where}' must be a mapping")
+        fields_ = {f.name: f for f in dataclasses.fields(cls)}
+        unknown = set(d) - set(fields_)
+        if unknown:
+            raise ValueError(
+                f"config {path}: unknown keys {sorted(unknown)} in '{where}' "
+                f"(valid: {sorted(fields_)})"
+            )
+        for k, v in d.items():
+            want = type(getattr(cls(), k))
+            if want is bool:
+                ok = isinstance(v, bool)
+            elif want is int:
+                ok = isinstance(v, int) and not isinstance(v, bool)
+            else:
+                ok = isinstance(v, want)
+            if not ok:
+                raise ValueError(
+                    f"config {path}: '{where}.{k}' must be {want.__name__}, "
+                    f"got {type(v).__name__} ({v!r})"
+                )
+        return cls(**d)
+
+    sections = {"simhash": SimHashConfig, "text_lsh": LSHConfig, "image_lsh": LSHConfig}
+    kwargs = {}
+    for k, v in raw.items():
+        if k in sections:
+            kwargs[k] = build(sections[k], v, k)
+        elif k == "max_cluster_rounds":
+            if not isinstance(v, int) or isinstance(v, bool):
+                raise ValueError(f"config {path}: 'max_cluster_rounds' must be int")
+            kwargs[k] = v
+        else:
+            raise ValueError(
+                f"config {path}: unknown top-level key '{k}' "
+                f"(valid: {sorted(sections) + ['max_cluster_rounds']})"
+            )
+    return DedupConfig(**kwargs)

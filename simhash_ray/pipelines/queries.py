@@ -750,17 +750,17 @@ def q_doc_split(sf_dir: str):
     """Deterministic train/valid/test split by content-independent id
     hash (md5 of the id string → first hex nibble: 0-b train, c-d
     valid, e-f test ≈ 75/12.5/12.5).  Stable across runs and engines —
-    the reproducible-split primitive every training pipeline needs."""
-    import hashlib
+    the reproducible-split primitive every training pipeline needs.
+    The md5 runs as one vectorized numpy pass over the batch
+    (functions.hashing.md5_first_byte_of_int_ids), not a per-row
+    hashlib loop."""
+    from ..functions.hashing import md5_first_byte_of_int_ids
 
     docs = _docs(sf_dir, columns=["doc_id"])
 
     def split(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        nib = np.array(
-            [int(hashlib.md5(str(i).encode()).hexdigest()[0], 16) for i in ids],
-            dtype=np.int64,
-        )
+        nib = (md5_first_byte_of_int_ids(ids) >> 4).astype(np.int64)
         name = np.where(nib < 12, "train", np.where(nib < 14, "valid", "test"))
         return pa.table(
             {

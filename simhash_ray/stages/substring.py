@@ -136,8 +136,24 @@ def shared_substring_pairs(
             ),
         )
 
+    from .base import map_groups_typed
+
     exploded = docs.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pyarrow"
     )
-    pairs = exploded.groupby("part").map_groups(window_pairs, batch_format="pyarrow")
-    return pairs.groupby("part").map_groups(count_pairs, batch_format="pyarrow")
+    empty_pairs = pa.table(
+        {
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "part": pa.array([], type=pa.int32()),
+        }
+    )
+    empty_counts = pa.table(
+        {
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "n_shared": pa.array([], type=pa.int64()),
+        }
+    )
+    pairs = map_groups_typed(exploded, "part", window_pairs, empty_pairs)
+    return map_groups_typed(pairs, "part", count_pairs, empty_counts)

@@ -41,3 +41,73 @@ def test_cli_dedup_smoke(tmp_path):
     sdf = pq.read_table(str(out / "survivors")).to_pandas()
     assert len(sdf) == int(adf["is_representative"].sum())
     assert "bytes" in sdf.columns  # survivors carry the wide columns
+
+
+def test_cli_config_sidecar(tmp_path):
+    """--config loads a YAML sidecar with a non-default τ (the
+    reference's <model>.opts.yml surface, V2.hs:41-62); the sidecar's
+    config hash must land in metrics.json AND the checkpoint manifests
+    (config-addressed resume)."""
+    from simhash_ray.config import DedupConfig, LSHConfig, load_config
+
+    fdir = write_fixture(
+        default_fixture_dir(FixtureSpec(n_rows=300, seed=13)),
+        FixtureSpec(n_rows=300, seed=13),
+    )
+    cfg_file = tmp_path / "opts.yml"
+    cfg_file.write_text(
+        "text_lsh:\n  n_blocks: 8\n  combo_m: 2\n  hamming_tau: 4\n"
+        "max_cluster_rounds: 9\n"
+    )
+    expect = DedupConfig(
+        text_lsh=LSHConfig(n_blocks=8, combo_m=2, hamming_tau=4),
+        max_cluster_rounds=9,
+    )
+    assert load_config(str(cfg_file)) == expect  # loader parity
+
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "simhash_ray", "--num-cpus", "8",
+            "--config", str(cfg_file),
+            "dedup", os.path.join(fdir, "images.parquet"),
+            "--out", str(out), "--ckpt", str(ckpt),
+        ],
+        capture_output=True, text=True, timeout=540, cwd="/root/repo", env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    metrics = json.loads(res.stdout.strip().splitlines()[-1])
+    assert metrics["config_hash"] == expect.config_hash()
+    manifests = [
+        m
+        for r, _, fs in os.walk(ckpt)
+        for f in fs
+        if f.endswith(".json")
+        for m in [json.load(open(os.path.join(r, f)))]
+        if "stage" in m  # lineage manifests (not the stats sink)
+    ]
+    assert manifests and all(
+        m.get("config_hash") == expect.config_hash() for m in manifests
+    )
+
+
+def test_config_loader_rejects_bad_input(tmp_path):
+    import pytest
+
+    from simhash_ray.config import load_config
+
+    bad = tmp_path / "bad.yml"
+    bad.write_text("text_lsh:\n  n_block: 8\n")  # typo'd key
+    with pytest.raises(ValueError, match="n_block"):
+        load_config(str(bad))
+    bad2 = tmp_path / "bad2.json"
+    bad2.write_text('{"simhash": {"shingle_k": "two"}}')
+    with pytest.raises(ValueError, match="shingle_k"):
+        load_config(str(bad2))
+    bad3 = tmp_path / "bad3.yml"
+    bad3.write_text("text_lsh:\n  hamming_tau: 7\n")  # pigeonhole break
+    with pytest.raises(ValueError, match="pigeonhole"):
+        load_config(str(bad3))
