@@ -98,9 +98,17 @@ def _run_bench() -> dict:
     # min of two timed runs — the sandbox VM's CPU/memory throughput
     # fluctuates ±2× between trials (documented in BASELINE.md), and
     # the minimum is the stable estimator of pipeline cost.
+    # GRAFT_BENCH_REGIME=distributed forces the cluster-scale path as
+    # the headline (used by --scaling to measure the regime whose
+    # attach is a join, not a driver collect — BASELINE.md protocol).
+    regime = os.environ.get("GRAFT_BENCH_REGIME", "direct")
+    headline_limit = 0 if regime == "distributed" else None
+
     def run_flagship():
         images = read_images(columns=["image_id", "caption", "phash"])
-        res = flagship.dedup_images(images, DEFAULT_CONFIG)
+        res = flagship.dedup_images(
+            images, DEFAULT_CONFIG, broadcast_sig_limit=headline_limit
+        )
         return res.assignment.count()
 
     n_assigned = timed("e2e_dedup", run_flagship)

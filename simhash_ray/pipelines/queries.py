@@ -26,7 +26,7 @@ from ..fixtures import FixtureSpec, default_fixture_dir, write_fixture
 from ..sources.tables import read_table
 from ..stages import text as text_ops
 from ..stages.ann import brute_force_topk, cosine_dup_pairs, lsh_bucketed_topk
-from ..stages.minhash import all_pairs_jaccard, minhash_dup_pairs
+from ..stages.minhash import all_pairs_jaccard
 from ..stages.multimodal import image_stats
 from ..stages.window import sessionize, tumbling_window_agg
 from . import dedup_images as flagship
@@ -56,6 +56,40 @@ def fixture_dir_for_sf(sf_dir: str) -> str:
 
 def read_images_fixture(sf_dir: str, columns=None) -> rd.Dataset:
     return read_table(fixture_dir_for_sf(sf_dir), "images", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# oracle staging (round-2 verdict item 7)
+#
+# Some operators are not SQL-expressible end-to-end (keyed blake2b /
+# splitmix hashing has no DuckDB counterpart), but their DOWNSTREAM
+# semantics are.  For those, the Ray query eagerly writes a small
+# deterministic intermediate ("staging") parquet under a fixed path,
+# and the oracle SQL re-runs the downstream computation from it in
+# DuckDB — independently cross-checking the part of the operator that
+# SQL can express (sign-fold accumulate, signature-agreement verify,
+# exact-cosine verify).  The driver runs the Ray query before its
+# oracle, so the staged file always reflects the same run; contents
+# are deterministic for a given input, so a stale file from the same
+# sf is byte-identical anyway.
+
+_ORACLE_STAGE_ROOT = "/tmp/simhash_ray_oracle"
+
+
+def _stage(ds: rd.Dataset, name: str) -> None:
+    import os
+    import shutil
+
+    path = os.path.join(_ORACLE_STAGE_ROOT, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ds.write_parquet(path)
+
+
+def _staged(name: str) -> str:
+    import os
+
+    return os.path.join(_ORACLE_STAGE_ROOT, name, "*.parquet")
 
 
 # --------------------------------------------------------------------------
@@ -920,21 +954,126 @@ HAVING COUNT(*) >= 3
 
 
 def q_doc_minhash_pairs(sf_dir: str):
-    """MinHash-LSH near-dup candidates (probabilistic — rows-only check;
-    recall vs the exact operator is asserted in tests)."""
+    """MinHash-LSH near-dup pairs, SQL-oracle-checked via staging: the
+    encoder and band-bucket candidate generation are not
+    SQL-expressible (splitmix permutations), so the UNPACKED signature
+    table (doc_id, perm, minval) and the deduped candidate set are
+    staged to parquet, and the oracle re-runs the verify step —
+    per-pair signature-agreement estimate + θ filter — in DuckDB.
+    Candidate recall vs the exact operator stays pytest-pinned."""
+    from ..stages.base import map_groups_typed
+    from ..stages.minhash import (
+        _EMPTY_PAIRS,
+        _dedupe_pairs,
+        _sig_matrix,
+        _verify_broadcast,
+        make_band_expander,
+        make_pair_generator,
+        minhash_signatures,
+    )
+
     docs = _docs(sf_dir, columns=["doc_id", "text"])
-    return minhash_dup_pairs(docs, theta=0.7, shingle_k=2, concurrency=(1, 4))
+    # identical composition/parameters to minhash_dup_pairs(theta=0.7,
+    # shingle_k=2, n_perm=64, n_bands=16) — decomposed so the two
+    # intermediates can be staged
+    sig_ds = minhash_signatures(docs, shingle_k=2, concurrency=(1, 4)).materialize()
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        mat = _sig_matrix(batch["sig"], 64)
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, 64), type=pa.int64()),
+                "perm": pa.array(np.tile(np.arange(64), n), type=pa.int32()),
+                "minval": pa.array(mat.reshape(-1), type=pa.uint64()),
+            }
+        )
+
+    _stage(sig_ds.map_batches(unpack, batch_format="pyarrow"), "minhash_sigs")
+    bands = sig_ds.map_batches(make_band_expander(64, 16, 64), batch_format="pyarrow")
+    pairs = _dedupe_pairs(
+        map_groups_typed(bands, "part", make_pair_generator(512, 64), _EMPTY_PAIRS)
+    ).materialize()
+    _stage(
+        pairs.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow"),
+        "minhash_cands",
+    )
+    return _verify_broadcast(pairs, sig_ds, 0.7, 64)
+
+
+SQL_DOC_MINHASH_PAIRS = f"""
+WITH sig AS (SELECT doc_id, perm, minval FROM read_parquet('{_staged("minhash_sigs")}')),
+cand AS (SELECT a, b FROM read_parquet('{_staged("minhash_cands")}')),
+est AS (
+  SELECT c.a, c.b,
+         SUM(CASE WHEN sa.minval = sb.minval THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b AND sb.perm = sa.perm
+  GROUP BY c.a, c.b
+)
+SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.7
+"""
 
 
 def q_doc_simhash_sigs(sf_dir: str):
-    """64-bit SimHash signatures of documents (flagship encoder on the
-    driver corpus; conformance vs oracle is covered by unit tests)."""
+    """64-bit SimHash signatures of documents, SQL-oracle-checked via
+    staging: token/shingle hashing is keyed blake2b + splitmix (no
+    DuckDB counterpart), but the encoder's CORE semantics — the ±1
+    weighted bit-vector accumulate + sign threshold (SURVEY.md §2.6
+    steps 3-4) — are relational.  The per-document digest multiset is
+    staged (simhash.simhash_digest_rows, pinned bit-faithful to the
+    vectorized encoder by test) and the oracle re-runs the fold over
+    all 64 bit lanes in DuckDB, LEFT-JOINed to ``documents`` so empty
+    docs land on signature 0."""
     from ..stages.encode import encode_signatures
 
     docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def digest_rows(batch: pa.Table) -> pa.Table:
+        from ..simhash import simhash_digest_rows
+
+        rows, digs, cnt = simhash_digest_rows(batch["text"], DEFAULT_CONFIG.simhash)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[rows], type=pa.int64()),
+                "digest": pa.array(digs, type=pa.uint64()),
+                "cnt": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    _stage(docs.map_batches(digest_rows, batch_format="pyarrow"), "simhash_digests")
     return encode_signatures(
         docs, DEFAULT_CONFIG.simhash, text_col="text", concurrency=(1, 4)
     ).select_columns(["doc_id", "simhash"])
+
+
+# two's-complement fold at the end: the repo stores the u64 signature
+# viewed as int64; DuckDB's BIGINT can't shift into bit 63, so the sum
+# runs unsigned (HUGEINT) and wraps explicitly
+SQL_DOC_SIMHASH_SIGS = f"""
+WITH d AS (SELECT doc_id, digest, cnt FROM read_parquet('{_staged("simhash_digests")}')),
+bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (digest >> CAST(j AS INT)) & 1 = 1 THEN cnt ELSE -cnt END) AS adder
+  FROM d CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+  GROUP BY doc_id, j
+),
+s AS (
+  SELECT doc_id,
+         SUM(CASE WHEN adder > 0
+                  THEN CAST((1::UBIGINT << CAST(j AS INT)) AS HUGEINT)
+                  ELSE 0 END) AS u
+  FROM bits GROUP BY doc_id
+)
+SELECT doc.doc_id,
+       CAST(CASE WHEN COALESCE(u, 0) >= 9223372036854775808
+                 THEN u - 18446744073709551616
+                 ELSE COALESCE(u, 0) END AS BIGINT) AS simhash
+FROM documents doc LEFT JOIN s USING (doc_id)
+"""
 
 
 def q_doc_simhash_dedup(sf_dir: str):
@@ -1065,14 +1204,31 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 5 >
 
 
 def q_embed_dup_pairs_lsh(sf_dir: str):
-    """Banded hyperplane-LSH cosine near-dup pairs (scale path of
-    embed_dup_pairs; probabilistic candidate generation with exact
-    float64 cosine verification — rows-only driver check, recall
-    pinned in tests/test_minhash_ann.py on planted near-dups)."""
-    from ..stages.ann import lsh_cosine_dup_pairs
+    """Banded hyperplane-LSH cosine near-dup pairs, SQL-oracle-checked
+    via staging: the hyperplane banding is probabilistic, so the
+    CANDIDATE pair set is staged and the oracle re-runs the exact
+    float64 cosine verify over the original ``embeddings`` view in
+    DuckDB (list_cosine_similarity at the same rational threshold) —
+    both engines must keep exactly the same pairs.  Candidate recall
+    stays pytest-pinned on planted near-dups."""
+    from ..stages.ann import lsh_cosine_candidates, lsh_cosine_dup_pairs
 
     vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return lsh_cosine_dup_pairs(vecs, 2, 5, n_parts=16)
+    cands = lsh_cosine_candidates(vecs, n_parts=16).materialize()
+    _stage(
+        cands.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow"),
+        "embed_lsh_cands",
+    )
+    return lsh_cosine_dup_pairs(vecs, 2, 5, n_parts=16, candidates=cands)
+
+
+SQL_EMBED_DUP_PAIRS_LSH = f"""
+SELECT c.a, c.b
+FROM read_parquet('{_staged("embed_lsh_cands")}') c
+JOIN embeddings ea ON ea.vec_id = c.a
+JOIN embeddings eb ON eb.vec_id = c.b
+WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * 5 >= 2
+"""
 
 
 def q_embed_ivf_topk(sf_dir: str):
@@ -1236,6 +1392,66 @@ def q_images_embed_dedup(sf_dir: str):
     return lsh_cosine_dup_pairs(vecs, 999, 1000, n_parts=16)
 
 
+def q_images_dedup_truth(sf_dir: str):
+    """Assignment-vs-planted-truth summary, SQL-oracle-checked via
+    staging (round-2 verdict item 7's suggested shape): the flagship
+    assignment and the fixture's planted truth table are staged, and
+    BOTH engines independently re-run the join + per-truth-cluster
+    aggregation — members and the number of distinct assigned clusters
+    (perfect dedup ⇒ 1 for every planted cluster).  The Ray side uses
+    the distributed hash join + two groupbys; DuckDB recomputes from
+    the same staged inputs."""
+    fdir = fixture_dir_for_sf(sf_dir)
+    images = read_table(fdir, "images", columns=["image_id", "caption", "phash"])
+    assignment = flagship.dedup_images(
+        images, DEFAULT_CONFIG, concurrency=(1, 4)
+    ).assignment.map_batches(
+        lambda t: t.select(["image_id", "cluster_id"]).rename_columns(
+            ["image_id", "assigned"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    truth = read_table(fdir, "truth", columns=["image_id", "cluster_id"]).map_batches(
+        lambda t: t.rename_columns(["image_id", "truth_cluster"]),
+        batch_format="pyarrow",
+    ).materialize()
+    _stage(assignment, "images_assignment")
+    _stage(truth, "images_truth")
+    # join partitions sized to the session: a fixed 8 deadlocks ≤4-CPU
+    # sessions (aggregator actors starve the map side; see BASELINE.md)
+    n_join = int(min(8, max(2, ray.cluster_resources().get("CPU", 8) // 2)))
+    joined = truth.join(
+        assignment, join_type="inner", num_partitions=n_join, on=("image_id",),
+        aggregator_ray_remote_args={"num_cpus": 0.5},
+    )
+    members = joined.groupby("truth_cluster").aggregate(Count())
+    distinct_assigned = (
+        joined.groupby(["truth_cluster", "assigned"])
+        .aggregate(Count())
+        .groupby("truth_cluster")
+        .aggregate(Count())
+    )
+    # final assembly: two tiny per-cluster aggregates (≤ one row per
+    # planted cluster) merged on the driver
+    m = members.to_pandas().rename(columns={"count()": "n_members"})
+    d = distinct_assigned.to_pandas().rename(columns={"count()": "n_assigned"})
+    out = m.merge(d, on="truth_cluster")
+    out["n_members"] = out["n_members"].astype(np.int64)
+    out["n_assigned"] = out["n_assigned"].astype(np.int64)
+    return out[["truth_cluster", "n_members", "n_assigned"]]
+
+
+SQL_IMAGES_DEDUP_TRUTH = f"""
+WITH a AS (SELECT image_id, assigned FROM read_parquet('{_staged("images_assignment")}')),
+t AS (SELECT image_id, truth_cluster FROM read_parquet('{_staged("images_truth")}')),
+j AS (SELECT t.truth_cluster, a.assigned FROM t JOIN a USING (image_id))
+SELECT truth_cluster,
+       COUNT(*) AS n_members,
+       COUNT(DISTINCT assigned) AS n_assigned
+FROM j GROUP BY truth_cluster
+"""
+
+
 def q_images_stats(sf_dir: str):
     images = read_images_fixture(sf_dir)
     return image_stats(images, concurrency=(1, 4)).select_columns(
@@ -1287,6 +1503,7 @@ def ray_queries() -> dict:
         "doc_langid_score": q_doc_langid_score,
         "images_signatures": q_images_signatures,
         "images_dedup": q_images_dedup,
+        "images_dedup_truth": q_images_dedup_truth,
         "images_embed_dedup": q_images_embed_dedup,
         "images_stats": q_images_stats,
     }
@@ -1324,7 +1541,32 @@ def oracle_sqls() -> dict:
         "doc_lang_pred": SQL_DOC_LANG_PRED,
         "doc_langid_score": SQL_DOC_LANGID_SCORE,
         "doc_rolling_fp": SQL_DOC_ROLLING_FP,
-        # rows-only (non-SQL-expressible / probabilistic):
-        # doc_minhash_pairs, doc_simhash_sigs, embed_lsh_topk,
-        # images_signatures, images_dedup, images_stats
+        # staged-parquet oracles (see the "oracle staging" section):
+        "doc_simhash_sigs": SQL_DOC_SIMHASH_SIGS,
+        "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
+        "embed_dup_pairs_lsh": SQL_EMBED_DUP_PAIRS_LSH,
+        "images_dedup_truth": SQL_IMAGES_DEDUP_TRUTH,
+        # rows-only — why no oracle can exist for each:
+        # doc_simhash_dedup  — representative election over union-find
+        #   components of Hamming-verified band collisions; the banding
+        #   + blake2b/splitmix hashing has no SQL counterpart, and the
+        #   downstream fold is already oracle-covered via
+        #   doc_simhash_sigs + the regime-equivalence pytest.
+        # embed_lsh_topk / embed_ivf_topk — which buckets a query
+        #   probes depends on random-hyperplane signs / trained k-means
+        #   centroids; the candidate set is irreproducible in SQL.  The
+        #   exact counterpart embed_topk IS oracle-checked; recall vs
+        #   planted neighbors is pytest-pinned.
+        # images_signatures — keyed blake2b text hashing (no DuckDB
+        #   primitive); encoder semantics oracle-covered via
+        #   doc_simhash_sigs' staged digest fold + unit-test parity.
+        # images_dedup — full-assignment output of the same pipeline;
+        #   cluster-level conformance IS oracle-checked by the staged
+        #   images_dedup_truth join, and planted-truth recall is
+        #   pytest-gated.
+        # images_embed_dedup — candidates depend on image DECODE
+        #   (histogram embeddings of synthetic pixel bytes), not
+        #   expressible in SQL; exact-dup hit rate pytest-gated.
+        # images_stats — recomputes phash from decoded pixel bytes
+        #   (DCT over the image payload); not expressible in SQL.
     }

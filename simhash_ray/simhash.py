@@ -229,52 +229,40 @@ def _unpack_bits64(h: np.ndarray) -> np.ndarray:
     return np.unpackbits(bytes_, axis=1, bitorder="little")
 
 
-def simhash_batch(
-    texts: pa.Array | pa.ChunkedArray,
-    cfg: SimHashConfig = SimHashConfig(),
-    cache: TokenHashCache | None = None,
-) -> np.ndarray:
-    """Vectorized SimHash of a string column → uint64 signatures.
-
-    Tokenization stays in Arrow (zero-copy from the object store);
-    per-token work touches only the batch's *unique* tokens via
-    dictionary encoding + the actor's cache; shingle folding and bit
-    accumulation are flat numpy array ops.
-    """
-    if cache is None:
-        cache = TokenHashCache(cfg)
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    n = len(texts)
-    if n == 0:
-        return np.empty(0, dtype=np.uint64)
-
+def _tokenize_flat(texts: pa.Array, n: int):
+    """Arrow-native whitespace tokenization shared by
+    :func:`simhash_batch` and :func:`simhash_digest_rows`: returns
+    (unique raw tokens, flat dictionary codes in row order, per-row
+    kept-token counts).  Arrow emits empty tokens at whitespace
+    boundaries — dropped to match ``str.split()``."""
     toks = pc.utf8_split_whitespace(texts.cast(pa.string()))
     flat = pc.list_flatten(toks)
-    # Arrow emits empty tokens at whitespace boundaries — drop to match str.split().
     nonempty = pc.not_equal(flat, "")
     tok_in_row = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
     keep = nonempty.to_numpy(zero_copy_only=False)
-    # per-row count of kept tokens
     row_of_tok = np.repeat(np.arange(n), tok_in_row)
     counts = np.bincount(row_of_tok[keep], minlength=n).astype(np.int64)
     flat = flat.filter(nonempty)
-
     dict_arr = flat.dictionary_encode()
     uniq = dict_arr.dictionary.to_pylist()
     codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    uhash, ucontrib = cache.lookup(uniq)
+    return uniq, codes, counts
 
-    h = uhash[codes]  # flat token hashes in row order
-    offsets = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(counts, out=offsets[1:])
-    starts = offsets[:-1]
 
-    k = cfg.shingle_k
-    seed = np.uint64(_seed_const(cfg))
-
-    # --- shingle hashes -------------------------------------------------
-    # shingle counts: L==0 → 0; 1<=L<k → 1 (whole-row shingle); L>=k → L-k+1
+def _shingle_digests(
+    h: np.ndarray,
+    counts: np.ndarray,
+    starts: np.ndarray,
+    n: int,
+    k: int,
+    seed: np.uint64,
+):
+    """Word-k-gram shingle digests over the flat token-hash array —
+    the digest-generation half of :func:`simhash_batch`, shared with
+    :func:`simhash_digest_rows`.  Returns (sh_flat, sh_counts,
+    sh_starts): digests in row order with per-row counts/offsets.
+    Shingle counts: L==0 → 0; 1<=L<k → 1 (whole-row shingle);
+    L>=k → L-k+1."""
     sh_counts = np.where(
         counts == 0, 0, np.where(counts < k, 1, counts - k + 1)
     ).astype(np.int64)
@@ -315,6 +303,111 @@ def simhash_batch(
                 for j in range(L):
                     acc = (acc ^ h[starts[rows_L] + j]) * _M
                 sh_flat[sh_starts[:-1][rows_L]] = _splitmix64_np(acc)
+    return sh_flat, sh_counts, sh_starts
+
+
+def simhash_digest_rows(
+    texts: pa.Array | pa.ChunkedArray, cfg: SimHashConfig = SimHashConfig()
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row digest MULTISET of the encoder — the staging projection
+    behind the ``doc_simhash_sigs`` SQL oracle: the digests are staged
+    to parquet and DuckDB re-runs the ±1 accumulate + sign fold from
+    them (pipelines/queries.SQL_DOC_SIMHASH_SIGS), independently
+    cross-checking the encoder's core semantics (SURVEY.md §2.6 steps
+    3-4; reference adder at /root/reference/cxx-src/sdr.cpp:63-79).
+
+    Returns (row_idx int64, digest uint64, cnt int64) with
+    multiplicities aggregated per (row, digest).  Vectorized the same
+    way as :func:`simhash_batch` (shared tokenize/shingle helpers; the
+    per-occurrence char-gram replication is a gather over the unique
+    tokens' gram table) and bit-faithful to it by construction —
+    pinned by test: sign-folding these digests reproduces
+    ``simhash_batch`` exactly."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    if n == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.uint64), e
+    uniq, codes, counts = _tokenize_flat(texts, n)
+    cache = TokenHashCache(cfg)
+    uhash, _ = cache.lookup(uniq)
+    h = uhash[codes]
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    starts = offsets[:-1]
+    k = cfg.shingle_k
+    seed = np.uint64(_seed_const(cfg))
+    sh_flat, sh_counts, _ = _shingle_digests(h, counts, starts, n, k, seed)
+    rows_sh = np.repeat(np.arange(n, dtype=np.int64), sh_counts)
+    parts_d = [sh_flat]
+    parts_r = [rows_sh]
+    if cfg.char_ngram > 0 and len(codes):
+        # per-UNIQUE-token gram digests, replicated per occurrence via
+        # one flat gather (no per-occurrence hashing)
+        ugram_flat: list[int] = []
+        ugram_counts = np.zeros(len(uniq), dtype=np.int64)
+        for i, raw in enumerate(uniq):
+            norm = raw.lower() if cfg.lowercase else raw
+            gh = chargram_hashes(norm, cfg)
+            ugram_flat.extend(gh)
+            ugram_counts[i] = len(gh)
+        ugrams = np.asarray(ugram_flat, dtype=np.uint64)
+        ustarts = np.zeros(len(uniq), dtype=np.int64)
+        np.cumsum(ugram_counts[:-1], out=ustarts[1:])
+        occ_counts = ugram_counts[codes]
+        occ_starts = ustarts[codes]
+        total = int(occ_counts.sum())
+        if total:
+            base = np.repeat(occ_starts, occ_counts)
+            within = np.arange(total) - np.repeat(
+                np.cumsum(occ_counts) - occ_counts, occ_counts
+            )
+            parts_d.append(ugrams[base + within])
+            row_of_occ = np.repeat(np.arange(n, dtype=np.int64), counts)
+            parts_r.append(np.repeat(row_of_occ, occ_counts))
+    digests = np.concatenate(parts_d)
+    rows = np.concatenate(parts_r)
+    order = np.lexsort((digests, rows))
+    digests, rows = digests[order], rows[order]
+    first = np.ones(len(rows), dtype=bool)
+    first[1:] = (rows[1:] != rows[:-1]) | (digests[1:] != digests[:-1])
+    idx = np.flatnonzero(first)
+    cnt = np.diff(np.append(idx, len(rows))).astype(np.int64)
+    return rows[first], digests[first], cnt
+
+
+def simhash_batch(
+    texts: pa.Array | pa.ChunkedArray,
+    cfg: SimHashConfig = SimHashConfig(),
+    cache: TokenHashCache | None = None,
+) -> np.ndarray:
+    """Vectorized SimHash of a string column → uint64 signatures.
+
+    Tokenization stays in Arrow (zero-copy from the object store);
+    per-token work touches only the batch's *unique* tokens via
+    dictionary encoding + the actor's cache; shingle folding and bit
+    accumulation are flat numpy array ops.
+    """
+    if cache is None:
+        cache = TokenHashCache(cfg)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+
+    uniq, codes, counts = _tokenize_flat(texts, n)
+    uhash, ucontrib = cache.lookup(uniq)
+
+    h = uhash[codes]  # flat token hashes in row order
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    starts = offsets[:-1]
+
+    k = cfg.shingle_k
+    seed = np.uint64(_seed_const(cfg))
+    sh_flat, sh_counts, sh_starts = _shingle_digests(h, counts, starts, n, k, seed)
 
     # --- accumulate -----------------------------------------------------
     # adder = Σ(±1 per digest bit) = 2·Σbits − n_digests, so sum raw 0/1

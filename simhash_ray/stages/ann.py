@@ -210,10 +210,8 @@ class HyperplaneSigner:
         )
 
 
-def lsh_cosine_dup_pairs(
+def lsh_cosine_candidates(
     vectors: rd.Dataset,
-    threshold_num: int,
-    threshold_den: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bands: int = 8,
@@ -221,25 +219,14 @@ def lsh_cosine_dup_pairs(
     n_parts: int = 64,
     pair_full_threshold: int = 512,
     concurrency=(1, 8),
-    broadcast_limit: int = 2_000_000,
 ) -> rd.Dataset:
-    """Banded hyperplane-LSH near-dup pairs — the scale path the
-    round-1 verdict asked for (VERDICT.md item 4): no full-table
-    ``take_all``; same output schema as :func:`cosine_dup_pairs`.
-
-    encode (HyperplaneSigner actor pool) → narrow band rows (the u64
-    signature splits into ``n_bands`` contiguous bit-chunks; OR-of-
-    bands candidate rule) → one bucket groupby (reusing the MinHash
-    pair generator with its star skew-guard) → pair dedupe → EXACT
-    float64 cosine verification against a broadcast of the normalized
-    vectors.  Recall for a pair at cosine c is
-    1 − (1 − p^(64/n_bands))^n_bands with p = 1 − arccos(c)/π —
-    ≈ 0.999 at c = 0.98 with the defaults; grow bits-per-band
-    (lower n_bands) to cut candidates at higher corpus sizes.
-
-    Exact-cosine verify means precision 1 vs the exact operator; only
-    barely-over-threshold pairs can be missed (tests/test_minhash_ann
-    pins recall ≥ 0.95 on planted near-dups)."""
+    """Candidate half of :func:`lsh_cosine_dup_pairs`: encode
+    (HyperplaneSigner actor pool) → narrow band rows (the u64 signature
+    splits into ``n_bands`` contiguous bit-chunks; OR-of-bands rule) →
+    one bucket groupby (reusing the MinHash pair generator with its
+    star skew-guard) → global pair dedupe.  Returns (a, b, star).
+    Exposed separately so the candidate set can be staged for the SQL
+    oracle, which re-runs the exact-cosine verify in DuckDB."""
     from ..functions.hashing import part_of_ints
     from .base import map_groups_typed
     from .minhash import _EMPTY_PAIRS, _dedupe_pairs, make_pair_generator
@@ -280,11 +267,49 @@ def lsh_cosine_dup_pairs(
         )
 
     bands = sig_ds.map_batches(expand, batch_format="pyarrow")
-    pairs = _dedupe_pairs(
+    return _dedupe_pairs(
         map_groups_typed(
             bands, "part", make_pair_generator(pair_full_threshold, n_parts),
             _EMPTY_PAIRS,
         )
+    )
+
+
+def lsh_cosine_dup_pairs(
+    vectors: rd.Dataset,
+    threshold_num: int,
+    threshold_den: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 8,
+    seed: int = 1234,
+    n_parts: int = 64,
+    pair_full_threshold: int = 512,
+    concurrency=(1, 8),
+    broadcast_limit: int = 2_000_000,
+    candidates: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """Banded hyperplane-LSH near-dup pairs — the scale path the
+    round-1 verdict asked for (VERDICT.md item 4): no full-table
+    ``take_all``; same output schema as :func:`cosine_dup_pairs`.
+
+    :func:`lsh_cosine_candidates` → EXACT float64 cosine verification
+    against a broadcast of the normalized vectors (hash joins above
+    ``broadcast_limit``).  Recall for a pair at cosine c is
+    1 − (1 − p^(64/n_bands))^n_bands with p = 1 − arccos(c)/π —
+    ≈ 0.999 at c = 0.98 with the defaults; grow bits-per-band
+    (lower n_bands) to cut candidates at higher corpus sizes.
+
+    Exact-cosine verify means precision 1 vs the exact operator; only
+    barely-over-threshold pairs can be missed (tests/test_minhash_ann
+    pins recall ≥ 0.95 on planted near-dups).  ``candidates``
+    short-circuits the candidate stage (the oracle-staging caller
+    passes a materialized candidate set so both engines verify the
+    same pairs)."""
+    pairs = candidates if candidates is not None else lsh_cosine_candidates(
+        vectors, id_col=id_col, vec_col=vec_col, n_bands=n_bands, seed=seed,
+        n_parts=n_parts, pair_full_threshold=pair_full_threshold,
+        concurrency=concurrency,
     )
 
     # exact verify: broadcast the normalized matrix once (vector table

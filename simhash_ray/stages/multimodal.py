@@ -1,10 +1,13 @@
 """Multimodal column operators: image decode / feature / resize as
-actor-pool map_batches stages; audio/video stubs.
+actor-pool map_batches stages; audio/video behind injectable-decoder
+seams.
 
-Image ops are REAL (stdlib codecs from simhash_ray.imgcodec); the
-audio/video stages are stubs behind clearly-marked seams — the decode
-libraries are not in this container, but the Ray-side plumbing (schema,
-batch size, actor signature, output layout) is real and tested.
+Image ops are REAL (stdlib codecs from simhash_ray.imgcodec).  The
+audio/video stages take a user-supplied decoder callable (the decode
+libraries are not in this container); without one they degrade to
+clearly-marked stubs, but the Ray-side plumbing (schema, batch size,
+actor signature, constructor kwargs, output layout) is real and
+tested with injected fake decoders.
 
 These run over the north-rule image table; ``bytes`` is a wide binary
 column, so stages keep ``batch_size`` small and should be placed
@@ -140,41 +143,142 @@ def image_embeddings(
     )
 
 
-class AudioFeatureStub:
-    """STUB: audio decode/feature-extract (no audio libs in-sandbox).
+class AudioFeatures:
+    """Audio decode + feature-extract behind an injectable decoder seam
+    (round-2 verdict item 10).
 
-    Real plumbing, fake kernel: emits a deterministic pseudo-feature
-    (byte-level energy proxy) per row and a ``stub=True`` marker so
-    downstream consumers can't mistake it for a real decoder.  Swap
-    ``_features`` for a real implementation (e.g. soundfile + librosa)
-    in production."""
+    ``decoder`` is ``bytes -> 1-D float ndarray`` of PCM samples (e.g.
+    ``lambda b: soundfile.read(io.BytesIO(b))[0]`` in production).
+    When supplied, the stage emits real features per row — sample
+    count, RMS energy, zero-crossing rate — through the same actor
+    pool / schema plumbing tests exercise with a fake decoder.  With
+    the default ``decoder=None`` it degrades to the deterministic
+    byte-level energy proxy and marks every row ``stub=True`` so
+    downstream consumers can't mistake it for a real decode."""
 
-    STUB = True
+    def __init__(self, decoder=None):
+        self.decoder = decoder
+        self.stub = decoder is None
 
-    def _features(self, payload: bytes) -> float:
+    STUB = True  # class-level marker: the DEFAULT kernel is a stub
+
+    def _proxy(self, payload: bytes) -> float:
         if len(payload) == 0:
             return 0.0
         arr = np.frombuffer(payload, dtype=np.uint8)
         return float(arr.astype(np.float64).mean())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._features(b) for b in batch["bytes"].to_pylist()]
+        n = batch.num_rows
         out = batch.drop_columns(["bytes"])
-        out = out.append_column("energy_proxy", pa.array(feats, type=pa.float64()))
-        return out.append_column("stub", pa.array([True] * batch.num_rows))
+        payloads = batch["bytes"].to_pylist()
+        if self.stub:
+            feats = [self._proxy(b) for b in payloads]
+            out = out.append_column(
+                "energy_proxy", pa.array(feats, type=pa.float64())
+            )
+            return out.append_column("stub", pa.array([True] * n))
+        n_samples = np.zeros(n, dtype=np.int64)
+        rms = np.zeros(n, dtype=np.float64)
+        zcr = np.zeros(n, dtype=np.float64)
+        for i, b in enumerate(payloads):
+            pcm = np.asarray(self.decoder(b), dtype=np.float64).ravel()
+            n_samples[i] = pcm.size
+            if pcm.size:
+                rms[i] = float(np.sqrt(np.mean(pcm * pcm)))
+            if pcm.size > 1:
+                zcr[i] = float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+        out = out.append_column("n_samples", pa.array(n_samples, type=pa.int64()))
+        out = out.append_column("rms", pa.array(rms, type=pa.float64()))
+        out = out.append_column("zcr", pa.array(zcr, type=pa.float64()))
+        return out.append_column("stub", pa.array([False] * n))
 
 
-class VideoFrameSampleStub:
-    """STUB: video frame sampling (no video libs in-sandbox)."""
+# Backwards-compatible name for the decoder-less stub configuration.
+AudioFeatureStub = AudioFeatures
 
-    STUB = True
+
+def audio_features(
+    ds: rd.Dataset, decoder=None, concurrency=(1, 8), batch_size: int = 256
+) -> rd.Dataset:
+    """Actor-pool audio feature stage over a wide ``bytes`` column; see
+    :class:`AudioFeatures` for the decoder-injection contract."""
+    return ds.map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class VideoFrameSampler:
+    """Video frame sampling behind the same injectable seam.
+
+    ``frame_decoder`` is ``bytes -> iterable of (frame_idx:int,
+    frame_bytes:bytes)`` (e.g. an ``av`` demux loop in production);
+    ``every_n`` keeps every n-th decoded frame.  Output: one row per
+    sampled frame, ``(video_id, frame_idx, bytes)``.  Without a
+    decoder the stage raises with the stage contract — video decode
+    is genuinely unavailable in-sandbox and a fake would be
+    indistinguishable from data."""
+
+    STUB = True  # decoder-less configuration raises
+
+    def __init__(self, frame_decoder=None, every_n: int = 1):
+        if every_n < 1:
+            raise ValueError(f"every_n must be >= 1, got {every_n}")
+        self.frame_decoder = frame_decoder
+        self.every_n = every_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "video decoding requires av/ffmpeg, unavailable in this sandbox; "
-            "the stage contract is batch(bytes) -> rows of (video_id, "
-            "frame_idx, bytes) with one output row per sampled frame"
+        if self.frame_decoder is None:
+            raise NotImplementedError(
+                "video decoding requires av/ffmpeg, unavailable in this "
+                "sandbox; inject frame_decoder(bytes) -> iterable of "
+                "(frame_idx, frame_bytes) to run this stage — the contract "
+                "is batch(video_id, bytes) -> rows of (video_id, frame_idx, "
+                "bytes), one output row per sampled frame"
+            )
+        ids: list = []
+        idxs: list[int] = []
+        frames: list[bytes] = []
+        vid_col = batch["video_id"].to_pylist()
+        for vid, payload in zip(vid_col, batch["bytes"].to_pylist()):
+            for frame_idx, frame_bytes in self.frame_decoder(payload):
+                if frame_idx % self.every_n:
+                    continue
+                ids.append(vid)
+                idxs.append(frame_idx)
+                frames.append(frame_bytes)
+        return pa.table(
+            {
+                "video_id": pa.array(ids, type=batch["video_id"].type),
+                "frame_idx": pa.array(idxs, type=pa.int64()),
+                "bytes": pa.array(frames, type=pa.binary()),
+            }
         )
+
+
+# Backwards-compatible name for the decoder-less stub configuration.
+VideoFrameSampleStub = VideoFrameSampler
+
+
+def video_frames(
+    ds: rd.Dataset,
+    frame_decoder=None,
+    every_n: int = 1,
+    concurrency=(1, 8),
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """Actor-pool frame-sampling stage; see :class:`VideoFrameSampler`."""
+    return ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"frame_decoder": frame_decoder, "every_n": every_n},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 def image_stats(ds: rd.Dataset, concurrency=(1, 8), batch_size: int = 256) -> rd.Dataset:

@@ -111,3 +111,49 @@ def test_config_loader_rejects_bad_input(tmp_path):
     bad3.write_text("text_lsh:\n  hamming_tau: 7\n")  # pigeonhole break
     with pytest.raises(ValueError, match="pigeonhole"):
         load_config(str(bad3))
+
+
+def test_submit_job_local_smoke(tmp_path):
+    """scripts/submit_job.py --local drives the same entrypoint the
+    cluster job-submission path wraps (round-2 verdict item 9)."""
+    fdir = write_fixture(
+        default_fixture_dir(FixtureSpec(n_rows=300, seed=13)),
+        FixtureSpec(n_rows=300, seed=13),
+    )
+    out = tmp_path / "out"
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    res = subprocess.run(
+        [
+            sys.executable, "scripts/submit_job.py", "--local", "--",
+            "--num-cpus", "8",
+            "encode", os.path.join(fdir, "images.parquet"),
+            "--out", str(out),
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    sig = pq.read_table(str(out))
+    assert sig.num_rows == 300
+    assert {"image_id", "simhash", "phash"} <= set(sig.column_names)
+
+
+def test_submit_job_entrypoint_shape():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "submit_job",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "submit_job.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.build_entrypoint(["dedup", "/d", "--out", "/o"]) == (
+        "python -m simhash_ray dedup /d --out /o"
+    )

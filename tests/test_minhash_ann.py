@@ -470,3 +470,65 @@ def test_audio_stub_marks_itself():
 def test_video_stub_raises():
     with pytest.raises(NotImplementedError):
         VideoFrameSampleStub()(pa.table({"bytes": pa.array([b""])}))
+
+
+def test_audio_decoder_injection_through_ray_stage():
+    """Round-2 verdict item 10: a user-supplied decoder runs through
+    the real actor-pool plumbing (schema, batch size, constructor
+    kwargs) without the audio libs — the seam a production deployment
+    swaps soundfile/librosa into."""
+    from simhash_ray.stages.multimodal import audio_features
+
+    # fake decoder defined INSIDE the test so cloudpickle ships it by
+    # value (test modules are unimportable in Ray workers)
+    def pcm16(b: bytes):
+        return np.frombuffer(b, dtype=np.int16).astype(np.float64) / 32768.0
+
+    clips = pa.table(
+        {
+            "clip_id": pa.array([1, 2, 3]),
+            "bytes": pa.array(
+                [
+                    np.array([0, 16384, -16384, 0], dtype=np.int16).tobytes(),
+                    np.zeros(8, dtype=np.int16).tobytes(),
+                    b"",
+                ]
+            ),
+        }
+    )
+    out = (
+        audio_features(rd.from_arrow(clips), decoder=pcm16, concurrency=2)
+        .to_pandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    assert out["stub"].tolist() == [False, False, False]
+    assert out["n_samples"].tolist() == [4, 8, 0]
+    assert out.loc[0, "rms"] == pytest.approx(0.5 * np.sqrt(2) / 2, rel=1e-12)
+    assert out.loc[1, "rms"] == 0.0 and out.loc[2, "rms"] == 0.0
+    assert "bytes" not in out.columns
+
+
+def test_video_frame_decoder_injection_through_ray_stage():
+    from simhash_ray.stages.multimodal import video_frames
+
+    def fake_frames(b: bytes):
+        # one fake 2-byte "frame" per input byte
+        return [(i, bytes([v, v])) for i, v in enumerate(b)]
+
+    vids = pa.table(
+        {
+            "video_id": pa.array(["a", "b"]),
+            "bytes": pa.array([bytes(range(5)), b""]),
+        }
+    )
+    out = (
+        video_frames(rd.from_arrow(vids), frame_decoder=fake_frames, every_n=2)
+        .to_pandas()
+        .sort_values(["video_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    # frames 0, 2, 4 of video "a"; video "b" decodes to nothing
+    assert out["video_id"].tolist() == ["a", "a", "a"]
+    assert out["frame_idx"].tolist() == [0, 2, 4]
+    assert out["bytes"].tolist() == [b"\x00\x00", b"\x02\x02", b"\x04\x04"]

@@ -142,3 +142,64 @@ def test_hamming64_known_values():
     a = np.array([0, 0xFFFFFFFFFFFFFFFF, 0b1010], dtype=np.uint64)
     b = np.array([0, 0, 0b0101], dtype=np.uint64)
     np.testing.assert_array_equal(hamming64(a, b), [0, 64, 4])
+
+
+# --------------------------------------------------------------------------
+# digest-multiset projection (the doc_simhash_sigs staged-oracle seam)
+
+
+def _fold_digests(rows, digs, cnt, n):
+    """The ±1 accumulate + sign fold the SQL oracle re-runs in DuckDB
+    (pipelines/queries.SQL_DOC_SIMHASH_SIGS), in numpy."""
+    sigs = np.zeros(n, dtype=np.uint64)
+    for j in range(64):
+        bit = ((digs >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+        adder = np.bincount(rows, weights=cnt * (2 * bit - 1), minlength=n)
+        sigs |= (adder > 0).astype(np.uint64) << np.uint64(j)
+    return sigs
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        CFG,
+        SimHashConfig(shingle_k=1),
+        SimHashConfig(shingle_k=3),
+        SimHashConfig(char_ngram=0),
+        SimHashConfig(char_ngram=2),
+        SimHashConfig(lowercase=False),
+    ],
+)
+def test_digest_rows_fold_reproduces_batch(cfg):
+    """Sign-folding the staged digest multiset must reproduce
+    simhash_batch exactly — the pin that makes the staged SQL oracle a
+    real cross-check of the encoder's accumulate semantics."""
+    from simhash_ray.simhash import simhash_digest_rows
+
+    texts = pa.array(SAMPLES)
+    rows, digs, cnt = simhash_digest_rows(texts, cfg)
+    # multiset is aggregated: no duplicate (row, digest) keys, counts >= 1
+    key = rows.astype(object) * (1 << 64) + digs.astype(object)
+    assert len(set(key)) == len(key)
+    assert (cnt >= 1).all()
+    got = _fold_digests(rows, digs, cnt, len(SAMPLES))
+    np.testing.assert_array_equal(got, simhash_batch(texts, cfg))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+            max_size=40,
+        ),
+        max_size=8,
+    )
+)
+def test_digest_rows_fold_property(texts):
+    from simhash_ray.simhash import simhash_digest_rows
+
+    arr = pa.array(texts, type=pa.string())
+    rows, digs, cnt = simhash_digest_rows(arr, CFG)
+    got = _fold_digests(rows, digs, cnt, len(texts))
+    np.testing.assert_array_equal(got, simhash_batch(arr, CFG))
