@@ -13,6 +13,9 @@ Subcommands::
         Parquet plus metrics.json
     python -m simhash_ray encode <table-dir> --out DIR
         signatures only (image_id, simhash, phash)
+    python -m simhash_ray dedup-docs <table> --out DIR
+        text-domain flagship over a document table
+        (--text-col/--id-col; writes assignment/ + metrics.json)
 
 The CLI owns its Ray session (guarded init — the driver contract in
 __ray_entry__.py forbids module-level init); pipelines themselves
@@ -120,6 +123,33 @@ def cmd_encode(args) -> int:
     return 0
 
 
+def cmd_dedup_docs(args) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines.dedup_docs import dedup_documents
+
+    cfg = _load_cfg(args)
+    docs = rd.read_parquet(args.table, columns=[args.id_col, args.text_col])
+    assignment = dedup_documents(
+        docs, cfg, text_col=args.text_col, id_col=args.id_col
+    ).materialize()
+    os.makedirs(args.out, exist_ok=True)
+    assignment.write_parquet(os.path.join(args.out, "assignment"))
+    n = assignment.count()
+    n_reps = assignment.filter(expr="is_representative == True").count()
+    metrics = {
+        "n_rows": n,
+        "n_representatives": n_reps,
+        "n_duplicates_removed": n - n_reps,
+        "config_hash": cfg.config_hash(),
+    }
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="simhash_ray", description="Ray-Data-native near-duplicate engine"
@@ -155,6 +185,15 @@ def main(argv=None) -> int:
     e.add_argument("table")
     e.add_argument("--out", required=True)
     e.set_defaults(fn=cmd_encode)
+
+    dd = sub.add_parser(
+        "dedup-docs", help="near-dup detect + cluster a document table"
+    )
+    dd.add_argument("table", help="Parquet file/dir with id + text columns")
+    dd.add_argument("--out", required=True, help="output directory")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.set_defaults(fn=cmd_dedup_docs)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

@@ -25,7 +25,7 @@ from ..config import DEFAULT_CONFIG
 from ..fixtures import FixtureSpec, default_fixture_dir, write_fixture
 from ..sources.tables import read_table
 from ..stages import text as text_ops
-from ..stages.ann import brute_force_topk, cosine_dup_pairs, lsh_bucketed_topk
+from ..stages.ann import brute_force_topk, cosine_dup_pairs
 from ..stages.minhash import all_pairs_jaccard
 from ..stages.multimodal import image_stats
 from ..stages.window import sessionize, tumbling_window_agg
@@ -1231,24 +1231,72 @@ WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * 5
 """
 
 
+def _topk_rerank_sql(cands_name: str, k: int) -> str:
+    """Shared oracle shape for the bucketed ANN variants: DuckDB
+    re-ranks the STAGED candidate set (the probe plan's scored rows)
+    by exact cosine with the same (score desc, id asc) tie-break and
+    must reproduce the Ray top-k exactly."""
+    return f"""
+WITH c AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM read_parquet('{_staged(cands_name)}')
+  WHERE query_id <> neighbor_id
+),
+s AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS score
+  FROM c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {k}
+"""
+
+
 def q_embed_ivf_topk(sf_dir: str):
-    """IVF (k-means coarse quantizer) approximate top-k — the second
-    ANN scale path besides hyperplane LSH (rows-only; planted-neighbor
-    recall pinned in tests/test_minhash_ann.py)."""
-    from ..stages.ann import ivf_topk
+    """IVF (k-means coarse quantizer) approximate top-k, SQL-oracle-
+    checked via staging: which centroid lists a query probes depends on
+    the trained quantizer (not SQL-expressible), so the probe plan's
+    CANDIDATE set is staged and the oracle re-ranks it by exact cosine
+    in DuckDB — both engines must produce the identical top-k.
+    Planted-neighbor recall stays pytest-pinned."""
+    from ..stages.ann import _bucketed_scan_topk, _ivf_probe_plan, bucketed_candidates
 
     vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return ivf_topk(vecs, query_ids=list(range(10)), k=5, n_centroids=8, n_probe=3)
+    assigned, ref = _ivf_probe_plan(
+        vecs, query_ids=list(range(10)), n_centroids=8, n_probe=3
+    )
+    assigned = assigned.materialize()
+    _stage(bucketed_candidates(assigned, ref, "vec_id", "cent"), "embed_ivf_cands")
+    return _bucketed_scan_topk(assigned, ref, 5, "vec_id", "embedding", "cent")
+
+
+SQL_EMBED_IVF_TOPK = _topk_rerank_sql("embed_ivf_cands", 5)
 
 
 def q_embed_lsh_topk(sf_dir: str):
-    """Hyperplane-LSH-bucketed approximate top-k (scale path of
-    embed_topk; probabilistic — rows-only check, recall tested in
-    pytest)."""
+    """Hyperplane-LSH-bucketed approximate top-k, SQL-oracle-checked
+    via staging (same scheme as :func:`q_embed_ivf_topk`: the random-
+    hyperplane probe plan is not SQL-expressible; the candidate set it
+    induces is staged and DuckDB re-ranks it by exact cosine)."""
+    from ..stages.ann import _bucketed_scan_topk, _lsh_probe_plan, bucketed_candidates
+
     vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return lsh_bucketed_topk(
-        vecs, query_ids=list(range(10)), k=5, n_planes=4, n_probes=3
+    hashed, ref = _lsh_probe_plan(
+        vecs, query_ids=list(range(10)), n_planes=4, n_probes=3
     )
+    hashed = hashed.materialize()
+    _stage(bucketed_candidates(hashed, ref, "vec_id", "bucket"), "embed_lsh_cands_topk")
+    return _bucketed_scan_topk(hashed, ref, 5, "vec_id", "embedding", "bucket")
+
+
+SQL_EMBED_LSH_TOPK = _topk_rerank_sql("embed_lsh_cands_topk", 5)
 
 
 def q_doc_langid_score(sf_dir: str):
@@ -1363,8 +1411,65 @@ FROM embeddings GROUP BY label
 
 
 def q_images_signatures(sf_dir: str):
+    """(image_id, simhash, phash) signatures of the north-rule image
+    table, SQL-oracle-checked via staging (same scheme as
+    :func:`q_doc_simhash_sigs`): the caption digest multiset and the
+    (image_id, phash) base are staged; DuckDB re-runs the ±1
+    accumulate + sign fold over the 64 bit lanes and passes phash
+    through — cross-checking the encoder core on the image fixture
+    (the fixture table itself is not a driver-registered view, hence
+    the staged base)."""
     images = read_images_fixture(sf_dir, columns=["image_id", "caption", "phash"])
+
+    def digest_rows(batch: pa.Table) -> pa.Table:
+        from ..simhash import simhash_digest_rows
+
+        rows, digs, cnt = simhash_digest_rows(
+            batch["caption"], DEFAULT_CONFIG.simhash
+        )
+        ids = batch["image_id"].combine_chunks() if isinstance(
+            batch["image_id"], pa.ChunkedArray
+        ) else batch["image_id"]
+        return pa.table(
+            {
+                "image_id": ids.take(pa.array(rows)),
+                "digest": pa.array(digs, type=pa.uint64()),
+                "cnt": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    _stage(images.map_batches(digest_rows, batch_format="pyarrow"), "images_digests")
+    _stage(
+        images.map_batches(
+            lambda t: t.select(["image_id", "phash"]), batch_format="pyarrow"
+        ),
+        "images_sig_base",
+    )
     return flagship.signatures(images, DEFAULT_CONFIG, concurrency=(1, 4))
+
+
+SQL_IMAGES_SIGNATURES = f"""
+WITH d AS (SELECT image_id, digest, cnt FROM read_parquet('{_staged("images_digests")}')),
+bits AS (
+  SELECT image_id, j,
+         SUM(CASE WHEN (digest >> CAST(j AS INT)) & 1 = 1 THEN cnt ELSE -cnt END) AS adder
+  FROM d CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+  GROUP BY image_id, j
+),
+s AS (
+  SELECT image_id,
+         SUM(CASE WHEN adder > 0
+                  THEN CAST((1::UBIGINT << CAST(j AS INT)) AS HUGEINT)
+                  ELSE 0 END) AS u
+  FROM bits GROUP BY image_id
+)
+SELECT b.image_id,
+       CAST(CASE WHEN COALESCE(u, 0) >= 9223372036854775808
+                 THEN u - 18446744073709551616
+                 ELSE COALESCE(u, 0) END AS BIGINT) AS simhash,
+       b.phash
+FROM read_parquet('{_staged("images_sig_base")}') b LEFT JOIN s USING (image_id)
+"""
 
 
 def q_images_dedup(sf_dir: str):
@@ -1377,8 +1482,10 @@ def q_images_embed_dedup(sf_dir: str):
     """Multimodal → embedding-space dedup composition: decode images
     into color-histogram embeddings (actor pool over the wide binary
     column) and find cosine-0.999 near-dup pairs via the banded LSH
-    operator (rows-only; exact-dup hit rate pytest-gated)."""
-    from ..stages.ann import lsh_cosine_dup_pairs
+    operator.  SQL-oracle-checked via staging (post-decode embeddings
+    + candidate set staged; DuckDB re-runs the exact-cosine verify);
+    exact-dup hit rate additionally pytest-gated."""
+    from ..stages.ann import lsh_cosine_candidates, lsh_cosine_dup_pairs
     from ..stages.multimodal import image_embeddings
 
     images = read_images_fixture(sf_dir)
@@ -1388,8 +1495,26 @@ def q_images_embed_dedup(sf_dir: str):
         ids = pc.cast(pc.replace_substring(batch["image_id"], "img", ""), pa.int64())
         return pa.table({"vec_id": ids, "embedding": batch["embedding"]})
 
-    vecs = emb.map_batches(to_int, batch_format="pyarrow")
-    return lsh_cosine_dup_pairs(vecs, 999, 1000, n_parts=16)
+    # decode → embed is not SQL-expressible, but the verify half is:
+    # the post-decode embeddings and the LSH candidate set are staged,
+    # and the oracle re-runs the exact-cosine verify in DuckDB
+    vecs = emb.map_batches(to_int, batch_format="pyarrow").materialize()
+    _stage(vecs, "images_embed_vecs")
+    cands = lsh_cosine_candidates(vecs, n_parts=16).materialize()
+    _stage(
+        cands.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow"),
+        "images_embed_cands",
+    )
+    return lsh_cosine_dup_pairs(vecs, 999, 1000, n_parts=16, candidates=cands)
+
+
+SQL_IMAGES_EMBED_DEDUP = f"""
+SELECT c.a, c.b
+FROM read_parquet('{_staged("images_embed_cands")}') c
+JOIN read_parquet('{_staged("images_embed_vecs")}') va ON va.vec_id = c.a
+JOIN read_parquet('{_staged("images_embed_vecs")}') vb ON vb.vec_id = c.b
+WHERE list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]) * 1000 >= 999
+"""
 
 
 def q_images_dedup_truth(sf_dir: str):
@@ -1545,6 +1670,10 @@ def oracle_sqls() -> dict:
         "doc_simhash_sigs": SQL_DOC_SIMHASH_SIGS,
         "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
         "embed_dup_pairs_lsh": SQL_EMBED_DUP_PAIRS_LSH,
+        "embed_lsh_topk": SQL_EMBED_LSH_TOPK,
+        "embed_ivf_topk": SQL_EMBED_IVF_TOPK,
+        "images_signatures": SQL_IMAGES_SIGNATURES,
+        "images_embed_dedup": SQL_IMAGES_EMBED_DEDUP,
         "images_dedup_truth": SQL_IMAGES_DEDUP_TRUTH,
         # rows-only — why no oracle can exist for each:
         # doc_simhash_dedup  — representative election over union-find
@@ -1552,21 +1681,11 @@ def oracle_sqls() -> dict:
         #   + blake2b/splitmix hashing has no SQL counterpart, and the
         #   downstream fold is already oracle-covered via
         #   doc_simhash_sigs + the regime-equivalence pytest.
-        # embed_lsh_topk / embed_ivf_topk — which buckets a query
-        #   probes depends on random-hyperplane signs / trained k-means
-        #   centroids; the candidate set is irreproducible in SQL.  The
-        #   exact counterpart embed_topk IS oracle-checked; recall vs
-        #   planted neighbors is pytest-pinned.
-        # images_signatures — keyed blake2b text hashing (no DuckDB
-        #   primitive); encoder semantics oracle-covered via
-        #   doc_simhash_sigs' staged digest fold + unit-test parity.
         # images_dedup — full-assignment output of the same pipeline;
         #   cluster-level conformance IS oracle-checked by the staged
         #   images_dedup_truth join, and planted-truth recall is
         #   pytest-gated.
-        # images_embed_dedup — candidates depend on image DECODE
-        #   (histogram embeddings of synthetic pixel bytes), not
-        #   expressible in SQL; exact-dup hit rate pytest-gated.
         # images_stats — recomputes phash from decoded pixel bytes
-        #   (DCT over the image payload); not expressible in SQL.
+        #   (DCT over the image payload); not expressible in SQL (the
+        #   phash_matches invariant column is pytest-gated instead).
     }

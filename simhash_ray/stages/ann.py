@@ -438,27 +438,20 @@ class HyperplaneHasher:
         return batch.append_column("bucket", pa.array(bucket.view(np.int64)))
 
 
-def lsh_bucketed_topk(
+def _lsh_probe_plan(
     vectors: rd.Dataset,
     query_ids: list[int],
-    k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
     n_probes: int = 1,
-) -> rd.Dataset:
-    """Approximate top-k: candidates sharing one of the query's probed
-    hyperplane buckets are scored.  Multi-probe (``n_probes`` > 1) also
-    visits the buckets whose sign patterns differ from the query's in
-    the bits with the SMALLEST projection magnitude — the standard
-    multi-probe LSH refinement: a near-boundary plane is the likeliest
-    to disagree between true neighbors, so flipping it first recovers
-    most of the recall a single probe loses.  Bucket count (n_planes)
-    and probe count are the recall/cost knobs.
-
-    The query vectors (a tiny set) are broadcast with their probe
-    lists; the corpus streams once through the bucket groupby —
-    per-bucket partial top-k, then a small per-query merge."""
+):
+    """Probe-plan half of :func:`lsh_bucketed_topk`: bucket the corpus
+    by hyperplane signs and build the broadcast (q_ids, q_mat,
+    bucket→queries) ref.  Exposed separately so the candidate set the
+    plan induces can be staged for the SQL oracle
+    (:func:`bucketed_candidates`) while the SAME plan drives the
+    scan — both engines then rank exactly the same candidates."""
     first = vectors.take(1)[0]
     dim = len(first[vec_col])
     hashed = vectors.select_columns([id_col, vec_col]).map_batches(
@@ -497,8 +490,78 @@ def lsh_bucketed_topk(
         for b in bl:
             bucket_to_queries.setdefault(b, []).append(qi)
     ref = ray.put((q_ids, q_mat, bucket_to_queries))
+    return hashed, ref
+
+
+def lsh_bucketed_topk(
+    vectors: rd.Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_probes: int = 1,
+) -> rd.Dataset:
+    """Approximate top-k: candidates sharing one of the query's probed
+    hyperplane buckets are scored.  Multi-probe (``n_probes`` > 1) also
+    visits the buckets whose sign patterns differ from the query's in
+    the bits with the SMALLEST projection magnitude — the standard
+    multi-probe LSH refinement: a near-boundary plane is the likeliest
+    to disagree between true neighbors, so flipping it first recovers
+    most of the recall a single probe loses.  Bucket count (n_planes)
+    and probe count are the recall/cost knobs.
+
+    The query vectors (a tiny set) are broadcast with their probe
+    lists; the corpus streams once through a per-batch probed-bucket
+    scan — per-batch partial top-k, then a small per-query merge."""
+    hashed, ref = _lsh_probe_plan(
+        vectors, query_ids, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_probes=n_probes,
+    )
     return _bucketed_scan_topk(
         hashed, ref, k, id_col, vec_col, bucket_col="bucket"
+    )
+
+
+def bucketed_candidates(
+    bucketed: rd.Dataset, ref, id_col: str, bucket_col: str
+) -> rd.Dataset:
+    """(query_id, neighbor_id) — every corpus row a probe plan would
+    score, streamed per batch (the staging projection behind the
+    lsh/ivf top-k SQL oracles: DuckDB re-ranks these candidates by
+    exact cosine and must reproduce the Ray top-k exactly)."""
+    _empty = pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty
+        uq_ids, _, b2q = ray.get(ref)
+        buckets = batch[bucket_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_n = [], []
+        for b, qidxs in b2q.items():
+            rows = ids[buckets == b]
+            if not len(rows):
+                continue
+            for qi in qidxs:
+                out_q.append(np.full(len(rows), uq_ids[qi], dtype=np.int64))
+                out_n.append(rows)
+        if not out_q:
+            return _empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+            }
+        )
+
+    return bucketed.map_batches(
+        per_batch, batch_format="pyarrow", batch_size=_TOPK_SCAN_BATCH_SIZE
     )
 
 
@@ -609,10 +672,9 @@ class CentroidAssigner:
         return batch.append_column("cent", pa.array(cent, type=pa.int64()))
 
 
-def ivf_topk(
+def _ivf_probe_plan(
     vectors: rd.Dataset,
     query_ids: list[int],
-    k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int | None = None,
@@ -621,17 +683,11 @@ def ivf_topk(
     lloyd_iters: int = 10,
     seed: int = 47,
     concurrency=(1, 4),
-) -> rd.Dataset:
-    """IVF (inverted-file) approximate top-k — the coarse-quantizer
-    counterpart of :func:`lsh_bucketed_topk`.
-
-    Train: spherical k-means on a driver-side sample (``limit`` pull,
-    tiny); Assign: one actor-pool pass adds the nearest-centroid id;
-    Search: queries probe their ``n_probe`` nearest centroid lists via
-    the same streamed per-batch partial-top-k scan as the LSH variant
-    (no per-list materialization).  Recall/cost knobs: n_centroids
-    (list length ~ n/n_centroids; default √n, the standard IVF sizing,
-    so lists stay bounded as the corpus grows) and n_probe."""
+):
+    """Probe-plan half of :func:`ivf_topk` (same staging rationale as
+    :func:`_lsh_probe_plan`): train the coarse quantizer, assign the
+    corpus, and build the broadcast (q_ids, q_mat, centroid→queries)
+    ref.  Returns (assigned_ds, ref)."""
     if n_centroids is None:
         n_centroids = int(min(4096, max(16, round(np.sqrt(vectors.count())))))
     sample = vectors.select_columns([id_col, vec_col]).limit(train_sample).take_all()
@@ -678,4 +734,35 @@ def ivf_topk(
         for c in order[qi]:
             bucket_to_queries.setdefault(int(c), []).append(qi)
     ref = ray.put((q_ids, q_mat, bucket_to_queries))
+    return assigned, ref
+
+
+def ivf_topk(
+    vectors: rd.Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+    lloyd_iters: int = 10,
+    seed: int = 47,
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer
+    counterpart of :func:`lsh_bucketed_topk`.
+
+    Train: spherical k-means on a driver-side sample (``limit`` pull,
+    tiny); Assign: one actor-pool pass adds the nearest-centroid id;
+    Search: queries probe their ``n_probe`` nearest centroid lists via
+    the same streamed per-batch partial-top-k scan as the LSH variant
+    (no per-list materialization).  Recall/cost knobs: n_centroids
+    (list length ~ n/n_centroids; default √n, the standard IVF sizing,
+    so lists stay bounded as the corpus grows) and n_probe."""
+    assigned, ref = _ivf_probe_plan(
+        vectors, query_ids, id_col=id_col, vec_col=vec_col,
+        n_centroids=n_centroids, n_probe=n_probe, train_sample=train_sample,
+        lloyd_iters=lloyd_iters, seed=seed, concurrency=concurrency,
+    )
     return _bucketed_scan_topk(assigned, ref, k, id_col, vec_col, bucket_col="cent")

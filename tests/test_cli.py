@@ -157,3 +157,27 @@ def test_submit_job_entrypoint_shape():
     assert mod.build_entrypoint(["dedup", "/d", "--out", "/o"]) == (
         "python -m simhash_ray dedup /d --out /o"
     )
+
+
+def test_cli_dedup_docs_smoke(tmp_path):
+    out = tmp_path / "out"
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "simhash_ray", "--num-cpus", "8",
+            "dedup-docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out),
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    a = pq.read_table(str(out / "assignment"))
+    assert a.num_rows == 500
+    assert {"doc_id", "cluster_id", "is_representative"} <= set(a.column_names)
+    m = json.loads((out / "metrics.json").read_text())
+    assert m["n_rows"] == 500
+    assert m["n_representatives"] + m["n_duplicates_removed"] == 500
