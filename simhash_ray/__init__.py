@@ -6,8 +6,8 @@ Public surface (see README.md for the full map):
   :func:`dedup_images_checkpointed`, :func:`survivors`
 - text-domain flagship: :func:`dedup_documents`
 - building blocks live under ``simhash_ray.stages`` (encode, lsh,
-  cluster, minhash, substring, ann, text, window, multimodal) and
-  ``simhash_ray.state`` (manifests, progress)
+  cluster, minhash, substring, ann, text, window, joins, multimodal)
+  and ``simhash_ray.state`` (manifests, progress)
 - the full query/operator catalog: ``simhash_ray.pipelines.queries``
 - CLI: ``python -m simhash_ray dedup <table> --out DIR``
 

@@ -473,6 +473,100 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def q_events_asof(sf_dir: str):
+    """As-of join (temporal attribution): for every *purchase* event,
+    attach the most recent *signup* event at-or-before it by the same
+    user — null right columns when the user never signed up before the
+    purchase.  Composed through :func:`simhash_ray.stages.joins.asof_join`
+    (one keyed shuffle + per-group ``searchsorted``); right-side
+    ``ts`` ties resolved deterministically by max ``event_id``, the
+    rule the oracle SQL mirrors with a ``QUALIFY`` pre-dedupe."""
+    from ..stages.joins import asof_join
+
+    def side(event_type: str, keep_value: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["event_type"], event_type))
+            cols = ["user_id", "ts", "event_id"] + (["value"] if keep_value else [])
+            return t.select(cols)
+
+        return fn
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    left = read_table(sf_dir, "events", columns=cols).map_batches(
+        side("purchase", True), batch_format="pyarrow"
+    )
+    right = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    ).map_batches(side("signup", False), batch_format="pyarrow")
+    return asof_join(left, right, on="ts", by="user_id", tie_break="event_id")
+
+
+SQL_EVENTS_ASOF = """
+WITH p AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+)
+SELECT p.user_id, p.ts, p.event_id, p.value,
+       s.ts AS ts_r, s.event_id AS event_id_r
+FROM p ASOF LEFT JOIN s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+def q_events_range_join(sf_dir: str):
+    """Range (interval-containment) join: every *error* event inside
+    the trailing one-hour window of a *purchase* by the same user —
+    windowed attribution through
+    :func:`simhash_ray.stages.joins.range_join` (keyed mode: one
+    groupby shuffle + per-group vectorized ``searchsorted`` pair-gen;
+    the keyless bucket-replication mode is pytest-covered)."""
+    from ..stages.joins import range_join
+
+    hour = pa.scalar(3_600_000_000, type=pa.duration("us"))
+
+    def errors(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "error"))
+        return t.select(["user_id", "ts", "event_id"])
+
+    def windows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "lo": pc.subtract(t["ts"], hour),
+                "hi": t["ts"],
+                "purchase_id": t["event_id"],
+            }
+        )
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    pts = read_table(sf_dir, "events", columns=cols).map_batches(
+        errors, batch_format="pyarrow"
+    )
+    iv = read_table(sf_dir, "events", columns=cols).map_batches(
+        windows, batch_format="pyarrow"
+    )
+    return range_join(pts, iv, on="ts", lo="lo", hi="hi", by="user_id")
+
+
+SQL_EVENTS_RANGE_JOIN = """
+WITH e AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+),
+p AS (
+  SELECT user_id, ts - INTERVAL 1 HOUR AS lo, ts AS hi, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.user_id, e.ts, e.event_id,
+       p.lo AS lo_r, p.hi AS hi_r, p.purchase_id AS purchase_id_r
+FROM e JOIN p
+  ON e.user_id = p.user_id AND e.ts >= p.lo AND e.ts <= p.hi
+"""
+
+
 def q_event_props_stats(sf_dir: str):
     """Semi-structured extraction: pull the integer ``k`` field out of
     the JSON ``props`` string with a vectorized RE2 kernel
@@ -1607,6 +1701,8 @@ def ray_queries() -> dict:
         "doc_split": q_doc_split,
         "doc_top_tokens": q_doc_top_tokens,
         "event_props_stats": q_event_props_stats,
+        "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
         "sessionize": q_sessionize,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1653,6 +1749,8 @@ def oracle_sqls() -> dict:
         "doc_split": SQL_DOC_SPLIT,
         "doc_top_tokens": SQL_DOC_TOP_TOKENS,
         "event_props_stats": SQL_EVENT_PROPS_STATS,
+        "events_asof": SQL_EVENTS_ASOF,
+        "events_range_join": SQL_EVENTS_RANGE_JOIN,
         "sessionize": SQL_SESSIONIZE,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
