@@ -567,6 +567,33 @@ FROM e JOIN p
 """
 
 
+def q_doc_distinct_kmv(sf_dir: str):
+    """Approximate distinct-document count via the bottom-k (KMV)
+    sketch — the "how many unique docs are in this crawl" estimate a
+    pipeline runs before paying for full dedup.  Deterministic given
+    the data (bottom-k of md5 digests merges exactly), so the oracle
+    replays the identical estimator in SQL."""
+    from ..stages.sketch import kmv_distinct
+
+    docs = _docs(sf_dir, columns=["text"])
+    return kmv_distinct(docs, "text", k=256)
+
+
+SQL_DOC_DISTINCT_KMV = """
+WITH h AS (
+  SELECT DISTINCT md5(text) AS d FROM documents WHERE text IS NOT NULL
+),
+o AS (SELECT d FROM h ORDER BY d LIMIT 256),
+s AS (SELECT COUNT(*) AS c, MAX(d) AS kth FROM o)
+SELECT CASE WHEN c < 256 THEN ROUND(CAST(c AS DOUBLE), 6)
+       ELSE ROUND(255 / (('0x' || substr(kth, 1, 16))::UBIGINT
+                          / 18446744073709551616.0), 6)
+       END AS n_distinct_est,
+       CAST(256 AS BIGINT) AS kmv_k
+FROM s
+"""
+
+
 def q_event_props_stats(sf_dir: str):
     """Semi-structured extraction: pull the integer ``k`` field out of
     the JSON ``props`` string with a vectorized RE2 kernel
@@ -1703,6 +1730,7 @@ def ray_queries() -> dict:
         "event_props_stats": q_event_props_stats,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
+        "doc_distinct_kmv": q_doc_distinct_kmv,
         "sessionize": q_sessionize,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1751,6 +1779,7 @@ def oracle_sqls() -> dict:
         "event_props_stats": SQL_EVENT_PROPS_STATS,
         "events_asof": SQL_EVENTS_ASOF,
         "events_range_join": SQL_EVENTS_RANGE_JOIN,
+        "doc_distinct_kmv": SQL_DOC_DISTINCT_KMV,
         "sessionize": SQL_SESSIONIZE,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
