@@ -1074,6 +1074,59 @@ HAVING COUNT(*) >= 3
 """
 
 
+def q_doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/decontam.py): flag every
+    train-split document sharing a verbatim 8-token window with any
+    test-split document, with the count of its distinct contaminated
+    windows.  Composes the two hygiene primitives a pre-training
+    pipeline chains: the deterministic md5 split (doc_split) and
+    window-hash overlap (cf. GPT-3's n-gram decontamination)."""
+    from ..functions.hashing import md5_first_byte_of_int_ids
+    from ..stages.decontam import decontaminate
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def split_filter(want_train: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            nib = (md5_first_byte_of_int_ids(ids) >> 4).astype(np.int64)
+            keep = (nib < 12) if want_train else (nib >= 14)
+            return batch.filter(pa.array(keep))
+
+        return fn
+
+    train = docs.map_batches(split_filter(True), batch_format="pyarrow")
+    evalset = docs.map_batches(split_filter(False), batch_format="pyarrow")
+    return decontaminate(train, evalset, window=8)
+
+
+SQL_DOC_DECONTAMINATE = r"""
+WITH split AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS BIGINT) AS nib
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+mx AS (SELECT COALESCE(MAX(len(t)), 0) AS m FROM toks),
+idx AS (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS i),
+w AS (
+  SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS win
+  FROM toks JOIN idx ON i <= len(t) - 7
+),
+d AS (SELECT DISTINCT doc_id, win FROM w),
+ev AS (SELECT DISTINCT win
+       FROM d JOIN split USING (doc_id) WHERE split.nib >= 14),
+tr AS (SELECT d.doc_id, d.win
+       FROM d JOIN split USING (doc_id) WHERE split.nib < 12)
+SELECT tr.doc_id AS doc_id, COUNT(*) AS n_hits
+FROM tr JOIN ev USING (win)
+GROUP BY 1
+"""
+
+
 def q_doc_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-dup pairs, SQL-oracle-checked via staging: the
     encoder and band-bucket candidate generation are not
@@ -1738,6 +1791,7 @@ def ray_queries() -> dict:
         "doc_tokenset_dedup": q_doc_tokenset_dedup,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_substring_pairs": q_doc_substring_pairs,
+        "doc_decontaminate": q_doc_decontaminate,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_sigs": q_doc_simhash_sigs,
         "doc_simhash_dedup": q_doc_simhash_dedup,
@@ -1787,6 +1841,7 @@ def oracle_sqls() -> dict:
         "doc_tokenset_dedup": SQL_DOC_TOKENSET_DEDUP,
         "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
         "doc_substring_pairs": SQL_DOC_SUBSTRING_PAIRS,
+        "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "embed_topk": SQL_EMBED_TOPK,
         "embed_label_stats": SQL_EMBED_LABEL_STATS,
         "embed_dup_pairs": SQL_EMBED_DUP_PAIRS,
