@@ -1074,6 +1074,90 @@ HAVING COUNT(*) >= 3
 """
 
 
+def q_orders_topk_per_segment(sf_dir: str):
+    """Top-3 highest-value orders per market segment (stages/topk.py):
+    the per-bucket best-k sampling primitive, ROW_NUMBER() semantics
+    with a deterministic tie-break.  Small dimension side broadcast
+    once; the partial-then-merge shape ships ≤ k rows per segment per
+    block through the one tiny shuffle."""
+    from ..stages.topk import topk_per_group
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust_df = cust.to_pandas()
+    lookup_ref = ray.put(dict(zip(cust_df["c_custkey"], cust_df["c_mktsegment"])))
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey",
+                                                   "o_totalprice"])
+
+    tagged_schema = pa.schema(
+        [("c_mktsegment", pa.string()), ("o_orderkey", pa.int64()),
+         ("o_totalprice", pa.float64())]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lm = ray.get(lookup_ref)
+        seg = pd.Series(batch["o_custkey"].to_numpy(zero_copy_only=False)).map(lm)
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "c_mktsegment": seg,
+                    "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False),
+                    "o_totalprice": batch["o_totalprice"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            ).dropna(subset=["c_mktsegment"]),
+            preserve_index=False, schema=tagged_schema,
+        )
+
+    tagged = orders.map_batches(tag, batch_format="pyarrow")
+    return topk_per_group(
+        tagged, "c_mktsegment", "o_totalprice", k=3, tie_col="o_orderkey"
+    )
+
+
+SQL_ORDERS_TOPK_PER_SEGMENT = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rank
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) WHERE rank <= 3
+"""
+
+
+def q_doc_len_quantiles(sf_dir: str):
+    """Exact corpus length percentiles (stages/topk.exact_quantiles):
+    the curation-threshold statistic (where do p50/p90/p99 doc lengths
+    sit) computed exactly via a distinct-value histogram — integer
+    index arithmetic matches DuckDB's quantile_disc bit-for-bit."""
+    from ..stages import text as text_ops
+    from ..stages.topk import exact_quantiles
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    toks = docs.map_batches(
+        text_ops.token_count_batch, batch_format="pyarrow"
+    ).select_columns(["n_tokens"])
+    return exact_quantiles(
+        toks, "n_tokens",
+        {"p25": (1, 4), "p50": (1, 2), "p75": (3, 4), "p90": (9, 10),
+         "p99": (99, 100)},
+    )
+
+
+SQL_DOC_LEN_QUANTILES = r"""
+SELECT quantile_disc(n_tokens, 0.25) AS p25,
+       quantile_disc(n_tokens, 0.50) AS p50,
+       quantile_disc(n_tokens, 0.75) AS p75,
+       quantile_disc(n_tokens, 0.90) AS p90,
+       quantile_disc(n_tokens, 0.99) AS p99
+FROM (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+)
+"""
+
+
 def q_doc_decontaminate(sf_dir: str):
     """Benchmark decontamination (stages/decontam.py): flag every
     train-split document sharing a verbatim 8-token window with any
@@ -1792,6 +1876,8 @@ def ray_queries() -> dict:
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_substring_pairs": q_doc_substring_pairs,
         "doc_decontaminate": q_doc_decontaminate,
+        "orders_topk_per_segment": q_orders_topk_per_segment,
+        "doc_len_quantiles": q_doc_len_quantiles,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_sigs": q_doc_simhash_sigs,
         "doc_simhash_dedup": q_doc_simhash_dedup,
@@ -1842,6 +1928,8 @@ def oracle_sqls() -> dict:
         "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
         "doc_substring_pairs": SQL_DOC_SUBSTRING_PAIRS,
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,
+        "orders_topk_per_segment": SQL_ORDERS_TOPK_PER_SEGMENT,
+        "doc_len_quantiles": SQL_DOC_LEN_QUANTILES,
         "embed_topk": SQL_EMBED_TOPK,
         "embed_label_stats": SQL_EMBED_LABEL_STATS,
         "embed_dup_pairs": SQL_EMBED_DUP_PAIRS,

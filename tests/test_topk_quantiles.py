@@ -1,0 +1,85 @@
+"""topk_per_group / exact_quantiles: truth, ties, edges."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from simhash_ray.stages.topk import exact_quantiles, topk_per_group
+
+
+def _naive_topk(df, group, order, tie, k):
+    s = df.sort_values([group, order, tie], ascending=[True, False, True])
+    s = s.groupby(group).head(k).copy()
+    s["rank"] = s.groupby(group).cumcount() + 1
+    return s.reset_index(drop=True)
+
+
+def test_topk_matches_naive_across_blocks():
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(list("abcde"), 5000),
+            "v": rng.integers(0, 300, 5000).astype(np.float64),
+            "id": np.arange(5000, dtype=np.int64),
+        }
+    )
+    # many ties in v: the tie_col must fully determine the output
+    out = (
+        topk_per_group(
+            rd.from_pandas(df).repartition(13), "g", "v", k=4, tie_col="id"
+        )
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    want = _naive_topk(df, "g", "v", "id", 4)[["g", "v", "id", "rank"]]
+    got = out[["g", "v", "id", "rank"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["g", "rank"]).reset_index(drop=True),
+        want.sort_values(["g", "rank"]).reset_index(drop=True),
+    )
+
+
+def test_topk_group_smaller_than_k():
+    df = pd.DataFrame(
+        {"g": ["a", "a", "b"], "v": [1.0, 2.0, 3.0], "id": [1, 2, 3]}
+    )
+    out = topk_per_group(rd.from_pandas(df), "g", "v", k=5, tie_col="id").to_pandas()
+    assert len(out) == 3
+    assert set(out[out["g"] == "a"]["rank"]) == {1, 2}
+
+
+def test_quantiles_match_numpy_disc():
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 50, 1777).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(7)
+    out = exact_quantiles(
+        ds, "x", {"p50": (1, 2), "p90": (9, 10), "p25": (1, 4)}
+    ).to_pandas()
+    s = np.sort(vals)
+    n = len(s)
+    assert out["p50"][0] == s[(n - 1) * 1 // 2]
+    assert out["p90"][0] == s[(n - 1) * 9 // 10]
+    assert out["p25"][0] == s[(n - 1) * 1 // 4]
+
+
+def test_quantiles_single_row_and_exact_boundary():
+    out = exact_quantiles(
+        rd.from_pandas(pd.DataFrame({"x": np.array([42], dtype=np.int64)})),
+        "x", {"p50": (1, 2)},
+    ).to_pandas()
+    assert out["p50"][0] == 42
+    # n=5, q=1/4 → (n-1)*q = 1 exactly → index 1
+    out = exact_quantiles(
+        rd.from_pandas(pd.DataFrame({"x": np.array([10, 20, 30, 40, 50],
+                                                   dtype=np.int64)})),
+        "x", {"p25": (1, 4)},
+    ).to_pandas()
+    assert out["p25"][0] == 20
+
+
+def test_quantiles_cardinality_guard():
+    ds = rd.from_pandas(pd.DataFrame({"x": np.arange(100, dtype=np.int64)}))
+    with pytest.raises(ValueError, match="distinct"):
+        exact_quantiles(ds, "x", {"p50": (1, 2)}, max_distinct=10)
