@@ -66,10 +66,28 @@ def md5_first_byte_of_int_ids(ids: np.ndarray) -> np.ndarray:
 
     Equal to ``hashlib.md5(str(i).encode()).digest()[0]`` for every i
     (pinned by test); the high nibble of this byte is hexdigest()[0]."""
+    word = _md5_first_word_of_int_ids(ids)
+    return (word & np.uint32(0xFF)).astype(np.uint8)
+
+
+def md5_u32_of_int_ids(ids: np.ndarray) -> np.ndarray:
+    """First 8 hexdigest chars of md5(decimal-string of each int), as a
+    uint32 — exactly DuckDB's
+    ``CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)``.
+
+    The deterministic uniform-[0, 2^32) variate behind the sampling
+    operators: digest bytes 0..3 read big-endian = byteswap of the
+    little-endian first state word."""
+    return _md5_first_word_of_int_ids(ids).byteswap()
+
+
+def _md5_first_word_of_int_ids(ids: np.ndarray) -> np.ndarray:
+    """Final (A + INIT_A) md5 state word per id — little-endian digest
+    bytes 0..3."""
     ids = np.asarray(ids, dtype=np.int64)
     n = len(ids)
     if n == 0:
-        return np.empty(0, dtype=np.uint8)
+        return np.empty(0, dtype=np.uint32)
     s_arr = ids.astype("S21")  # decimal ASCII, NUL-padded to 21 bytes
     view = np.frombuffer(s_arr.tobytes(), dtype=np.uint8).reshape(n, 21)
     lens = (view != 0).sum(axis=1)
@@ -98,5 +116,4 @@ def md5_first_byte_of_int_ids(ids: np.ndarray) -> np.ndarray:
         F = F + A + _MD5_K[i] + M[:, g]
         A, D, C = D, C, B
         B = B + _rotl32(F, int(_MD5_S[i]))
-    # digest byte 0 = low byte of the final A word (little-endian output)
-    return ((A + np.uint32(_MD5_INIT[0])) & np.uint32(0xFF)).astype(np.uint8)
+    return A + np.uint32(_MD5_INIT[0])

@@ -1074,6 +1074,55 @@ HAVING COUNT(*) >= 3
 """
 
 
+def q_doc_stratified_sample(sf_dir: str):
+    """Language-rebalancing sample (stages/sample.py): keep 1/4 of
+    English, 1/2 of German, all of everything else — deterministic
+    integer-rational Bernoulli on md5(doc_id), reproducible across
+    partitionings and reruns."""
+    from ..stages.sample import stratified_sample
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang"])
+    return stratified_sample(
+        docs, "lang", {"en": (1, 4), "de": (1, 2)}
+    ).select_columns(["doc_id", "lang"])
+
+
+SQL_DOC_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+  FROM documents
+)
+WHERE (lang = 'en' AND u * 4 < 1 * 4294967296)
+   OR (lang = 'de' AND u * 2 < 1 * 4294967296)
+   OR (lang NOT IN ('en', 'de'))
+"""
+
+
+def q_doc_cap_per_source(sf_dir: str):
+    """Per-domain cap (stages/sample.py): at most 15 docs per source,
+    chosen by md5(doc_id) order — the deterministic domain-share cap of
+    web-corpus curation, shuffled as ≤ n rows per group per block."""
+    from ..stages.sample import cap_per_group
+
+    docs = _docs(sf_dir, columns=["doc_id", "source"])
+    return cap_per_group(docs, "source", 15)
+
+
+SQL_DOC_CAP_PER_SOURCE = """
+SELECT doc_id, source, rank FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT),
+                    doc_id
+         ) AS rank
+  FROM documents
+) WHERE rank <= 15
+"""
+
+
 def q_orders_topk_per_segment(sf_dir: str):
     """Top-3 highest-value orders per market segment (stages/topk.py):
     the per-bucket best-k sampling primitive, ROW_NUMBER() semantics
@@ -1878,6 +1927,8 @@ def ray_queries() -> dict:
         "doc_decontaminate": q_doc_decontaminate,
         "orders_topk_per_segment": q_orders_topk_per_segment,
         "doc_len_quantiles": q_doc_len_quantiles,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_cap_per_source": q_doc_cap_per_source,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_sigs": q_doc_simhash_sigs,
         "doc_simhash_dedup": q_doc_simhash_dedup,
@@ -1930,6 +1981,8 @@ def oracle_sqls() -> dict:
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "orders_topk_per_segment": SQL_ORDERS_TOPK_PER_SEGMENT,
         "doc_len_quantiles": SQL_DOC_LEN_QUANTILES,
+        "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
+        "doc_cap_per_source": SQL_DOC_CAP_PER_SOURCE,
         "embed_topk": SQL_EMBED_TOPK,
         "embed_label_stats": SQL_EMBED_LABEL_STATS,
         "embed_dup_pairs": SQL_EMBED_DUP_PAIRS,

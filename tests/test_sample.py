@@ -1,0 +1,62 @@
+"""Deterministic sampling: rate accuracy, partition invariance, caps."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from simhash_ray.functions.hashing import md5_u32_of_int_ids
+from simhash_ray.stages.sample import cap_per_group, hash_sample, stratified_sample
+
+
+def _docs(n=4000, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": rng.choice(["en", "de", "fr"], n, p=[0.6, 0.25, 0.15]),
+        }
+    )
+
+
+def test_hash_sample_rate_and_exactness():
+    df = _docs()
+    out = hash_sample(rd.from_pandas(df), 1, 4).to_pandas()
+    # exact definition: u32(md5(id)) * 4 < 2^32
+    u = md5_u32_of_int_ids(df["doc_id"].to_numpy()).astype(np.uint64)
+    want = set(df["doc_id"][u * 4 < np.uint64(1 << 32)])
+    assert set(out["doc_id"]) == want
+    assert abs(len(out) / len(df) - 0.25) < 0.03
+
+
+def test_sample_partition_invariant():
+    df = _docs()
+    a = hash_sample(rd.from_pandas(df).repartition(17), 1, 3).to_pandas()
+    b = hash_sample(rd.from_pandas(df).repartition(2), 1, 3).to_pandas()
+    assert set(a["doc_id"]) == set(b["doc_id"])
+
+
+def test_stratified_rates():
+    df = _docs(8000)
+    out = stratified_sample(
+        rd.from_pandas(df), "lang", {"en": (1, 4), "de": (1, 2)}
+    ).to_pandas()
+    by = out.groupby("lang").size()
+    base = df.groupby("lang").size()
+    assert abs(by["en"] / base["en"] - 0.25) < 0.05
+    assert abs(by["de"] / base["de"] - 0.50) < 0.05
+    assert by["fr"] == base["fr"]  # default rate 1/1 keeps everything
+
+
+def test_cap_per_group_deterministic():
+    df = _docs(3000)
+    a = cap_per_group(rd.from_pandas(df).repartition(11), "lang", 7).to_pandas()
+    b = cap_per_group(rd.from_pandas(df).repartition(3), "lang", 7).to_pandas()
+    assert (a.groupby("lang").size() == 7).all()
+    key = ["doc_id", "lang", "rank"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
+    # selection = ascending md5 order, ties by id
+    u = md5_u32_of_int_ids(df["doc_id"].to_numpy()).astype(np.int64)
+    ranked = df.assign(u=u).sort_values(["u", "doc_id"]).groupby("lang").head(7)
+    assert set(a["doc_id"]) == set(ranked["doc_id"])
