@@ -1,0 +1,260 @@
+"""Incremental near-duplicate dedup: fold a NEW shard into an already-
+deduped corpus without re-banding the base against itself.
+
+The operational shape at 10^12-image scale is not "dedup everything
+once" but "a shard arrives every hour; dedupe it against the 100-TB
+corpus already processed".  Re-running the full pipeline is O(corpus);
+this operator is O(shard + touched-base):
+
+1. encode the shard's signatures (same actor-pool encoder as the
+   flagship, pipelines/dedup_images.signatures),
+2. broadcast the shard's band keys (per signature space; identical
+   banding config to the base run) and stream ONE map_batches pass
+   over the base signature table — a base row is a candidate iff it
+   shares a band key with some shard row; nothing else leaves the
+   base,
+3. run the tested broadcast band-task candidate generator + Hamming
+   verify (stages/lsh.broadcast_candidate_edges) over shard ∪
+   candidates, keeping edges with ≥1 shard endpoint,
+4. collapse base endpoints to their existing cluster labels and
+   union-find the small edge set on the driver.
+
+Output contract (pinned by tests/test_incremental.py): applying
+``remap`` to the base assignment and unioning ``assignment_new``
+reproduces byte-for-byte the assignment of a full-batch
+``dedup_images(base ∪ shard)`` run at the same config.  This holds
+because (a) base↔base connectivity is already encoded in the base
+assignment (same config ⇒ same base edges), (b) every full-run edge
+with a shard endpoint shares a band key with the shard and is
+therefore found in step 2-3, and (c) cluster labels are min-id either
+way.
+
+Scale assumptions (asserted loudly): the SHARD fits the broadcast
+envelope (≤ BROADCAST_SIG_LIMIT rows — the same bound the direct
+regime uses); the touched-base candidate set is shard-sized, not
+corpus-sized (hot exact-signature masses in the base should have been
+collapsed by the base run; candidates are deduped per batch).  Larger
+ingests should run the full distributed pipeline instead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..config import DEFAULT_CONFIG, DedupConfig
+from ..stages.cluster import unionfind_driver
+from ..stages.lsh import (
+    IMAGE_SPACE,
+    TEXT_SPACE,
+    _combos,
+    broadcast_candidate_edges,
+)
+from .dedup_images import BROADCAST_SIG_LIMIT, signatures
+
+_ASSIGN_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("cluster_id", pa.string()),
+        ("is_representative", pa.bool_()),
+    ]
+)
+
+
+@dataclass
+class IncrementalResult:
+    assignment_new: rd.Dataset  # shard rows: (image_id, cluster_id, is_representative)
+    remap: pd.DataFrame  # (old_cluster, new_cluster) for affected base clusters
+    edges_new: pd.DataFrame  # verified dup edges with ≥1 shard endpoint (a, b)
+    n_joined_existing: int  # shard rows absorbed into base clusters
+    n_new_clusters: int  # duplicate clusters entirely within the shard
+
+
+def _space_plans(cfg: DedupConfig):
+    return [
+        (TEXT_SPACE, "simhash", cfg.text_lsh),
+        (IMAGE_SPACE, "phash", cfg.image_lsh),
+    ]
+
+
+def _band_keys(sig: np.ndarray, lsh_cfg) -> list[np.ndarray]:
+    """Band key array per band for one signature space (same key
+    construction as stages/lsh.make_band_expander / band_task)."""
+    r = 64 // lsh_cfg.n_blocks
+    mask = np.uint64((1 << r) - 1)
+    out = []
+    for combo in _combos(lsh_cfg):
+        key = np.zeros(len(sig), dtype=np.uint64)
+        for j, b in enumerate(combo):
+            key |= ((sig >> np.uint64(b * r)) & mask) << np.uint64(j * r)
+        out.append(key)
+    return out
+
+
+def dedup_images_incremental(
+    new_images: rd.Dataset,
+    base_sigs: rd.Dataset,
+    base_assignment: rd.Dataset,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    concurrency=None,
+    candidate_limit: int | None = None,
+) -> IncrementalResult:
+    """See module docstring.  ``base_sigs`` = (image_id, simhash,
+    phash) from the base run (the checkpointed signature table);
+    ``base_assignment`` = its (image_id, cluster_id[, ...]) output."""
+    candidate_limit = candidate_limit or BROADCAST_SIG_LIMIT
+
+    # 1. shard signatures (small side — assert the broadcast envelope)
+    new_df = signatures(new_images, cfg, concurrency=concurrency).to_pandas()
+    if len(new_df) > BROADCAST_SIG_LIMIT:
+        raise ValueError(
+            f"incremental shard has {len(new_df)} rows > "
+            f"BROADCAST_SIG_LIMIT={BROADCAST_SIG_LIMIT}; run dedup_images"
+        )
+    plans = _space_plans(cfg)
+    shard_keys = {
+        sp: [np.unique(k) for k in _band_keys(
+            new_df[col].to_numpy().view(np.uint64), lc)]
+        for sp, col, lc in plans
+    }
+    keys_ref = ray.put(shard_keys)
+
+    # 2. one streaming pass over the base: keep rows sharing any band key
+    def probe(batch: pa.Table) -> pa.Table:
+        sk = ray.get(keys_ref)
+        hit = np.zeros(batch.num_rows, dtype=bool)
+        for sp, col, lc in plans:
+            sig = batch[col].to_numpy(zero_copy_only=False).view(np.uint64)
+            for band_keys, shard_sorted in zip(_band_keys(sig, lc), sk[sp]):
+                hit |= np.isin(band_keys, shard_sorted)
+        return batch.filter(pa.array(hit))
+
+    cand_df = (
+        base_sigs.select_columns(["image_id", "simhash", "phash"])
+        .map_batches(probe, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(cand_df) > candidate_limit:
+        raise ValueError(
+            f"{len(cand_df)} base candidates exceed candidate_limit="
+            f"{candidate_limit}: the shard collides with a hot region; "
+            "run the full distributed pipeline for this ingest"
+        )
+
+    # 3. candidate pairs + Hamming verify over shard ∪ candidates
+    comb = pd.concat([new_df, cand_df], ignore_index=True)
+    n_new = len(new_df)
+    ai, bi = broadcast_candidate_edges(
+        {
+            TEXT_SPACE: comb["simhash"].to_numpy().view(np.uint64),
+            IMAGE_SPACE: comb["phash"].to_numpy().view(np.uint64),
+        },
+        [(sp, lc) for sp, _c, lc in plans],
+        taus={sp: lc.hamming_tau for sp, _c, lc in plans},
+        pair_full_threshold=min(lc.pair_full_threshold for _s, _c, lc in plans),
+    )
+    keep = (ai < n_new) | (bi < n_new)  # ≥1 shard endpoint
+    ai, bi = ai[keep], bi[keep]
+    ids = comb["image_id"].to_numpy(dtype=object)
+    a_ids, b_ids = ids[ai], ids[bi]
+    swap = a_ids > b_ids
+    a_ids[swap], b_ids[swap] = b_ids[swap], a_ids[swap]
+    edges_new = pd.DataFrame({"a": a_ids, "b": b_ids}).drop_duplicates()
+
+    # 4. collapse base endpoints to their existing cluster labels
+    touched_base = set(ids[ai[ai >= n_new]]) | set(ids[bi[bi >= n_new]])
+    if touched_base:
+        tb_ref = ray.put(np.array(sorted(touched_base), dtype=object))
+
+        def pick(batch: pa.Table) -> pa.Table:
+            tb = ray.get(tb_ref)
+            m = np.isin(batch["image_id"].to_numpy(zero_copy_only=False), tb)
+            return batch.select(["image_id", "cluster_id"]).filter(pa.array(m))
+
+        label_of = (
+            base_assignment.map_batches(pick, batch_format="pyarrow")
+            .to_pandas()
+            .set_index("image_id")["cluster_id"]
+        )
+    else:
+        label_of = pd.Series(dtype=object)
+
+    is_new = pd.Series(np.arange(len(comb)) < n_new, index=comb["image_id"].values)
+
+    def to_node(x: np.ndarray) -> np.ndarray:
+        vals = pd.Series(x, dtype=object)
+        newm = is_new.reindex(vals).to_numpy()
+        out = vals.copy()
+        out[~newm] = label_of.reindex(vals[~newm]).to_numpy()
+        return out.to_numpy(dtype=object)
+
+    uf_edges = pd.DataFrame(
+        {"a": to_node(edges_new["a"].to_numpy()),
+         "b": to_node(edges_new["b"].to_numpy())}
+    )
+    labels = unionfind_driver(uf_edges)
+    lab_map = dict(zip(labels["node"], labels["label"]))
+
+    # 5. shard assignment + base-cluster remap
+    new_ids = new_df["image_id"].to_numpy(dtype=object)
+    final = np.array([lab_map.get(i, i) for i in new_ids], dtype=object)
+    assignment_new = rd.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array(new_ids, type=pa.string()),
+                "cluster_id": pa.array(final, type=pa.string()),
+                "is_representative": pa.array(new_ids == final),
+            },
+            schema=_ASSIGN_SCHEMA,
+        )
+    )
+    # union-find nodes that are base labels (not shard ids) and moved
+    remap_rows = [
+        (node, lab) for node, lab in lab_map.items()
+        if lab != node and not bool(is_new.get(node, False))
+    ]
+    remap = pd.DataFrame(remap_rows, columns=["old_cluster", "new_cluster"])
+
+    final_s = pd.Series(final, dtype=object)
+    final_is_new = final_s.map(is_new).fillna(False).astype(bool)
+    counts = final_s.value_counts()
+    n_new_clusters = int(
+        ((counts > 1) & counts.index.to_series().map(is_new).fillna(False)).sum()
+    )
+    return IncrementalResult(
+        assignment_new=assignment_new,
+        remap=remap,
+        edges_new=edges_new,
+        n_joined_existing=int((~final_is_new).sum()),
+        n_new_clusters=n_new_clusters,
+    )
+
+
+def apply_remap(base_assignment: rd.Dataset, remap: pd.DataFrame) -> rd.Dataset:
+    """Rewrite base cluster ids per ``remap`` (merges caused by shard
+    rows bridging base clusters, or a shard id becoming the new min
+    label) and recompute is_representative — one broadcast
+    map_batches, no shuffle."""
+    remap_ref = ray.put(dict(zip(remap["old_cluster"], remap["new_cluster"])))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rm = ray.get(remap_ref)
+        cl = pd.Series(batch["cluster_id"].to_numpy(zero_copy_only=False))
+        mapped = cl.map(rm)
+        cl = mapped.where(mapped.notna(), cl)
+        ids = batch["image_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "image_id": pa.array(ids, type=pa.string()),
+                "cluster_id": pa.array(cl.to_numpy(dtype=object), type=pa.string()),
+                "is_representative": pa.array(ids == cl.to_numpy(dtype=object)),
+            },
+            schema=_ASSIGN_SCHEMA,
+        )
+
+    return base_assignment.map_batches(fn, batch_format="pyarrow")

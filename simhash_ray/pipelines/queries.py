@@ -1884,6 +1884,61 @@ FROM j GROUP BY truth_cluster
 """
 
 
+def q_images_dedup_incremental(sf_dir: str):
+    """Incremental-ingest dedup, SQL-oracle-checked via staging: the
+    fixture is split 80/20 into an already-deduped base and an
+    arriving shard; the incremental operator
+    (pipelines/dedup_incremental.py) folds the shard in WITHOUT
+    re-banding the base, and its reconstructed global assignment
+    (remapped base ∪ shard) is hash-compared against a staged
+    independent full-batch run over base ∪ shard — the operator's
+    documented output contract, checked end-to-end by the driver."""
+    import pandas as _pd
+
+    from .dedup_incremental import apply_remap, dedup_images_incremental
+
+    fdir = fixture_dir_for_sf(sf_dir)
+    images = read_table(fdir, "images", columns=["image_id", "caption", "phash"])
+
+    def in_base(batch: pa.Table, want: bool) -> pa.Table:
+        idx = np.char.lstrip(
+            batch["image_id"].to_numpy(zero_copy_only=False).astype(str), "img"
+        ).astype(np.int64)
+        m = (idx % 5 < 4) == want
+        return batch.filter(pa.array(m))
+
+    base = images.map_batches(
+        lambda t: in_base(t, True), batch_format="pyarrow"
+    ).materialize()
+    shard = images.map_batches(
+        lambda t: in_base(t, False), batch_format="pyarrow"
+    ).materialize()
+
+    base_res = flagship.dedup_images(base, DEFAULT_CONFIG, concurrency=(1, 4))
+    base_sigs = flagship.signatures(base, DEFAULT_CONFIG, concurrency=(1, 4))
+    inc = dedup_images_incremental(
+        shard, base_sigs.materialize(), base_res.assignment, DEFAULT_CONFIG,
+        concurrency=(1, 4),
+    )
+    reconstructed = _pd.concat(
+        [
+            apply_remap(base_res.assignment, inc.remap).to_pandas(),
+            inc.assignment_new.to_pandas(),
+        ]
+    )[["image_id", "cluster_id", "is_representative"]]
+
+    # independent full-batch run = the oracle input
+    full = flagship.dedup_images(images, DEFAULT_CONFIG, concurrency=(1, 4))
+    _stage(full.assignment, "images_full_assignment")
+    return reconstructed
+
+
+SQL_IMAGES_DEDUP_INCREMENTAL = f"""
+SELECT image_id, cluster_id, is_representative
+FROM read_parquet('{_staged("images_full_assignment")}')
+"""
+
+
 def q_images_stats(sf_dir: str):
     images = read_images_fixture(sf_dir)
     return image_stats(images, concurrency=(1, 4)).select_columns(
@@ -1944,6 +1999,7 @@ def ray_queries() -> dict:
         "images_signatures": q_images_signatures,
         "images_dedup": q_images_dedup,
         "images_dedup_truth": q_images_dedup_truth,
+        "images_dedup_incremental": q_images_dedup_incremental,
         "images_embed_dedup": q_images_embed_dedup,
         "images_stats": q_images_stats,
     }
@@ -1998,6 +2054,7 @@ def oracle_sqls() -> dict:
         "images_signatures": SQL_IMAGES_SIGNATURES,
         "images_embed_dedup": SQL_IMAGES_EMBED_DEDUP,
         "images_dedup_truth": SQL_IMAGES_DEDUP_TRUTH,
+        "images_dedup_incremental": SQL_IMAGES_DEDUP_INCREMENTAL,
         # rows-only — why no oracle can exist for each:
         # doc_simhash_dedup  — representative election over union-find
         #   components of Hamming-verified band collisions; the banding

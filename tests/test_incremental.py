@@ -1,0 +1,74 @@
+"""Incremental dedup ≡ full-batch rerun (the module's output contract)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from simhash_ray.fixtures import FixtureSpec, generate_fixture
+from simhash_ray.pipelines.dedup_images import dedup_images, signatures
+from simhash_ray.pipelines.dedup_incremental import (
+    apply_remap,
+    dedup_images_incremental,
+)
+
+
+def _assign_df(ds) -> pd.DataFrame:
+    return (
+        ds.to_pandas()[["image_id", "cluster_id", "is_representative"]]
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def split_fixture():
+    fx = generate_fixture(FixtureSpec(n_rows=900, seed=33))
+    df = fx["images"].to_pandas()
+    idx = np.arange(len(df))
+    base_df = df[idx % 10 < 7].reset_index(drop=True)
+    shard_df = df[idx % 10 >= 7].reset_index(drop=True)
+    return df, base_df, shard_df
+
+
+def test_incremental_reproduces_full_batch(split_fixture):
+    df, base_df, shard_df = split_fixture
+    full = dedup_images(rd.from_pandas(df))
+    base = dedup_images(rd.from_pandas(base_df))
+    base_sigs = signatures(rd.from_pandas(base_df)).materialize()
+    inc = dedup_images_incremental(
+        rd.from_pandas(shard_df), base_sigs, base.assignment
+    )
+    reconstructed = pd.concat(
+        [
+            _assign_df(apply_remap(base.assignment, inc.remap)),
+            _assign_df(inc.assignment_new),
+        ]
+    ).sort_values("image_id").reset_index(drop=True)
+    want = _assign_df(full.assignment)
+    pd.testing.assert_frame_equal(reconstructed, want)
+    # sanity: planted clusters straddle the split, so the shard must
+    # actually join existing clusters (the interesting case ran)
+    assert inc.n_joined_existing > 0
+    assert len(inc.edges_new) > 0
+
+
+def test_disjoint_shard_all_singletons(split_fixture):
+    _df, base_df, _shard = split_fixture
+    base = dedup_images(rd.from_pandas(base_df))
+    base_sigs = signatures(rd.from_pandas(base_df)).materialize()
+    # a shard of fresh originals: new ids, captions/pixels from a
+    # different seed — no near-dups against the base
+    other = generate_fixture(
+        FixtureSpec(n_rows=120, seed=777, frac_exact=0.0, frac_near_caption=0.0,
+                    frac_near_image=0.0, frac_near_both=0.0, hot_frac=0.0)
+    )["images"].to_pandas()
+    other["image_id"] = "z" + other["image_id"]  # disjoint id space
+    inc = dedup_images_incremental(
+        rd.from_pandas(other), base_sigs, base.assignment
+    )
+    out = inc.assignment_new.to_pandas()
+    assert (out["image_id"] == out["cluster_id"]).all()
+    assert out["is_representative"].all()
+    assert len(inc.remap) == 0
+    assert inc.n_joined_existing == 0
