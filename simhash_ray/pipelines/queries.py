@@ -1074,6 +1074,42 @@ HAVING COUNT(*) >= 3
 """
 
 
+def q_doc_repetition(sf_dir: str):
+    """Within-doc n-gram repetition counters (Gopher-style duplicate
+    3-gram signal): total vs distinct 3-token windows per doc, exact
+    integers — one streaming map_batches, no shuffle."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: text_ops.repetition_counts_batch(t, k=3),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DOC_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+n AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+  FROM documents
+),
+mx AS (SELECT COALESCE(MAX(len(t)), 0) AS m FROM toks),
+idx AS (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS i),
+w AS (
+  SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS win
+  FROM toks JOIN idx ON i <= len(t) - 2
+),
+d AS (SELECT doc_id, COUNT(DISTINCT win) AS n_distinct_windows FROM w GROUP BY 1)
+SELECT n.doc_id AS doc_id,
+       GREATEST(n.n_tok - 2, 0) AS n_windows,
+       COALESCE(d.n_distinct_windows, 0) AS n_distinct_windows
+FROM n LEFT JOIN d USING (doc_id)
+"""
+
+
 def q_doc_stratified_sample(sf_dir: str):
     """Language-rebalancing sample (stages/sample.py): keep 1/4 of
     English, 1/2 of German, all of everything else — deterministic
@@ -1982,6 +2018,7 @@ def ray_queries() -> dict:
         "doc_decontaminate": q_doc_decontaminate,
         "orders_topk_per_segment": q_orders_topk_per_segment,
         "doc_len_quantiles": q_doc_len_quantiles,
+        "doc_repetition": q_doc_repetition,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_cap_per_source": q_doc_cap_per_source,
         "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -2037,6 +2074,7 @@ def oracle_sqls() -> dict:
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "orders_topk_per_segment": SQL_ORDERS_TOPK_PER_SEGMENT,
         "doc_len_quantiles": SQL_DOC_LEN_QUANTILES,
+        "doc_repetition": SQL_DOC_REPETITION,
         "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
         "doc_cap_per_source": SQL_DOC_CAP_PER_SOURCE,
         "embed_topk": SQL_EMBED_TOPK,

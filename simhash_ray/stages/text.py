@@ -33,6 +33,45 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pa.array(counts, type=pa.int64()))
 
 
+def repetition_counts_batch(
+    batch: pa.Table, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Within-document n-gram repetition counters (the Gopher-style
+    repetition quality signal, cf. Rae et al. 2021 §A1.2): per doc the
+    total number of k-token windows and the number of DISTINCT ones —
+    1 − distinct/total is the duplicate-window fraction a curation
+    filter thresholds on.  Integer counters only (the ratio is left to
+    the consumer) so the SQL oracle compares exactly.
+
+    Tokenization = lower + whitespace, window identity = 64-bit hash
+    identity — shared with stages/substring.py via minhash's flat
+    shingler."""
+    from .minhash import _shingle_hashes_flat
+
+    texts = batch[text_col].combine_chunks().cast(pa.string())
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    n = len(toks)
+    lens0 = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
+    row_of_tok = np.repeat(np.arange(n), lens0)[keep]
+    ntok = np.bincount(row_of_tok, minlength=n)
+    nwin = np.maximum(ntok - (k - 1), 0).astype(np.int64)
+    _sh, rows, _n = _shingle_hashes_flat(texts, k, short_rows="drop")
+    ndist = (
+        np.bincount(rows, minlength=n).astype(np.int64)
+        if len(rows)
+        else np.zeros(n, dtype=np.int64)
+    )
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_windows": pa.array(nwin, type=pa.int64()),
+            "n_distinct_windows": pa.array(ndist, type=pa.int64()),
+        }
+    )
+
+
 # BPE-ish pre-tokenizer chunks (GPT-2-style, RE2-compatible — no
 # lookahead): optional-space word runs, digit runs, punctuation runs.
 BPE_ISH_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"

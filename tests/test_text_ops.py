@@ -117,3 +117,24 @@ def test_band_expander_pigeonhole():
         kb = df[df["id"] == f"b{i}"][["band", "key"]]
         merged = ka.merge(kb, on=["band", "key"])
         assert len(merged) >= 1, f"pair {i} shares no band"
+
+
+def test_repetition_counts_planted():
+    import pyarrow as pa
+
+    from simhash_ray.stages.text import repetition_counts_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": [
+                "a b c a b c a b c",  # 9 tokens: 7 windows, 3 distinct
+                "x y z w",            # 4 tokens: 2 windows, 2 distinct
+                "p q",                # shorter than k: 0 windows
+                "",                   # empty: 0 windows
+            ],
+        }
+    )
+    out = repetition_counts_batch(batch, k=3).to_pandas()
+    assert out["n_windows"].tolist() == [7, 2, 0, 0]
+    assert out["n_distinct_windows"].tolist() == [3, 2, 0, 0]
