@@ -166,6 +166,44 @@ def _run_bench() -> dict:
             "embed_dup_pairs_lsh",
             lambda: lsh_cosine_dup_pairs(vecs, 2, 5, n_parts=16).count(),
         )
+        from simhash_ray.pipelines.queries import q_doc_decontaminate
+
+        timed("doc_decontaminate", lambda: q_doc_decontaminate(sf_dir).count())
+
+        # incremental ingest: fold a 20% shard into the deduped 80%
+        # base; the base run + its signatures are the pre-existing
+        # corpus state, so they stay OUTSIDE the timed region
+        from simhash_ray.pipelines.dedup_incremental import (
+            dedup_images_incremental,
+        )
+
+        import numpy as _np
+        import pyarrow as _pa
+
+        def _split(want: bool):
+            def fn(t):
+                idx = _np.char.lstrip(
+                    t["image_id"].to_numpy(zero_copy_only=False).astype(str), "img"
+                ).astype(_np.int64)
+                return t.filter(_pa.array((idx % 5 < 4) == want))
+
+            return fn
+
+        imgs = read_images(columns=["image_id", "caption", "phash"])
+        base = imgs.map_batches(_split(True), batch_format="pyarrow").materialize()
+        shard = imgs.map_batches(_split(False), batch_format="pyarrow").materialize()
+        base_res = flagship.dedup_images(base, DEFAULT_CONFIG)
+        base_sigs = flagship.signatures(base, DEFAULT_CONFIG).materialize()
+        n_shard = shard.count()
+        timed(
+            "incremental_ingest",
+            lambda: dedup_images_incremental(
+                shard, base_sigs, base_res.assignment
+            ).assignment_new.count(),
+        )
+        timings["incremental_images_per_sec"] = round(
+            n_shard / timings["incremental_ingest"], 1
+        )
 
     result = {
         "metric": "e2e_dedup_seconds",

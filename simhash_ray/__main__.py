@@ -16,6 +16,11 @@ Subcommands::
     python -m simhash_ray dedup-docs <table> --out DIR
         text-domain flagship over a document table
         (--text-col/--id-col; writes assignment/ + metrics.json)
+    python -m simhash_ray ingest <shard> --base DIR --out DIR
+        fold an arriving shard into a deduped corpus (incremental
+        dedup): --base holds the prior signatures/ + assignment/;
+        writes the shard assignment, the merged global assignment and
+        the updated signature table, ready to be the next --base
 
 The CLI owns its Ray session (guarded init — the driver contract in
 __ray_entry__.py forbids module-level init); pipelines themselves
@@ -150,6 +155,44 @@ def cmd_dedup_docs(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Fold a new shard into a previously-deduped corpus: reads the
+    prior run's signatures/ + assignment/ outputs (from `encode` +
+    `dedup`, or a previous `ingest`), writes the shard assignment, the
+    base-cluster remap and the updated signature table — the hourly
+    ingest loop's single command."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines import dedup_images as flagship
+    from .pipelines.dedup_incremental import apply_remap, dedup_images_incremental
+
+    cfg = _load_cfg(args)
+    shard = _read_images(args.shard, ["image_id", "caption", "phash"])
+    base_sigs = rd.read_parquet(os.path.join(args.base, "signatures"))
+    base_assignment = rd.read_parquet(os.path.join(args.base, "assignment"))
+    res = dedup_images_incremental(shard, base_sigs, base_assignment, cfg)
+    os.makedirs(args.out, exist_ok=True)
+    res.assignment_new.write_parquet(os.path.join(args.out, "assignment_new"))
+    updated = apply_remap(base_assignment, res.remap)
+    updated.union(res.assignment_new).write_parquet(
+        os.path.join(args.out, "assignment")
+    )
+    shard_sigs = flagship.signatures(shard, cfg)
+    base_sigs.union(shard_sigs).write_parquet(os.path.join(args.out, "signatures"))
+    metrics = {
+        "n_shard": res.assignment_new.count(),
+        "n_joined_existing": res.n_joined_existing,
+        "n_new_clusters": res.n_new_clusters,
+        "n_base_clusters_remapped": len(res.remap),
+        "config_hash": cfg.config_hash(),
+    }
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="simhash_ray", description="Ray-Data-native near-duplicate engine"
@@ -194,6 +237,19 @@ def main(argv=None) -> int:
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--id-col", default="doc_id")
     dd.set_defaults(fn=cmd_dedup_docs)
+
+    ing = sub.add_parser(
+        "ingest",
+        help="fold a new shard into a deduped corpus (incremental dedup)",
+    )
+    ing.add_argument("shard", help="Parquet file/dir of the arriving images")
+    ing.add_argument(
+        "--base", required=True,
+        help="directory holding the prior run's signatures/ and assignment/ "
+        "(from `encode` + `dedup`, or a previous `ingest` --out)",
+    )
+    ing.add_argument("--out", required=True, help="output directory")
+    ing.set_defaults(fn=cmd_ingest)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

@@ -181,3 +181,61 @@ def test_cli_dedup_docs_smoke(tmp_path):
     m = json.loads((out / "metrics.json").read_text())
     assert m["n_rows"] == 500
     assert m["n_representatives"] + m["n_duplicates_removed"] == 500
+
+
+def test_cli_ingest_smoke(tmp_path):
+    """encode + dedup over a base, then `ingest` a shard: the merged
+    assignment must equal a full-batch CLI dedup over base ∪ shard."""
+    import pandas as pd
+
+    fdir = write_fixture(
+        default_fixture_dir(FixtureSpec(n_rows=300, seed=13)),
+        FixtureSpec(n_rows=300, seed=13),
+    )
+    df = pq.read_table(os.path.join(fdir, "images.parquet")).to_pandas()
+    base_df = df.iloc[: len(df) * 4 // 5]
+    shard_df = df.iloc[len(df) * 4 // 5 :]
+    base_tbl = tmp_path / "base.parquet"
+    shard_tbl = tmp_path / "shard.parquet"
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(base_df, preserve_index=False), base_tbl)
+    pq.write_table(pa.Table.from_pandas(shard_df, preserve_index=False), shard_tbl)
+
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+
+    def run(*cli):
+        res = subprocess.run(
+            [sys.executable, "-m", "simhash_ray", "--num-cpus", "8", *cli],
+            capture_output=True, text=True, timeout=540, cwd="/root/repo",
+            env=env,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    base_out = tmp_path / "corpus"
+    run("dedup", str(base_tbl), "--out", str(base_out))
+    run("encode", str(base_tbl), "--out", str(base_out))
+    ing_out = tmp_path / "corpus2"
+    metrics = run("ingest", str(shard_tbl), "--base", str(base_out),
+                  "--out", str(ing_out))
+    assert metrics["n_shard"] == len(shard_df)
+
+    full_out = tmp_path / "full"
+    run("dedup", os.path.join(fdir, "images.parquet"), "--out", str(full_out))
+    merged = (
+        pq.read_table(str(ing_out / "assignment")).to_pandas()
+        .sort_values("image_id").reset_index(drop=True)
+    )
+    full = (
+        pq.read_table(str(full_out / "assignment")).to_pandas()
+        .sort_values("image_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        merged[["image_id", "cluster_id", "is_representative"]],
+        full[["image_id", "cluster_id", "is_representative"]],
+    )
+    # the updated signature table covers base ∪ shard, ready as next --base
+    sigs = pq.read_table(str(ing_out / "signatures")).to_pandas()
+    assert set(sigs["image_id"]) == set(df["image_id"])
