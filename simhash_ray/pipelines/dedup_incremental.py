@@ -35,6 +35,18 @@ regime uses); the touched-base candidate set is shard-sized, not
 corpus-sized (hot exact-signature masses in the base should have been
 collapsed by the base run; candidates are deduped per batch).  Larger
 ingests should run the full distributed pipeline instead.
+
+Probe selectivity is a CONFIG property: a base row is a candidate iff
+it shares a band key with the shard in the same band, so the expected
+candidate fraction per band is ~(shard distinct keys)/2^key_bits.
+With the default text config (8 blocks choose 2 → 16-bit keys) a
+≳50k-row shard saturates the key space and the probe legitimately
+returns most of the base — the operator then degenerates gracefully
+into verify-shard-against-everything (measured: 80k shard into 320k
+base = ~55% of a full-batch rerun; correctness unchanged).  The
+hourly-ingest regime this operator targets (shard ≪ 2^key_bits, e.g.
+≤5k rows against the 10^12-scale configs with wider keys — see
+LSHConfig's scale note) keeps the candidate set shard-sized.
 """
 
 from __future__ import annotations
@@ -173,7 +185,14 @@ def dedup_images_incremental(
 
         def pick(batch: pa.Table) -> pa.Table:
             tb = ray.get(tb_ref)
-            m = np.isin(batch["image_id"].to_numpy(zero_copy_only=False), tb)
+            # hash-based membership: np.isin on object (string) arrays
+            # sort-compares and is ~100× slower (measured 21.7 s vs
+            # 0.2 s on 320k × 59k ids at this fixture scale)
+            m = (
+                pd.Series(batch["image_id"].to_numpy(zero_copy_only=False))
+                .isin(tb)
+                .to_numpy()
+            )
             return batch.select(["image_id", "cluster_id"]).filter(pa.array(m))
 
         label_of = (
