@@ -4,7 +4,12 @@ Public surface (see README.md for the full map):
 
 - flagship image pipeline: :func:`dedup_images`,
   :func:`dedup_images_checkpointed`, :func:`survivors`
+- incremental ingest: :func:`dedup_images_incremental`,
+  :func:`apply_remap`
 - text-domain flagship: :func:`dedup_documents`
+- curation ops: :func:`decontaminate`, :func:`topk_per_group`,
+  :func:`exact_quantiles`, :func:`hash_sample`,
+  :func:`stratified_sample`, :func:`cap_per_group`
 - building blocks live under ``simhash_ray.stages`` (encode, lsh,
   cluster, minhash, substring, ann, text, window, joins, multimodal)
   and ``simhash_ray.state`` (manifests, progress)
@@ -22,14 +27,26 @@ from .pipelines.dedup_images import (
     dedup_images_checkpointed,
     survivors,
 )
+from .pipelines.dedup_incremental import apply_remap, dedup_images_incremental
+from .stages.decontam import decontaminate
+from .stages.sample import cap_per_group, hash_sample, stratified_sample
+from .stages.topk import exact_quantiles, topk_per_group
 
 __all__ = [
     "DEFAULT_CONFIG",
     "DedupConfig",
     "LSHConfig",
     "SimHashConfig",
+    "apply_remap",
+    "cap_per_group",
+    "decontaminate",
     "dedup_documents",
     "dedup_images",
     "dedup_images_checkpointed",
+    "dedup_images_incremental",
+    "exact_quantiles",
+    "hash_sample",
+    "stratified_sample",
     "survivors",
+    "topk_per_group",
 ]

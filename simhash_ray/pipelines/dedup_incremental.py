@@ -221,7 +221,8 @@ def dedup_images_incremental(
 
     # 5. shard assignment + base-cluster remap
     new_ids = new_df["image_id"].to_numpy(dtype=object)
-    final = np.array([lab_map.get(i, i) for i in new_ids], dtype=object)
+    mapped = pd.Series(new_ids, dtype=object).map(lab_map)
+    final = mapped.where(mapped.notna(), new_ids).to_numpy(dtype=object)
     assignment_new = rd.from_arrow(
         pa.table(
             {
