@@ -207,9 +207,16 @@ def dedup_images_incremental(
 
     def to_node(x: np.ndarray) -> np.ndarray:
         vals = pd.Series(x, dtype=object)
-        newm = is_new.reindex(vals).to_numpy()
+        newm = is_new.reindex(vals).fillna(False).to_numpy(dtype=bool)
         out = vals.copy()
-        out[~newm] = label_of.reindex(vals[~newm]).to_numpy()
+        base_labels = label_of.reindex(vals[~newm])
+        if base_labels.isna().any():  # contract: assignment covers base_sigs
+            missing = base_labels[base_labels.isna()].index[:5].tolist()
+            raise ValueError(
+                f"base_assignment is missing ids present in base_sigs: "
+                f"{missing} …"
+            )
+        out[~newm] = base_labels.to_numpy()
         return out.to_numpy(dtype=object)
 
     uf_edges = pd.DataFrame(
