@@ -70,6 +70,10 @@ def main() -> int:
     import __ray_entry__ as e
 
     qs, sqls = e.queries(), e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")

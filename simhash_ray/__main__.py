@@ -164,10 +164,24 @@ def cmd_ingest(args) -> int:
     _init_ray(args.num_cpus)
     import ray.data as rd
 
-    from .pipelines import dedup_images as flagship
     from .pipelines.dedup_incremental import apply_remap, dedup_images_incremental
 
     cfg = _load_cfg(args)
+    # the incremental contract requires the SAME banding/encoder config
+    # as the base run (module docstring) — validate against the base
+    # run's recorded hash when available, loudly
+    base_metrics = os.path.join(args.base, "metrics.json")
+    if os.path.exists(base_metrics):
+        with open(base_metrics) as f:
+            base_hash = json.load(f).get("config_hash")
+        if base_hash and base_hash != cfg.config_hash():
+            print(
+                f"error: config_hash {cfg.config_hash()} does not match the "
+                f"base run's {base_hash} — incremental ingest must use the "
+                "base run's exact config (pass the same --config)",
+                file=sys.stderr,
+            )
+            return 2
     shard = _read_images(args.shard, ["image_id", "caption", "phash"])
     base_sigs = rd.read_parquet(os.path.join(args.base, "signatures"))
     base_assignment = rd.read_parquet(os.path.join(args.base, "assignment"))
@@ -178,7 +192,13 @@ def cmd_ingest(args) -> int:
     updated.union(res.assignment_new).write_parquet(
         os.path.join(args.out, "assignment")
     )
-    shard_sigs = flagship.signatures(shard, cfg)
+    # the incremental result carries the shard signatures it already
+    # computed — appending them avoids a second encode pass
+    import pyarrow as pa
+
+    shard_sigs = rd.from_arrow(
+        pa.Table.from_pandas(res.shard_sigs, preserve_index=False)
+    )
     base_sigs.union(shard_sigs).write_parquet(os.path.join(args.out, "signatures"))
     metrics = {
         "n_shard": res.assignment_new.count(),

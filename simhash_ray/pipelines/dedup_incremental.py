@@ -64,7 +64,7 @@ from ..stages.cluster import unionfind_driver
 from ..stages.lsh import (
     IMAGE_SPACE,
     TEXT_SPACE,
-    _combos,
+    band_keys,
     broadcast_candidate_edges,
 )
 from .dedup_images import BROADCAST_SIG_LIMIT, signatures
@@ -83,6 +83,8 @@ class IncrementalResult:
     assignment_new: rd.Dataset  # shard rows: (image_id, cluster_id, is_representative)
     remap: pd.DataFrame  # (old_cluster, new_cluster) for affected base clusters
     edges_new: pd.DataFrame  # verified dup edges with ≥1 shard endpoint (a, b)
+    shard_sigs: pd.DataFrame  # (image_id, simhash, phash) of the shard — reuse,
+    # don't re-encode, when appending to the corpus signature table
     n_joined_existing: int  # shard rows absorbed into base clusters
     n_new_clusters: int  # duplicate clusters entirely within the shard
 
@@ -94,18 +96,9 @@ def _space_plans(cfg: DedupConfig):
     ]
 
 
-def _band_keys(sig: np.ndarray, lsh_cfg) -> list[np.ndarray]:
-    """Band key array per band for one signature space (same key
-    construction as stages/lsh.make_band_expander / band_task)."""
-    r = 64 // lsh_cfg.n_blocks
-    mask = np.uint64((1 << r) - 1)
-    out = []
-    for combo in _combos(lsh_cfg):
-        key = np.zeros(len(sig), dtype=np.uint64)
-        for j, b in enumerate(combo):
-            key |= ((sig >> np.uint64(b * r)) & mask) << np.uint64(j * r)
-        out.append(key)
-    return out
+# band keys come from stages.lsh.band_keys — the single shared key
+# construction (bit-identical keys are the incremental operator's
+# full-rerun-equivalence precondition)
 
 
 def dedup_images_incremental(
@@ -128,9 +121,12 @@ def dedup_images_incremental(
             f"incremental shard has {len(new_df)} rows > "
             f"BROADCAST_SIG_LIMIT={BROADCAST_SIG_LIMIT}; run dedup_images"
         )
+    if new_df["image_id"].duplicated().any():
+        dupes = new_df["image_id"][new_df["image_id"].duplicated()].head(5).tolist()
+        raise ValueError(f"shard contains duplicate image_ids: {dupes} …")
     plans = _space_plans(cfg)
     shard_keys = {
-        sp: [np.unique(k) for k in _band_keys(
+        sp: [np.unique(k) for k in band_keys(
             new_df[col].to_numpy().view(np.uint64), lc)]
         for sp, col, lc in plans
     }
@@ -142,8 +138,8 @@ def dedup_images_incremental(
         hit = np.zeros(batch.num_rows, dtype=bool)
         for sp, col, lc in plans:
             sig = batch[col].to_numpy(zero_copy_only=False).view(np.uint64)
-            for band_keys, shard_sorted in zip(_band_keys(sig, lc), sk[sp]):
-                hit |= np.isin(band_keys, shard_sorted)
+            for keys, shard_sorted in zip(band_keys(sig, lc), sk[sp]):
+                hit |= np.isin(keys, shard_sorted)
         return batch.filter(pa.array(hit))
 
     cand_df = (
@@ -151,6 +147,17 @@ def dedup_images_incremental(
         .map_batches(probe, batch_format="pyarrow")
         .to_pandas()
     )
+    # shard/base id disjointness is a contract precondition (re-delivered
+    # shards must be deduped upstream); an overlapping id that is an
+    # exact re-delivery is always a candidate (identical signatures
+    # share every band key), so checking the candidate set catches the
+    # common at-least-once-delivery violation cheaply
+    overlap = pd.Index(new_df["image_id"]).intersection(cand_df["image_id"])
+    if len(overlap):
+        raise ValueError(
+            f"shard re-delivers image_ids already in the base corpus: "
+            f"{overlap[:5].tolist()} … — drop or re-id them before ingest"
+        )
     if len(cand_df) > candidate_limit:
         raise ValueError(
             f"{len(cand_df)} base candidates exceed candidate_limit="
@@ -247,17 +254,25 @@ def dedup_images_incremental(
     ]
     remap = pd.DataFrame(remap_rows, columns=["old_cluster", "new_cluster"])
 
+    # a shard row "joined existing" iff its component contains ≥1 base
+    # node (not "iff its final label is a base id" — a shard id can
+    # become the merged cluster's min label, e.g. 'img10' < 'img5'
+    # lexicographically, without the cluster being shard-only)
+    comp_has_base = {
+        lab for node, lab in lab_map.items() if not bool(is_new.get(node, False))
+    }
     final_s = pd.Series(final, dtype=object)
-    final_is_new = final_s.map(is_new).fillna(False).astype(bool)
+    joined_mask = final_s.isin(comp_has_base)
     counts = final_s.value_counts()
     n_new_clusters = int(
-        ((counts > 1) & counts.index.to_series().map(is_new).fillna(False)).sum()
+        ((counts > 1) & ~counts.index.isin(list(comp_has_base))).sum()
     )
     return IncrementalResult(
         assignment_new=assignment_new,
         remap=remap,
         edges_new=edges_new,
-        n_joined_existing=int((~final_is_new).sum()),
+        shard_sigs=new_df,
+        n_joined_existing=int(joined_mask.sum()),
         n_new_clusters=n_new_clusters,
     )
 

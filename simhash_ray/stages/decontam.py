@@ -114,7 +114,9 @@ def decontaminate(
     for the zero-shuffle probe path (50M hashes = 400 MB, one object
     put, read zero-copy by every probe task); larger eval sides take
     the distributed join path."""
-    eval_wins = eval_window_hashes(eval_ds, window, text_col, id_col)
+    # materialize: count() and the downstream consumer (iter_batches or
+    # the join) would otherwise each execute the explode+distinct plan
+    eval_wins = eval_window_hashes(eval_ds, window, text_col, id_col).materialize()
     n_eval = eval_wins.count()
     if n_eval > broadcast_limit:
         logger.info(

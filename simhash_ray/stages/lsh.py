@@ -45,6 +45,24 @@ def _combos(cfg: LSHConfig) -> list[tuple[int, ...]]:
     return list(itertools.combinations(range(cfg.n_blocks), cfg.combo_m))
 
 
+def combo_key(sig: np.ndarray, combo: tuple[int, ...], r: int) -> np.ndarray:
+    """Band key for one block combination: the concatenated r-bit
+    blocks of ``sig`` named by ``combo``.  THE key construction — every
+    band producer (expander, broadcast band tasks, incremental probe)
+    must call this so keys stay bit-identical across paths."""
+    mask = np.uint64((1 << r) - 1)
+    key = np.zeros(len(sig), dtype=np.uint64)
+    for j, b in enumerate(combo):
+        key |= ((sig >> np.uint64(b * r)) & mask) << np.uint64(j * r)
+    return key
+
+
+def band_keys(sig: np.ndarray, cfg: LSHConfig) -> list[np.ndarray]:
+    """:func:`combo_key` per band of ``cfg`` (one array per combo)."""
+    r = 64 // cfg.n_blocks
+    return [combo_key(sig, combo, r) for combo in _combos(cfg)]
+
+
 def make_band_expander(
     spaces: list[tuple[int, str, LSHConfig]],
     id_col: str = "image_id",
@@ -262,10 +280,7 @@ def broadcast_candidate_edges(
     @ray.remote(num_cpus=2)
     def band_task(sig_ref, combo, r, tau):
         sig = sig_ref if isinstance(sig_ref, np.ndarray) else sig_ref
-        mask = np.uint64((1 << r) - 1)
-        key = np.zeros(len(sig), dtype=np.uint64)
-        for j, b in enumerate(combo):
-            key |= ((sig >> np.uint64(b * r)) & mask) << np.uint64(j * r)
+        key = combo_key(sig, combo, r)
         order = np.lexsort((sig, key))
         k = key[order]
         sig_sorted = sig[order]

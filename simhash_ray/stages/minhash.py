@@ -76,8 +76,11 @@ def _pack_sig_column(mat: np.ndarray) -> pa.Array:
 
 
 def _shingle_hashes_flat(
-    texts: pa.ChunkedArray | pa.Array, k: int, short_rows: str = "fold"
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    texts: pa.ChunkedArray | pa.Array,
+    k: int,
+    short_rows: str = "fold",
+    return_lens: bool = False,
+):
     """Whole-batch shingle hashing, no per-row Python in the main path.
 
     ``short_rows``: rows with fewer than k tokens either "fold" into a
@@ -86,6 +89,9 @@ def _shingle_hashes_flat(
 
     Returns (shingles, row_of, n_rows): sorted-deduped u64 k-gram
     hashes of every row concatenated, with each shingle's row index.
+    With ``return_lens=True`` a fourth element is appended: the
+    per-row count of non-empty tokens (consumers needing both token
+    counts and shingles tokenize once here, not twice).
     Token hashing runs ONCE over the flattened token column; the
     k-gram rolling combine is a length-k vectorized fold over the flat
     array with cross-row positions masked out; per-row dedup is one
@@ -102,8 +108,12 @@ def _shingle_hashes_flat(
     row_of_tok = np.repeat(np.arange(n), lens0)[keep]
     tok_list = np.asarray(flat.to_pylist(), dtype=object)[keep]
     lens = np.bincount(row_of_tok, minlength=n)
+
+    def _ret(sh, rows):
+        return (sh, rows, n, lens) if return_lens else (sh, rows, n)
+
     if len(tok_list) == 0:
-        return np.empty(0, np.uint64), np.empty(0, np.int64), n
+        return _ret(np.empty(0, np.uint64), np.empty(0, np.int64))
     th = pd.util.hash_array(tok_list)
 
     parts_s: list[np.ndarray] = []
@@ -132,14 +142,14 @@ def _shingle_hashes_flat(
             parts_s.append(acc)
             parts_r.append(np.array([r], dtype=np.int64))
     if not parts_s:
-        return np.empty(0, np.uint64), np.empty(0, np.int64), n
+        return _ret(np.empty(0, np.uint64), np.empty(0, np.int64))
     sh = np.concatenate(parts_s)
     rows = np.concatenate(parts_r).astype(np.int64)
     order = np.lexsort((sh, rows))
     sh, rows = sh[order], rows[order]
     first = np.ones(len(sh), dtype=bool)
     first[1:] = (rows[1:] != rows[:-1]) | (sh[1:] != sh[:-1])
-    return sh[first], rows[first], n
+    return _ret(sh[first], rows[first])
 
 
 def _shingle_hashes(texts: pa.ChunkedArray | pa.Array, k: int) -> list[np.ndarray]:

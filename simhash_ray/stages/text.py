@@ -49,15 +49,12 @@ def repetition_counts_batch(
     from .minhash import _shingle_hashes_flat
 
     texts = batch[text_col].combine_chunks().cast(pa.string())
-    toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
-    flat = pc.list_flatten(toks)
-    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    n = len(toks)
-    lens0 = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
-    row_of_tok = np.repeat(np.arange(n), lens0)[keep]
-    ntok = np.bincount(row_of_tok, minlength=n)
+    # one tokenization pass: the shingler returns per-row non-empty
+    # token counts alongside the distinct window hashes
+    _sh, rows, n, ntok = _shingle_hashes_flat(
+        texts, k, short_rows="drop", return_lens=True
+    )
     nwin = np.maximum(ntok - (k - 1), 0).astype(np.int64)
-    _sh, rows, _n = _shingle_hashes_flat(texts, k, short_rows="drop")
     ndist = (
         np.bincount(rows, minlength=n).astype(np.int64)
         if len(rows)

@@ -128,19 +128,22 @@ def exact_quantiles(
              "cnt": pa.array(c.astype(np.int64), type=pa.int64())}
         )
 
-    hist = (
+    hist_ds = (
         ds.select_columns([col])
         .map_batches(vc, batch_format="pyarrow")
         .groupby("val")
         .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()
-        .sort_values("val")
+        .materialize()
     )
-    if len(hist) > max_distinct:
+    # guard BEFORE collecting — the point is to never pull an unbounded
+    # histogram onto the driver
+    n_distinct = hist_ds.count()
+    if n_distinct > max_distinct:
         raise ValueError(
-            f"exact_quantiles: {len(hist)} distinct values exceeds "
+            f"exact_quantiles: {n_distinct} distinct values exceeds "
             f"max_distinct={max_distinct}; use a sketch for this column"
         )
+    hist = hist_ds.to_pandas().sort_values("val")
     vals = hist["val"].to_numpy()
     cum = hist["cnt"].to_numpy().cumsum()
     n = int(cum[-1]) if len(cum) else 0
