@@ -72,3 +72,43 @@ def test_disjoint_shard_all_singletons(split_fixture):
     assert out["is_representative"].all()
     assert len(inc.remap) == 0
     assert inc.n_joined_existing == 0
+
+
+def test_metrics_when_shard_id_becomes_label():
+    """A shard id lexicographically below the base cluster's label must
+    still count as joined-existing (review finding: classification is
+    by component membership, not by who wins the min-label election)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def imgs(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "image_id": pa.array([r[0] for r in rows], type=pa.string()),
+                    "caption": pa.array([r[1] for r in rows], type=pa.string()),
+                    "phash": pa.array([r[2] for r in rows], type=pa.int64()),
+                }
+            )
+        )
+
+    cap = "the exact same caption tokens repeated here for the pair"
+    base_rows = [("b2", cap, 12345), ("b3", cap, 12345),
+                 ("b9", "a totally different unrelated caption text", 777)]
+    shard_rows = [("a1", cap, 12345),
+                  ("a5", "yet another unrelated shard caption body", 999)]
+    base = dedup_images(imgs(base_rows))
+    base_sigs = signatures(imgs(base_rows)).materialize()
+    inc = dedup_images_incremental(imgs(shard_rows), base_sigs, base.assignment)
+    out = inc.assignment_new.to_pandas().set_index("image_id")
+    # a1 joins the base cluster AND becomes its min label
+    assert out.loc["a1", "cluster_id"] == "a1"
+    assert inc.n_joined_existing == 1  # a1 joined an existing cluster
+    assert inc.n_new_clusters == 0  # no shard-only duplicate cluster
+    # base rows b2, b3 remap to the new label
+    remap = dict(zip(inc.remap["old_cluster"], inc.remap["new_cluster"]))
+    assert remap == {"b2": "a1"}
+    applied = apply_remap(base.assignment, inc.remap).to_pandas()
+    assert set(applied[applied["cluster_id"] == "a1"]["image_id"]) == {"b2", "b3"}
+    # a5 is untouched: its own singleton cluster
+    assert out.loc["a5", "cluster_id"] == "a5"
