@@ -5,6 +5,7 @@ Public surface (see README.md for the full map):
 - flagship image pipeline: :func:`dedup_images`,
   :func:`dedup_images_checkpointed`, :func:`survivors`
 - incremental ingest: :func:`dedup_images_incremental`,
+  :func:`dedup_documents_incremental`,
   :func:`apply_remap`
 - text-domain flagship: :func:`dedup_documents`
 - curation ops: :func:`decontaminate`, :func:`topk_per_group`,
@@ -27,7 +28,11 @@ from .pipelines.dedup_images import (
     dedup_images_checkpointed,
     survivors,
 )
-from .pipelines.dedup_incremental import apply_remap, dedup_images_incremental
+from .pipelines.dedup_incremental import (
+    apply_remap,
+    dedup_documents_incremental,
+    dedup_images_incremental,
+)
 from .stages.decontam import decontaminate
 from .stages.sample import cap_per_group, hash_sample, stratified_sample
 from .stages.topk import exact_quantiles, topk_per_group
@@ -43,6 +48,7 @@ __all__ = [
     "dedup_documents",
     "dedup_images",
     "dedup_images_checkpointed",
+    "dedup_documents_incremental",
     "dedup_images_incremental",
     "exact_quantiles",
     "hash_sample",

@@ -7,7 +7,7 @@ corpus already processed".  Re-running the full pipeline is O(corpus);
 this operator is O(shard + touched-base):
 
 1. encode the shard's signatures (same actor-pool encoder as the
-   flagship, pipelines/dedup_images.signatures),
+   flagship),
 2. broadcast the shard's band keys (per signature space; identical
    banding config to the base run) and stream ONE map_batches pass
    over the base signature table — a base row is a candidate iff it
@@ -19,15 +19,20 @@ this operator is O(shard + touched-base):
 4. collapse base endpoints to their existing cluster labels and
    union-find the small edge set on the driver.
 
+Two domain wrappers share one fold (``_fold_shard``):
+:func:`dedup_images_incremental` (image+caption table, text+image
+signature spaces) and :func:`dedup_documents_incremental` (document
+table, text space) — the incremental analogues of
+pipelines/dedup_images and pipelines/dedup_docs.
+
 Output contract (pinned by tests/test_incremental.py): applying
 ``remap`` to the base assignment and unioning ``assignment_new``
-reproduces byte-for-byte the assignment of a full-batch
-``dedup_images(base ∪ shard)`` run at the same config.  This holds
-because (a) base↔base connectivity is already encoded in the base
-assignment (same config ⇒ same base edges), (b) every full-run edge
-with a shard endpoint shares a band key with the shard and is
-therefore found in step 2-3, and (c) cluster labels are min-id either
-way.
+reproduces byte-for-byte the assignment of a full-batch run over
+base ∪ shard at the same config.  This holds because (a) base↔base
+connectivity is already encoded in the base assignment (same config ⇒
+same base edges), (b) every full-run edge with a shard endpoint shares
+a band key with the shard and is therefore found in step 2-3, and
+(c) cluster labels are min-id either way.
 
 Scale assumptions (asserted loudly): the SHARD fits the broadcast
 envelope (≤ BROADCAST_SIG_LIMIT rows — the same bound the direct
@@ -69,22 +74,14 @@ from ..stages.lsh import (
 )
 from .dedup_images import BROADCAST_SIG_LIMIT, signatures
 
-_ASSIGN_SCHEMA = pa.schema(
-    [
-        ("image_id", pa.string()),
-        ("cluster_id", pa.string()),
-        ("is_representative", pa.bool_()),
-    ]
-)
-
 
 @dataclass
 class IncrementalResult:
-    assignment_new: rd.Dataset  # shard rows: (image_id, cluster_id, is_representative)
+    assignment_new: rd.Dataset  # shard rows: (id, cluster_id, is_representative)
     remap: pd.DataFrame  # (old_cluster, new_cluster) for affected base clusters
     edges_new: pd.DataFrame  # verified dup edges with ≥1 shard endpoint (a, b)
-    shard_sigs: pd.DataFrame  # (image_id, simhash, phash) of the shard — reuse,
-    # don't re-encode, when appending to the corpus signature table
+    shard_sigs: pd.DataFrame  # the shard's signature rows — reuse, don't
+    # re-encode, when appending to the corpus signature table
     n_joined_existing: int  # shard rows absorbed into base clusters
     n_new_clusters: int  # duplicate clusters entirely within the shard
 
@@ -94,11 +91,6 @@ def _space_plans(cfg: DedupConfig):
         (TEXT_SPACE, "simhash", cfg.text_lsh),
         (IMAGE_SPACE, "phash", cfg.image_lsh),
     ]
-
-
-# band keys come from stages.lsh.band_keys — the single shared key
-# construction (bit-identical keys are the incremental operator's
-# full-rerun-equivalence precondition)
 
 
 def dedup_images_incremental(
@@ -112,19 +104,89 @@ def dedup_images_incremental(
     """See module docstring.  ``base_sigs`` = (image_id, simhash,
     phash) from the base run (the checkpointed signature table);
     ``base_assignment`` = its (image_id, cluster_id[, ...]) output."""
-    candidate_limit = candidate_limit or BROADCAST_SIG_LIMIT
-
-    # 1. shard signatures (small side — assert the broadcast envelope)
     new_df = signatures(new_images, cfg, concurrency=concurrency).to_pandas()
+    return _fold_shard(
+        new_df,
+        base_sigs,
+        base_assignment,
+        plans=_space_plans(cfg),
+        id_col="image_id",
+        id_type=pa.string(),
+        candidate_limit=candidate_limit or BROADCAST_SIG_LIMIT,
+    )
+
+
+def dedup_documents_incremental(
+    new_docs: rd.Dataset,
+    base_sigs: rd.Dataset,
+    base_assignment: rd.Dataset,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=None,
+    candidate_limit: int | None = None,
+) -> IncrementalResult:
+    """Document-domain incremental fold — the ingest analogue of
+    pipelines/dedup_docs.dedup_documents, single text signature space.
+    ``base_sigs`` = (doc_id, simhash) from the base run."""
+    from ..stages.encode import encode_signatures
+
+    new_df = (
+        encode_signatures(
+            new_docs.select_columns([id_col, text_col]),
+            cfg.simhash,
+            text_col=text_col,
+            concurrency=concurrency,
+        )
+        .select_columns([id_col, "simhash"])
+        .to_pandas()
+    )
+    id_type = pa.string() if new_df[id_col].dtype == object else pa.from_numpy_dtype(
+        new_df[id_col].dtype
+    )
+    return _fold_shard(
+        new_df,
+        base_sigs,
+        base_assignment,
+        plans=[(TEXT_SPACE, "simhash", cfg.text_lsh)],
+        id_col=id_col,
+        id_type=id_type,
+        candidate_limit=candidate_limit or BROADCAST_SIG_LIMIT,
+    )
+
+
+def _fold_shard(
+    new_df: pd.DataFrame,
+    base_sigs: rd.Dataset,
+    base_assignment: rd.Dataset,
+    plans: list,
+    id_col: str,
+    id_type: pa.DataType,
+    candidate_limit: int,
+) -> IncrementalResult:
+    """The shared fold (module docstring steps 2-5) over an encoded
+    shard signature frame.  ``plans`` = [(space_id, sig_col, LSHConfig),
+    ...] — must be the base run's exact config (band keys come from
+    stages.lsh.band_keys, the single shared key construction; bit-
+    identical keys are the full-rerun-equivalence precondition)."""
+    sig_cols = [col for _sp, col, _lc in plans]
+    assign_schema = pa.schema(
+        [
+            (id_col, id_type),
+            ("cluster_id", id_type),
+            ("is_representative", pa.bool_()),
+        ]
+    )
+
+    # 1. envelope + shard sanity (the caller encoded; we validate)
     if len(new_df) > BROADCAST_SIG_LIMIT:
         raise ValueError(
             f"incremental shard has {len(new_df)} rows > "
-            f"BROADCAST_SIG_LIMIT={BROADCAST_SIG_LIMIT}; run dedup_images"
+            f"BROADCAST_SIG_LIMIT={BROADCAST_SIG_LIMIT}; run the full pipeline"
         )
-    if new_df["image_id"].duplicated().any():
-        dupes = new_df["image_id"][new_df["image_id"].duplicated()].head(5).tolist()
-        raise ValueError(f"shard contains duplicate image_ids: {dupes} …")
-    plans = _space_plans(cfg)
+    if new_df[id_col].duplicated().any():
+        dupes = new_df[id_col][new_df[id_col].duplicated()].head(5).tolist()
+        raise ValueError(f"shard contains duplicate {id_col}s: {dupes} …")
     shard_keys = {
         sp: [np.unique(k) for k in band_keys(
             new_df[col].to_numpy().view(np.uint64), lc)]
@@ -143,7 +205,7 @@ def dedup_images_incremental(
         return batch.filter(pa.array(hit))
 
     cand_df = (
-        base_sigs.select_columns(["image_id", "simhash", "phash"])
+        base_sigs.select_columns([id_col, *sig_cols])
         .map_batches(probe, batch_format="pyarrow")
         .to_pandas()
     )
@@ -152,10 +214,10 @@ def dedup_images_incremental(
     # exact re-delivery is always a candidate (identical signatures
     # share every band key), so checking the candidate set catches the
     # common at-least-once-delivery violation cheaply
-    overlap = pd.Index(new_df["image_id"]).intersection(cand_df["image_id"])
+    overlap = pd.Index(new_df[id_col]).intersection(cand_df[id_col])
     if len(overlap):
         raise ValueError(
-            f"shard re-delivers image_ids already in the base corpus: "
+            f"shard re-delivers {id_col}s already in the base corpus: "
             f"{overlap[:5].tolist()} … — drop or re-id them before ingest"
         )
     if len(cand_df) > candidate_limit:
@@ -169,17 +231,14 @@ def dedup_images_incremental(
     comb = pd.concat([new_df, cand_df], ignore_index=True)
     n_new = len(new_df)
     ai, bi = broadcast_candidate_edges(
-        {
-            TEXT_SPACE: comb["simhash"].to_numpy().view(np.uint64),
-            IMAGE_SPACE: comb["phash"].to_numpy().view(np.uint64),
-        },
+        {sp: comb[col].to_numpy().view(np.uint64) for sp, col, _lc in plans},
         [(sp, lc) for sp, _c, lc in plans],
         taus={sp: lc.hamming_tau for sp, _c, lc in plans},
         pair_full_threshold=min(lc.pair_full_threshold for _s, _c, lc in plans),
     )
     keep = (ai < n_new) | (bi < n_new)  # ≥1 shard endpoint
     ai, bi = ai[keep], bi[keep]
-    ids = comb["image_id"].to_numpy(dtype=object)
+    ids = comb[id_col].to_numpy(dtype=object)
     a_ids, b_ids = ids[ai], ids[bi]
     swap = a_ids > b_ids
     a_ids[swap], b_ids[swap] = b_ids[swap], a_ids[swap]
@@ -196,21 +255,21 @@ def dedup_images_incremental(
             # sort-compares and is ~100× slower (measured 21.7 s vs
             # 0.2 s on 320k × 59k ids at this fixture scale)
             m = (
-                pd.Series(batch["image_id"].to_numpy(zero_copy_only=False))
+                pd.Series(batch[id_col].to_numpy(zero_copy_only=False))
                 .isin(tb)
                 .to_numpy()
             )
-            return batch.select(["image_id", "cluster_id"]).filter(pa.array(m))
+            return batch.select([id_col, "cluster_id"]).filter(pa.array(m))
 
         label_of = (
             base_assignment.map_batches(pick, batch_format="pyarrow")
             .to_pandas()
-            .set_index("image_id")["cluster_id"]
+            .set_index(id_col)["cluster_id"]
         )
     else:
         label_of = pd.Series(dtype=object)
 
-    is_new = pd.Series(np.arange(len(comb)) < n_new, index=comb["image_id"].values)
+    is_new = pd.Series(np.arange(len(comb)) < n_new, index=comb[id_col].values)
 
     def to_node(x: np.ndarray) -> np.ndarray:
         vals = pd.Series(x, dtype=object)
@@ -234,17 +293,17 @@ def dedup_images_incremental(
     lab_map = dict(zip(labels["node"], labels["label"]))
 
     # 5. shard assignment + base-cluster remap
-    new_ids = new_df["image_id"].to_numpy(dtype=object)
+    new_ids = new_df[id_col].to_numpy(dtype=object)
     mapped = pd.Series(new_ids, dtype=object).map(lab_map)
     final = mapped.where(mapped.notna(), new_ids).to_numpy(dtype=object)
     assignment_new = rd.from_arrow(
         pa.table(
             {
-                "image_id": pa.array(new_ids, type=pa.string()),
-                "cluster_id": pa.array(final, type=pa.string()),
+                id_col: pa.array(new_ids, type=id_type),
+                "cluster_id": pa.array(final, type=id_type),
                 "is_representative": pa.array(new_ids == final),
             },
-            schema=_ASSIGN_SCHEMA,
+            schema=assign_schema,
         )
     )
     # union-find nodes that are base labels (not shard ids) and moved
@@ -277,7 +336,9 @@ def dedup_images_incremental(
     )
 
 
-def apply_remap(base_assignment: rd.Dataset, remap: pd.DataFrame) -> rd.Dataset:
+def apply_remap(
+    base_assignment: rd.Dataset, remap: pd.DataFrame, id_col: str = "image_id"
+) -> rd.Dataset:
     """Rewrite base cluster ids per ``remap`` (merges caused by shard
     rows bridging base clusters, or a shard id becoming the new min
     label) and recompute is_representative — one broadcast
@@ -286,17 +347,17 @@ def apply_remap(base_assignment: rd.Dataset, remap: pd.DataFrame) -> rd.Dataset:
 
     def fn(batch: pa.Table) -> pa.Table:
         rm = ray.get(remap_ref)
+        id_type = batch[id_col].type
         cl = pd.Series(batch["cluster_id"].to_numpy(zero_copy_only=False))
         mapped = cl.map(rm)
         cl = mapped.where(mapped.notna(), cl)
-        ids = batch["image_id"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "image_id": pa.array(ids, type=pa.string()),
-                "cluster_id": pa.array(cl.to_numpy(dtype=object), type=pa.string()),
+                id_col: pa.array(ids, type=id_type),
+                "cluster_id": pa.array(cl.to_numpy(dtype=object), type=id_type),
                 "is_representative": pa.array(ids == cl.to_numpy(dtype=object)),
-            },
-            schema=_ASSIGN_SCHEMA,
+            }
         )
 
     return base_assignment.map_batches(fn, batch_format="pyarrow")

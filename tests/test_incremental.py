@@ -112,3 +112,54 @@ def test_metrics_when_shard_id_becomes_label():
     assert set(applied[applied["cluster_id"] == "a1"]["image_id"]) == {"b2", "b3"}
     # a5 is untouched: its own singleton cluster
     assert out.loc["a5", "cluster_id"] == "a5"
+
+
+def test_doc_incremental_reproduces_full_batch():
+    """Document-domain wrapper: incremental fold over the testdata
+    documents table ≡ full dedup_documents rerun (int64 ids)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simhash_ray.config import DEFAULT_CONFIG
+    from simhash_ray.pipelines.dedup_docs import dedup_documents
+    from simhash_ray.pipelines.dedup_incremental import (
+        dedup_documents_incremental,
+    )
+    from simhash_ray.stages.encode import encode_signatures
+
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def split(want_base: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 5 < 4) == want_base))
+
+        return fn
+
+    base = docs.map_batches(split(True), batch_format="pyarrow").materialize()
+    shard = docs.map_batches(split(False), batch_format="pyarrow").materialize()
+    base_assign = dedup_documents(base).materialize()
+    base_sigs = (
+        encode_signatures(base, DEFAULT_CONFIG.simhash, text_col="text")
+        .select_columns(["doc_id", "simhash"])
+        .materialize()
+    )
+    inc = dedup_documents_incremental(shard, base_sigs, base_assign)
+    reconstructed = pd.concat(
+        [
+            apply_remap(base_assign, inc.remap, id_col="doc_id").to_pandas(),
+            inc.assignment_new.to_pandas(),
+        ]
+    ).sort_values("doc_id").reset_index(drop=True)
+    want = (
+        dedup_documents(docs).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    cols = ["doc_id", "cluster_id", "is_representative"]
+    pd.testing.assert_frame_equal(
+        reconstructed[cols].astype(want[cols].dtypes.to_dict()), want[cols]
+    )
+    # the documents table plants near-dups, so the shard must join some
+    assert inc.n_joined_existing > 0
