@@ -1074,6 +1074,60 @@ HAVING COUNT(*) >= 3
 """
 
 
+def q_doc_best_of_cluster(sf_dir: str):
+    """Quality-based representative election: within each bag-of-words
+    duplicate cluster (the tokenset key of doc_tokenset_dedup), keep
+    the HIGHEST-QUALITY member — longest text, ties to min doc_id —
+    instead of the min-id default.  Real curation keeps the best copy;
+    this is topk_per_group with k=1 over the cluster key."""
+    import hashlib
+
+    from ..stages.topk import topk_per_group
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        denc = batch["text"].combine_chunks().cast(pa.string()).dictionary_encode()
+        uniq_keys = np.array(
+            [
+                hashlib.md5(
+                    " ".join(sorted({w for w in (t or "").lower().split() if w})).encode()
+                ).hexdigest()
+                for t in denc.dictionary.to_pylist()
+            ],
+            dtype=object,
+        )
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(batch["text"].combine_chunks().cast(pa.string()))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "set_key": pa.array(uniq_keys[codes], type=pa.string()),
+                "len_chars": lens.cast(pa.int64()),
+            }
+        )
+
+    keyed_ds = docs.map_batches(keyed, batch_format="pyarrow")
+    best = topk_per_group(keyed_ds, "set_key", "len_chars", k=1, tie_col="doc_id")
+    return best.select_columns(["set_key", "doc_id", "len_chars"])
+
+
+SQL_DOC_BEST_OF_CLUSTER = r"""
+SELECT set_key, doc_id, len_chars FROM (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(trim(lower(text)), '\s+'))), ' '))  AS set_key,
+         doc_id,
+         length(text) AS len_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(array_to_string(list_sort(list_distinct(
+             string_split_regex(trim(lower(text)), '\s+'))), ' '))
+           ORDER BY length(text) DESC, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
 def q_doc_repetition(sf_dir: str):
     """Within-doc n-gram repetition counters (Gopher-style duplicate
     3-gram signal): total vs distinct 3-token windows per doc, exact
@@ -2018,6 +2072,7 @@ def ray_queries() -> dict:
         "doc_decontaminate": q_doc_decontaminate,
         "orders_topk_per_segment": q_orders_topk_per_segment,
         "doc_len_quantiles": q_doc_len_quantiles,
+        "doc_best_of_cluster": q_doc_best_of_cluster,
         "doc_repetition": q_doc_repetition,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_cap_per_source": q_doc_cap_per_source,
@@ -2074,6 +2129,7 @@ def oracle_sqls() -> dict:
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "orders_topk_per_segment": SQL_ORDERS_TOPK_PER_SEGMENT,
         "doc_len_quantiles": SQL_DOC_LEN_QUANTILES,
+        "doc_best_of_cluster": SQL_DOC_BEST_OF_CLUSTER,
         "doc_repetition": SQL_DOC_REPETITION,
         "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
         "doc_cap_per_source": SQL_DOC_CAP_PER_SOURCE,
