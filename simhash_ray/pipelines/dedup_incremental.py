@@ -56,6 +56,7 @@ LSHConfig's scale note) keeps the candidate set shard-sized.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 
 import numpy as np
@@ -73,6 +74,8 @@ from ..stages.lsh import (
     broadcast_candidate_edges,
 )
 from .dedup_images import BROADCAST_SIG_LIMIT, signatures
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -225,6 +228,20 @@ def _fold_shard(
             f"{len(cand_df)} base candidates exceed candidate_limit="
             f"{candidate_limit}: the shard collides with a hot region; "
             "run the full distributed pipeline for this ingest"
+        )
+    n_base = base_sigs.count()
+    if n_base and len(cand_df) >= 0.5 * n_base:
+        logger.warning(
+            "incremental fold degenerated: %d of %d base rows are band-key "
+            "candidates (%.0f%%) — the shard saturates the configured band "
+            "keys; cost approaches a full verify pass (see module docstring "
+            "on probe selectivity)",
+            len(cand_df), n_base, 100 * len(cand_df) / n_base,
+        )
+    else:
+        logger.info(
+            "incremental fold: %d shard rows touched %d/%s base candidates",
+            len(new_df), len(cand_df), n_base,
         )
 
     # 3. candidate pairs + Hamming verify over shard ∪ candidates
