@@ -115,7 +115,9 @@ def dedup_images_incremental(
         plans=_space_plans(cfg),
         id_col="image_id",
         id_type=pa.string(),
-        candidate_limit=candidate_limit or BROADCAST_SIG_LIMIT,
+        candidate_limit=(
+            BROADCAST_SIG_LIMIT if candidate_limit is None else candidate_limit
+        ),
     )
 
 
@@ -154,7 +156,9 @@ def dedup_documents_incremental(
         plans=[(TEXT_SPACE, "simhash", cfg.text_lsh)],
         id_col=id_col,
         id_type=id_type,
-        candidate_limit=candidate_limit or BROADCAST_SIG_LIMIT,
+        candidate_limit=(
+            BROADCAST_SIG_LIMIT if candidate_limit is None else candidate_limit
+        ),
     )
 
 

@@ -163,3 +163,46 @@ def test_doc_incremental_reproduces_full_batch():
     )
     # the documents table plants near-dups, so the shard must join some
     assert inc.n_joined_existing > 0
+
+
+def test_shard_validation_guards():
+    """Duplicate shard ids and base-overlapping ids raise clear errors
+    (at-least-once delivery protection), not pandas internals."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simhash_ray.pipelines.dedup_incremental import (
+        dedup_images_incremental,
+    )
+
+    def imgs(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "image_id": pa.array([r[0] for r in rows], type=pa.string()),
+                    "caption": pa.array([r[1] for r in rows], type=pa.string()),
+                    "phash": pa.array([r[2] for r in rows], type=pa.int64()),
+                }
+            )
+        )
+
+    cap = "one shared caption body for every row in this tiny test"
+    base_rows = [("b1", cap, 1), ("b2", "a different caption entirely", 2)]
+    base = dedup_images(imgs(base_rows))
+    base_sigs = signatures(imgs(base_rows)).materialize()
+
+    with pytest.raises(ValueError, match="duplicate"):
+        dedup_images_incremental(
+            imgs([("x1", cap, 9), ("x1", cap, 9)]), base_sigs, base.assignment
+        )
+    # exact re-delivery of b1 shares every band key → caught via candidates
+    with pytest.raises(ValueError, match="re-delivers"):
+        dedup_images_incremental(
+            imgs([("b1", cap, 1)]), base_sigs, base.assignment
+        )
+    # candidate_limit guard surfaces the hot-region case loudly
+    with pytest.raises(ValueError, match="candidate_limit"):
+        dedup_images_incremental(
+            imgs([("z9", cap, 1)]), base_sigs, base.assignment,
+            candidate_limit=0,
+        )

@@ -83,3 +83,15 @@ def test_quantiles_cardinality_guard():
     ds = rd.from_pandas(pd.DataFrame({"x": np.arange(100, dtype=np.int64)}))
     with pytest.raises(ValueError, match="distinct"):
         exact_quantiles(ds, "x", {"p50": (1, 2)}, max_distinct=10)
+
+
+def test_quantiles_negative_values():
+    vals = np.array([-50, -3, -3, 0, 7, 7, 7, 100], dtype=np.int64)
+    out = exact_quantiles(
+        rd.from_pandas(pd.DataFrame({"x": vals})), "x",
+        {"p0": (0, 1), "p50": (1, 2), "p100": (1, 1)},
+    ).to_pandas()
+    s = np.sort(vals)
+    assert out["p0"][0] == s[0] == -50
+    assert out["p50"][0] == s[(len(s) - 1) // 2]
+    assert out["p100"][0] == s[-1] == 100
