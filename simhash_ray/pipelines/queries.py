@@ -1297,6 +1297,37 @@ FROM (
 """
 
 
+def q_doc_lang_len_quantiles(sf_dir: str):
+    """Per-language exact length percentiles
+    (stages/topk.exact_quantiles_per_group): the curation thresholds a
+    multilingual pipeline sets per language, one histogram shuffle."""
+    from ..stages import text as text_ops
+    from ..stages.topk import exact_quantiles_per_group
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    toks = docs.map_batches(
+        text_ops.token_count_batch, batch_format="pyarrow"
+    ).select_columns(["lang", "n_tokens"])
+    return exact_quantiles_per_group(
+        toks, "lang", "n_tokens",
+        {"p50": (1, 2), "p90": (9, 10)},
+    )
+
+
+SQL_DOC_LANG_LEN_QUANTILES = r"""
+SELECT lang,
+       quantile_disc(n_tokens, 0.50) AS p50,
+       quantile_disc(n_tokens, 0.90) AS p90
+FROM (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+)
+GROUP BY lang
+"""
+
+
 def q_doc_decontaminate(sf_dir: str):
     """Benchmark decontamination (stages/decontam.py): flag every
     train-split document sharing a verbatim 8-token window with any
@@ -2072,6 +2103,7 @@ def ray_queries() -> dict:
         "doc_decontaminate": q_doc_decontaminate,
         "orders_topk_per_segment": q_orders_topk_per_segment,
         "doc_len_quantiles": q_doc_len_quantiles,
+        "doc_lang_len_quantiles": q_doc_lang_len_quantiles,
         "doc_best_of_cluster": q_doc_best_of_cluster,
         "doc_repetition": q_doc_repetition,
         "doc_stratified_sample": q_doc_stratified_sample,
@@ -2129,6 +2161,7 @@ def oracle_sqls() -> dict:
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "orders_topk_per_segment": SQL_ORDERS_TOPK_PER_SEGMENT,
         "doc_len_quantiles": SQL_DOC_LEN_QUANTILES,
+        "doc_lang_len_quantiles": SQL_DOC_LANG_LEN_QUANTILES,
         "doc_best_of_cluster": SQL_DOC_BEST_OF_CLUSTER,
         "doc_repetition": SQL_DOC_REPETITION,
         "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,

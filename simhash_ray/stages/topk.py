@@ -96,6 +96,79 @@ def topk_per_group(
     return map_groups_typed(partials, group_col, merge, empty)
 
 
+def exact_quantiles_per_group(
+    ds: rd.Dataset,
+    group_col: str,
+    col: str,
+    quantiles: dict[str, tuple[int, int]],
+    max_distinct: int = 10_000_000,
+) -> pa.Table:
+    """Per-group :func:`exact_quantiles`: one row per group, same
+    quantile_disc index arithmetic.  The shuffle carries one
+    (group, value, count) row per distinct pair per block; the folded
+    per-group histograms (bounded by ``max_distinct`` TOTAL rows,
+    asserted before collection) sort once on the driver."""
+
+    def vc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {group_col: pa.array([], type=pa.string()),
+                 "val": pa.array([], type=pa.int64()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        df = pd.DataFrame(
+            {
+                group_col: batch[group_col].to_numpy(zero_copy_only=False),
+                "val": batch[col].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        agg = df.groupby([group_col, "val"], as_index=False).size()
+        return pa.table(
+            {
+                group_col: pa.array(agg[group_col].to_numpy(dtype=object),
+                                    type=pa.string()),
+                "val": pa.array(agg["val"].to_numpy(), type=pa.int64()),
+                "cnt": pa.array(agg["size"].to_numpy().astype(np.int64),
+                                type=pa.int64()),
+            }
+        )
+
+    hist_ds = (
+        ds.select_columns([group_col, col])
+        .map_batches(vc, batch_format="pyarrow")
+        .groupby([group_col, "val"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    n_rows = hist_ds.count()
+    if n_rows > max_distinct:
+        raise ValueError(
+            f"exact_quantiles_per_group: {n_rows} distinct (group, value) "
+            f"pairs exceeds max_distinct={max_distinct}; use a sketch"
+        )
+    hist = hist_ds.to_pandas().sort_values([group_col, "val"])
+    out_rows = {group_col: []}
+    for name in quantiles:
+        out_rows[name] = []
+    for g, sub in hist.groupby(group_col, sort=True):
+        vals = sub["val"].to_numpy()
+        cum = sub["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        out_rows[group_col].append(g)
+        for name, (num, den) in quantiles.items():
+            idx = _disc_index(n, num, den)
+            out_rows[name].append(int(vals[np.searchsorted(cum, idx + 1)]))
+    return pa.table(
+        {
+            group_col: pa.array(out_rows[group_col], type=pa.string()),
+            **{
+                name: pa.array(out_rows[name], type=pa.int64())
+                for name in quantiles
+            },
+        }
+    )
+
+
 def exact_quantiles(
     ds: rd.Dataset,
     col: str,
@@ -106,8 +179,8 @@ def exact_quantiles(
 
     ``quantiles`` maps output column name → (num, den) with
     q = num/den; each result is the value at 0-based sorted index
-    floor((n-1)·num/den) — integer arithmetic, matching DuckDB's
-    ``quantile_disc`` (pinned by the doc_len_quantiles oracle).
+    ceil(n·num/den) − 1 (``_disc_index``, integer arithmetic) —
+    DuckDB's ``quantile_disc`` rule, pinned across n and q by test.
 
     Distributed shape: per-block value counts → groupby(value) sum →
     the distinct-value histogram (small by the bounded-cardinality
@@ -152,8 +225,17 @@ def exact_quantiles(
         if n == 0:
             out[name] = pa.array([None], type=pa.int64())
             continue
-        idx = (n - 1) * num // den
+        idx = _disc_index(n, num, den)
         out[name] = pa.array(
             [int(vals[np.searchsorted(cum, idx + 1)])], type=pa.int64()
         )
     return pa.table(out)
+
+
+def _disc_index(n: int, num: int, den: int) -> int:
+    """0-based sorted index of the discrete q=num/den quantile:
+    ceil(n·q) − 1, clamped at 0 — pinned against DuckDB's
+    quantile_disc across n and q in tests (NOT floor((n−1)·q), which
+    coincides only when n·q is ≥ the next integer boundary — e.g. both
+    give 449 at n=500, q=0.9, but 64 vs 65 at n=73)."""
+    return max(0, (n * num + den - 1) // den - 1)

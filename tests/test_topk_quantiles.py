@@ -50,18 +50,24 @@ def test_topk_group_smaller_than_k():
     assert set(out[out["g"] == "a"]["rank"]) == {1, 2}
 
 
-def test_quantiles_match_numpy_disc():
+def test_quantiles_match_duckdb_disc():
+    import duckdb
+
     rng = np.random.default_rng(11)
-    vals = rng.integers(0, 50, 1777).astype(np.int64)
-    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(7)
-    out = exact_quantiles(
-        ds, "x", {"p50": (1, 2), "p90": (9, 10), "p25": (1, 4)}
-    ).to_pandas()
-    s = np.sort(vals)
-    n = len(s)
-    assert out["p50"][0] == s[(n - 1) * 1 // 2]
-    assert out["p90"][0] == s[(n - 1) * 9 // 10]
-    assert out["p25"][0] == s[(n - 1) * 1 // 4]
+    # near-distinct values over odd sizes so index off-by-ones show up
+    for n in (73, 101, 1777):
+        vals = rng.integers(0, 10**6, n).astype(np.int64)
+        ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(7)
+        out = exact_quantiles(
+            ds, "x", {"p50": (1, 2), "p90": (9, 10), "p25": (1, 4)}
+        ).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT unnest($1::BIGINT[]) AS x", [vals.tolist()]
+        )
+        for name, q in [("p50", 0.5), ("p90", 0.9), ("p25", 0.25)]:
+            want = con.execute(f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
+            assert out[name][0] == want, (n, name)
 
 
 def test_quantiles_single_row_and_exact_boundary():
