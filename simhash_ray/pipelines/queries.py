@@ -1074,6 +1074,37 @@ HAVING COUNT(*) >= 3
 """
 
 
+def q_doc_unigram_logprob(sf_dir: str):
+    """CCNet-style unigram-LM quality score: train corpus token
+    frequencies (one groupby), broadcast the bounded vocabulary once,
+    score every doc's mean ln(count/total) in one streaming pass.
+    Both sides round to 6 decimals."""
+    from ..stages.text import make_unigram_scorer, unigram_token_counts
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    vocab = unigram_token_counts(docs).to_pandas()
+    total = int(vocab["cnt"].sum())
+    freq_ref = ray.put(vocab.set_index("token")["cnt"])
+    return docs.map_batches(
+        make_unigram_scorer(freq_ref, total), batch_format="pyarrow"
+    )
+
+
+SQL_DOC_UNIGRAM_LOGPROB = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+  WHERE trim(text) <> ''
+),
+freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT COUNT(*) AS total FROM tok)
+SELECT t.doc_id AS doc_id,
+       ROUND(AVG(ln(f.cnt / (SELECT total FROM tot))), 6) AS avg_logprob
+FROM tok t JOIN freq f USING (token)
+GROUP BY t.doc_id
+"""
+
+
 def q_doc_best_of_cluster(sf_dir: str):
     """Quality-based representative election: within each bag-of-words
     duplicate cluster (the tokenset key of doc_tokenset_dedup), keep
@@ -2105,6 +2136,7 @@ def ray_queries() -> dict:
         "doc_len_quantiles": q_doc_len_quantiles,
         "doc_lang_len_quantiles": q_doc_lang_len_quantiles,
         "doc_best_of_cluster": q_doc_best_of_cluster,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
         "doc_repetition": q_doc_repetition,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_cap_per_source": q_doc_cap_per_source,
@@ -2163,6 +2195,7 @@ def oracle_sqls() -> dict:
         "doc_len_quantiles": SQL_DOC_LEN_QUANTILES,
         "doc_lang_len_quantiles": SQL_DOC_LANG_LEN_QUANTILES,
         "doc_best_of_cluster": SQL_DOC_BEST_OF_CLUSTER,
+        "doc_unigram_logprob": SQL_DOC_UNIGRAM_LOGPROB,
         "doc_repetition": SQL_DOC_REPETITION,
         "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
         "doc_cap_per_source": SQL_DOC_CAP_PER_SOURCE,

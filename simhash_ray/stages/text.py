@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -67,6 +68,86 @@ def repetition_counts_batch(
             "n_distinct_windows": pa.array(ndist, type=pa.int64()),
         }
     )
+
+
+def unigram_token_counts(docs, text_col: str = "text"):
+    """Corpus unigram counts (lower + whitespace tokens, every
+    occurrence): per-batch value_counts partials → one groupby sum.
+    The vocabulary table is bounded (≈10^7 rows even web-scale), so the
+    caller may broadcast it for scoring."""
+    import ray.data as rd  # noqa: F401  (signature documentation)
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_lower(batch[text_col].combine_chunks().cast(pa.string()))
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if len(flat) == 0:
+            return pa.table(
+                {"token": pa.array([], type=pa.string()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        vc = pd.Series(flat.to_numpy(zero_copy_only=False)).value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.to_numpy(dtype=object),
+                                  type=pa.string()),
+                "cnt": pa.array(vc.to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def make_unigram_scorer(freq_ref, total: int, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Batch scorer: mean ln(count/total) over a doc's token
+    occurrences (the CCNet-style unigram-LM quality signal, cf.
+    Wenzek et al., LREC 2020).  ``freq_ref`` = ray.put pandas Series
+    token → corpus count.  Docs with zero tokens are dropped (mirrored
+    by the SQL oracle's n_tokens > 0 filter)."""
+    import ray
+
+    def score(batch: pa.Table) -> pa.Table:
+        freq = ray.get(freq_ref)
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_lower(batch[text_col].combine_chunks().cast(pa.string()))
+        )
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        lens0 = pc.list_value_length(toks).fill_null(0).to_numpy(
+            zero_copy_only=False
+        )
+        row_of = np.repeat(np.arange(n), lens0)[keep]
+        tok_arr = flat.to_numpy(zero_copy_only=False)[keep]
+        if len(tok_arr) == 0:
+            return pa.table(
+                {id_col: pa.array([], type=batch[id_col].type),
+                 "avg_logprob": pa.array([], type=pa.float64())}
+            )
+        counts = pd.Series(tok_arr).map(freq).to_numpy(dtype=np.float64)
+        logp = np.log(counts / total)
+        sums = np.bincount(row_of, weights=logp, minlength=n)
+        ntok = np.bincount(row_of, minlength=n)
+        nonempty = ntok > 0
+        return pa.table(
+            {
+                id_col: batch[id_col].filter(pa.array(nonempty)),
+                "avg_logprob": pa.array(
+                    np.round(sums[nonempty] / ntok[nonempty], 6),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return score
 
 
 # BPE-ish pre-tokenizer chunks (GPT-2-style, RE2-compatible — no

@@ -138,3 +138,37 @@ def test_repetition_counts_planted():
     out = repetition_counts_batch(batch, k=3).to_pandas()
     assert out["n_windows"].tolist() == [7, 2, 0, 0]
     assert out["n_distinct_windows"].tolist() == [3, 2, 0, 0]
+
+
+def test_unigram_logprob_planted():
+    import math
+
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from simhash_ray.stages.text import make_unigram_scorer, unigram_token_counts
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                # corpus: 'a' x3, 'b' x2, 'c' x1 → total 6
+                "text": ["a a b", "b c", "a"],
+            }
+        )
+    )
+    vocab = unigram_token_counts(docs).to_pandas().set_index("token")["cnt"]
+    assert vocab.to_dict() == {"a": 3, "b": 2, "c": 1}
+    ref = ray.put(vocab)
+    out = (
+        docs.map_batches(make_unigram_scorer(ref, 6), batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")["avg_logprob"]
+    )
+    want0 = (2 * math.log(3 / 6) + math.log(2 / 6)) / 3
+    want1 = (math.log(2 / 6) + math.log(1 / 6)) / 2
+    want2 = math.log(3 / 6)
+    assert abs(out[0] - round(want0, 6)) < 1e-9
+    assert abs(out[1] - round(want1, 6)) < 1e-9
+    assert abs(out[2] - round(want2, 6)) < 1e-9
