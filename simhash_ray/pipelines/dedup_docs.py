@@ -39,7 +39,6 @@ def dedup_documents(
     stages run (collapse → band-bucket groupby → distributed pair-gen
     → attach) with a text-only signature space — force with
     ``broadcast_sig_limit=0`` (equivalence-tested)."""
-    limit = BROADCAST_SIG_LIMIT if broadcast_sig_limit is None else broadcast_sig_limit
     sigs = encode_signatures(
         docs.select_columns([id_col, text_col]),
         cfg.simhash,
@@ -49,7 +48,22 @@ def dedup_documents(
     # materialize before counting: count() would otherwise execute the
     # (dominant) encode stage once for the count and again for the
     # downstream consumer (to_pandas / collapse_exact)
-    sigs = sigs.materialize()
+    return dedup_documents_from_sigs(
+        sigs.materialize(), cfg, id_col=id_col,
+        broadcast_sig_limit=broadcast_sig_limit,
+    )
+
+
+def dedup_documents_from_sigs(
+    sigs: rd.Dataset,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    id_col: str = "doc_id",
+    broadcast_sig_limit: int | None = None,
+) -> rd.Dataset:
+    """Everything after the encode stage of :func:`dedup_documents` —
+    callers that already hold the (id, simhash) table (e.g. the
+    oracle-staging query) enter here so the encode runs once."""
+    limit = BROADCAST_SIG_LIMIT if broadcast_sig_limit is None else broadcast_sig_limit
     n = sigs.count()
     if n > limit:
         return _dedup_documents_distributed(sigs, cfg, id_col, n)

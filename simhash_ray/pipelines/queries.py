@@ -58,6 +58,26 @@ def read_images_fixture(sf_dir: str, columns=None) -> rd.Dataset:
     return read_table(fixture_dir_for_sf(sf_dir), "images", columns=columns)
 
 
+# One full-fixture flagship run shared by images_dedup,
+# images_dedup_truth and images_dedup_incremental: the driver runs all
+# queries in ONE process/Ray session, and re-encoding + re-clustering
+# the same fixture three times dominated their gate cost (round-3
+# verdict item 3).  Keyed by (fixture dir, Ray job) so a cached
+# materialized Dataset can never leak across sessions.
+_FLAGSHIP_CACHE: dict = {}
+
+
+def _flagship_dedup(fdir: str):
+    key = (fdir, ray.get_runtime_context().get_job_id() if ray.is_initialized() else None)
+    res = _FLAGSHIP_CACHE.get(key)
+    if res is None:
+        images = read_table(fdir, "images", columns=["image_id", "caption", "phash"])
+        res = flagship.dedup_images(images, DEFAULT_CONFIG, concurrency=(1, 4))
+        _FLAGSHIP_CACHE.clear()  # hold at most one (bounded memory)
+        _FLAGSHIP_CACHE[key] = res
+    return res
+
+
 # --------------------------------------------------------------------------
 # oracle staging (round-2 verdict item 7)
 #
@@ -239,40 +259,75 @@ WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """
 
 
-def q_segment_revenue(sf_dir: str):
+# Above this many dimension rows the ray.put dict itself becomes the
+# hazard (~100 B/entry → 5M ≈ 0.5 GB replicated to every worker); fall
+# back to the distributed hash join (round-3 verdict item 7 — same
+# policy as dedup_images.BROADCAST_SIG_LIMIT).
+SEGMENT_BROADCAST_LIMIT = 5_000_000
+
+
+def q_segment_revenue(sf_dir: str, broadcast_limit: int | None = None):
     """Broadcast hash join (small dimension side via ray.put) +
-    pre-aggregated groupby — the ray_guide join pattern."""
+    pre-aggregated groupby — the ray_guide join pattern.  Dimension
+    sides above ``SEGMENT_BROADCAST_LIMIT`` rows switch to the
+    distributed ``Dataset.join`` (equivalence-tested by forcing
+    ``broadcast_limit=0``)."""
+    limit = SEGMENT_BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    cust_df = cust.to_pandas()
-    lookup_ref = ray.put(dict(zip(cust_df["c_custkey"], cust_df["c_mktsegment"])))
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     partial_schema = pa.schema(
         [("c_mktsegment", pa.string()), ("revenue", pa.int64()), ("n_orders", pa.int64())]
     )
 
-    def partial(batch: pa.Table) -> pa.Table:
-        lm = ray.get(lookup_ref)
-        seg = pd.Series(batch["o_custkey"].to_numpy(zero_copy_only=False)).map(lm)
-        cents = np.round(
-            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
-        ).astype(np.int64)
+    def cents_partial(df: pd.DataFrame) -> pa.Table:
         df = pd.DataFrame(
             {
-                "c_mktsegment": seg,
-                "revenue": cents,
-                "n_orders": np.ones(batch.num_rows, dtype=np.int64),
+                "c_mktsegment": df["c_mktsegment"],
+                "revenue": np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64),
+                "n_orders": np.ones(len(df), dtype=np.int64),
             }
         ).dropna(subset=["c_mktsegment"])
         agg = df.groupby("c_mktsegment", as_index=False).sum()
         return pa.Table.from_pandas(agg, preserve_index=False, schema=partial_schema)
 
-    out = (
-        orders.map_batches(partial, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(
-            Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders")
+    if cust.count() > limit:
+        # join partitions sized to the session (a fixed count can starve
+        # small sessions — see q_images_dedup_truth / BASELINE.md)
+        n_join = int(min(8, max(2, ray.cluster_resources().get("CPU", 8) // 2)))
+        joined = orders.join(
+            cust,
+            join_type="inner",
+            num_partitions=n_join,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+            aggregator_ray_remote_args={"num_cpus": 0.5},
         )
+        pre = joined.map_batches(
+            lambda df: cents_partial(df), batch_format="pandas"
+        )
+    else:
+        cust_df = cust.to_pandas()
+        lookup_ref = ray.put(dict(zip(cust_df["c_custkey"], cust_df["c_mktsegment"])))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            lm = ray.get(lookup_ref)
+            df = pd.DataFrame(
+                {
+                    "c_mktsegment": pd.Series(
+                        batch["o_custkey"].to_numpy(zero_copy_only=False)
+                    ).map(lm),
+                    "o_totalprice": batch["o_totalprice"].to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
+            return cents_partial(df)
+
+        pre = orders.map_batches(partial, batch_format="pyarrow")
+
+    out = pre.groupby("c_mktsegment").aggregate(
+        Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders")
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -866,12 +921,9 @@ def q_doc_top_tokens(sf_dir: str):
     part_schema = pa.schema([("tok", pa.string()), ("n", pa.int64())])
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(
-            pc.utf8_lower(batch["text"].combine_chunks().cast(pa.string()))
-        )
-        flat = pc.list_flatten(toks)
-        flat = flat.filter(pc.not_equal(flat, ""))
-        denc = flat.dictionary_encode()
+        from ..functions.tokenize import tokens_flat
+
+        denc = tokens_flat(batch["text"]).flat.dictionary_encode()
         counts = np.bincount(
             denc.indices.to_numpy(zero_copy_only=False),
             minlength=len(denc.dictionary),
@@ -1074,29 +1126,53 @@ HAVING COUNT(*) >= 3
 """
 
 
+# Vocabulary min-count cutoff (round-3 verdict item 6): web-scale text
+# has an unbounded distinct-token tail (typos, URLs, ids) that is
+# overwhelmingly SINGLETONS — a count>=2 cutoff bounds the collected
+# vocabulary while total stays the full occurrence count; OOV tokens
+# are excluded from a doc's average (the CCNet LM-vocab behaviour) and
+# the oracle applies the identical HAVING cutoff.
+UNIGRAM_MIN_COUNT = 2
+
+
 def q_doc_unigram_logprob(sf_dir: str):
     """CCNet-style unigram-LM quality score: train corpus token
-    frequencies (one groupby), broadcast the bounded vocabulary once,
-    score every doc's mean ln(count/total) in one streaming pass.
-    Both sides round to 6 decimals."""
+    frequencies (one groupby), collect ONLY the min-count-bounded
+    vocabulary to the driver (the unfiltered distinct-token table never
+    leaves the object store), broadcast it once, score every doc's mean
+    ln(count/total) over in-vocab tokens in one streaming pass.  Both
+    sides round to 6 decimals."""
+    import logging
+
     from ..stages.text import make_unigram_scorer, unigram_token_counts
 
     docs = _docs(sf_dir, columns=["doc_id", "text"])
-    vocab = unigram_token_counts(docs).to_pandas()
-    total = int(vocab["cnt"].sum())
+    counts = unigram_token_counts(docs).materialize()
+    total = int(counts.sum("cnt"))
+    vocab = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], UNIGRAM_MIN_COUNT)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    kept = int(vocab["cnt"].sum())
+    logging.getLogger(__name__).info(
+        "unigram vocab: kept %d tokens (%d occurrences of %d); dropped "
+        "%d occurrences below min_count=%d",
+        len(vocab), kept, total, total - kept, UNIGRAM_MIN_COUNT,
+    )
     freq_ref = ray.put(vocab.set_index("token")["cnt"])
     return docs.map_batches(
         make_unigram_scorer(freq_ref, total), batch_format="pyarrow"
     )
 
 
-SQL_DOC_UNIGRAM_LOGPROB = r"""
+SQL_DOC_UNIGRAM_LOGPROB = rf"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
   FROM documents
   WHERE trim(text) <> ''
 ),
-freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+         HAVING COUNT(*) >= {UNIGRAM_MIN_COUNT}),
 tot AS (SELECT COUNT(*) AS total FROM tok)
 SELECT t.doc_id AS doc_id,
        ROUND(AVG(ln(f.cnt / (SELECT total FROM tot))), 6) AS avg_logprob
@@ -1216,7 +1292,7 @@ SELECT doc_id, lang FROM (
 )
 WHERE (lang = 'en' AND u * 4 < 1 * 4294967296)
    OR (lang = 'de' AND u * 2 < 1 * 4294967296)
-   OR (lang NOT IN ('en', 'de'))
+   OR (lang IS NULL OR lang NOT IN ('en', 'de'))
 """
 
 
@@ -1537,13 +1613,49 @@ FROM documents doc LEFT JOIN s USING (doc_id)
 
 def q_doc_simhash_dedup(sf_dir: str):
     """End-to-end SimHash near-dup dedup over the documents table —
-    the flagship pipeline in the reference's own (text) domain
-    (rows-only; planted-paraphrase co-clustering pytest-gated in
-    tests/test_minhash_ann.py)."""
-    from .dedup_docs import dedup_documents
+    the flagship pipeline in the reference's own (text) domain.
+
+    SQL-oracle-checked via staging (round-3 verdict item 4): the
+    signature table is staged (its encode semantics are independently
+    oracle-green via ``doc_simhash_sigs``), and DuckDB recomputes the
+    ENTIRE downstream pipeline from it by a different algorithm —
+    all-pairs ``bit_count(xor) <= τ`` edges (valid because the banding
+    config pigeonhole-guarantees recall 1.0 within τ, so banded+verified
+    edges ≡ the τ-ball edge set) + recursive-CTE connected components +
+    min-id representative election.  That cross-checks banding,
+    fused Hamming verify, union-find and election end-to-end."""
+    from ..stages.encode import encode_signatures
+    from .dedup_docs import dedup_documents_from_sigs
 
     docs = _docs(sf_dir, columns=["doc_id", "text"])
-    return dedup_documents(docs, DEFAULT_CONFIG, concurrency=(1, 4))
+    sigs = (
+        encode_signatures(
+            docs, DEFAULT_CONFIG.simhash, text_col="text", concurrency=(1, 4)
+        )
+        .select_columns(["doc_id", "simhash"])
+        .materialize()
+    )
+    _stage(sigs, "doc_dedup_sigs")
+    return dedup_documents_from_sigs(sigs, DEFAULT_CONFIG)
+
+
+SQL_DOC_SIMHASH_DEDUP = f"""
+WITH RECURSIVE
+s AS (SELECT doc_id, simhash FROM read_parquet('{_staged("doc_dedup_sigs")}')),
+e AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {DEFAULT_CONFIG.text_lsh.hamming_tau}
+),
+cc(node, label) AS (
+  SELECT doc_id, doc_id FROM s
+  UNION
+  SELECT e.v, cc.label FROM cc JOIN e ON cc.node = e.u
+),
+lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY node)
+SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_representative
+FROM lab
+"""
 
 
 def q_doc_lang_pred(sf_dir: str):
@@ -1932,9 +2044,7 @@ FROM read_parquet('{_staged("images_sig_base")}') b LEFT JOIN s USING (image_id)
 
 
 def q_images_dedup(sf_dir: str):
-    images = read_images_fixture(sf_dir, columns=["image_id", "caption", "phash"])
-    res = flagship.dedup_images(images, DEFAULT_CONFIG, concurrency=(1, 4))
-    return res.assignment
+    return _flagship_dedup(fixture_dir_for_sf(sf_dir)).assignment
 
 
 def q_images_embed_dedup(sf_dir: str):
@@ -1986,10 +2096,7 @@ def q_images_dedup_truth(sf_dir: str):
     the distributed hash join + two groupbys; DuckDB recomputes from
     the same staged inputs."""
     fdir = fixture_dir_for_sf(sf_dir)
-    images = read_table(fdir, "images", columns=["image_id", "caption", "phash"])
-    assignment = flagship.dedup_images(
-        images, DEFAULT_CONFIG, concurrency=(1, 4)
-    ).assignment.map_batches(
+    assignment = _flagship_dedup(fdir).assignment.map_batches(
         lambda t: t.select(["image_id", "cluster_id"]).rename_columns(
             ["image_id", "assigned"]
         ),
@@ -2079,9 +2186,8 @@ def q_images_dedup_incremental(sf_dir: str):
         ]
     )[["image_id", "cluster_id", "is_representative"]]
 
-    # independent full-batch run = the oracle input
-    full = flagship.dedup_images(images, DEFAULT_CONFIG, concurrency=(1, 4))
-    _stage(full.assignment, "images_full_assignment")
+    # independent full-batch run = the oracle input (shared flagship run)
+    _stage(_flagship_dedup(fdir).assignment, "images_full_assignment")
     return reconstructed
 
 
@@ -2215,12 +2321,8 @@ def oracle_sqls() -> dict:
         "images_embed_dedup": SQL_IMAGES_EMBED_DEDUP,
         "images_dedup_truth": SQL_IMAGES_DEDUP_TRUTH,
         "images_dedup_incremental": SQL_IMAGES_DEDUP_INCREMENTAL,
+        "doc_simhash_dedup": SQL_DOC_SIMHASH_DEDUP,
         # rows-only — why no oracle can exist for each:
-        # doc_simhash_dedup  — representative election over union-find
-        #   components of Hamming-verified band collisions; the banding
-        #   + blake2b/splitmix hashing has no SQL counterpart, and the
-        #   downstream fold is already oracle-covered via
-        #   doc_simhash_sigs + the regime-equivalence pytest.
         # images_dedup — full-assignment output of the same pipeline;
         #   cluster-level conformance IS oracle-checked by the staged
         #   images_dedup_truth join, and planted-truth recall is

@@ -233,17 +233,14 @@ def _tokenize_flat(texts: pa.Array, n: int):
     """Arrow-native whitespace tokenization shared by
     :func:`simhash_batch` and :func:`simhash_digest_rows`: returns
     (unique raw tokens, flat dictionary codes in row order, per-row
-    kept-token counts).  Arrow emits empty tokens at whitespace
-    boundaries — dropped to match ``str.split()``."""
-    toks = pc.utf8_split_whitespace(texts.cast(pa.string()))
-    flat = pc.list_flatten(toks)
-    nonempty = pc.not_equal(flat, "")
-    tok_in_row = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
-    keep = nonempty.to_numpy(zero_copy_only=False)
-    row_of_tok = np.repeat(np.arange(n), tok_in_row)
-    counts = np.bincount(row_of_tok[keep], minlength=n).astype(np.int64)
-    flat = flat.filter(nonempty)
-    dict_arr = flat.dictionary_encode()
+    kept-token counts).  Delegates to the audited
+    :func:`simhash_ray.functions.tokenize.tokens_flat` (no lowering
+    here — lowering policy belongs to the caller)."""
+    from .functions.tokenize import tokens_flat
+
+    ft = tokens_flat(texts, lower=False)
+    counts = ft.counts
+    dict_arr = ft.flat.dictionary_encode()
     uniq = dict_arr.dictionary.to_pylist()
     codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     return uniq, codes, counts

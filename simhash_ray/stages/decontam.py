@@ -39,26 +39,35 @@ from .minhash import _shingle_hashes_flat
 
 logger = logging.getLogger(__name__)
 
-_EMPTY_HITS = pa.table(
-    {"doc_id": pa.array([], type=pa.int64()), "n_hits": pa.array([], type=pa.int64())}
-)
 _EMPTY_WINDOWS = pa.table({"win": pa.array([], type=pa.int64())})
-_EMPTY_DOC_WINDOWS = pa.table(
-    {"doc_id": pa.array([], type=pa.int64()), "win": pa.array([], type=pa.int64())}
-)
+
+
+def _empty_hits(id_type: pa.DataType) -> pa.Table:
+    return pa.table(
+        {"doc_id": pa.array([], type=id_type),
+         "n_hits": pa.array([], type=pa.int64())}
+    )
+
+
+def _empty_doc_windows(id_type: pa.DataType) -> pa.Table:
+    return pa.table(
+        {"doc_id": pa.array([], type=id_type),
+         "win": pa.array([], type=pa.int64())}
+    )
 
 
 def _window_explode(text_col: str, id_col: str, window: int):
-    """batch → (doc_id, win) over each row's DISTINCT w-token windows."""
+    """batch → (doc_id, win) over each row's DISTINCT w-token windows.
+    The id column's Arrow type is carried through unchanged (string or
+    any integer ids work — round-3 advice item 4)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         sh, rows, _n = _shingle_hashes_flat(batch[text_col], window, short_rows="drop")
         if len(sh) == 0:
-            return _EMPTY_DOC_WINDOWS
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return _empty_doc_windows(batch[id_col].type)
         return pa.table(
             {
-                "doc_id": pa.array(ids[rows], type=pa.int64()),
+                "doc_id": batch[id_col].take(pa.array(rows)),
                 "win": pa.array(sh.view(np.int64), type=pa.int64()),
             }
         )
@@ -144,16 +153,15 @@ def decontaminate(
         sh, rows, n = _shingle_hashes_flat(batch[text_col], window,
                                            short_rows="drop")
         if len(sh) == 0 or len(ev) == 0:
-            return _EMPTY_HITS
+            return _empty_hits(batch[id_col].type)
         hit = rows[np.isin(sh.view(np.int64), ev, assume_unique=False)]
         if len(hit) == 0:
-            return _EMPTY_HITS
+            return _empty_hits(batch[id_col].type)
         counts = np.bincount(hit, minlength=n)
         flagged = np.flatnonzero(counts)
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(ids[flagged], type=pa.int64()),
+                "doc_id": batch[id_col].take(pa.array(flagged)),
                 "n_hits": pa.array(counts[flagged].astype(np.int64),
                                    type=pa.int64()),
             }

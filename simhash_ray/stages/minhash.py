@@ -35,6 +35,7 @@ import ray
 import ray.data as rd
 
 from ..functions.hashing import part_of_ints
+from ..functions.tokenize import tokens_flat
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -97,17 +98,17 @@ def _shingle_hashes_flat(
     array with cross-row positions masked out; per-row dedup is one
     lexsort + run collapse.  Rows shorter than k fall back to a tiny
     Python loop (kk = len(row)), identical to the historical per-row
-    semantics — signatures are bit-for-bit unchanged."""
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    toks = pc.utf8_split_whitespace(pc.utf8_lower(texts.cast(pa.string())))
-    flat = pc.list_flatten(toks)
-    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    n = len(toks)
-    lens0 = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
-    row_of_tok = np.repeat(np.arange(n), lens0)[keep]
-    tok_list = np.asarray(flat.to_pylist(), dtype=object)[keep]
-    lens = np.bincount(row_of_tok, minlength=n)
+    semantics — signatures are bit-for-bit unchanged.
+
+    Tokenization is delegated to the audited
+    :func:`simhash_ray.functions.tokenize.tokens_flat` (round-3 verdict
+    item 1: the raw split kernel nondeterministically corrupts the tail
+    token on trailing-whitespace rows)."""
+    ft = tokens_flat(texts)
+    n = ft.n
+    row_of_tok = ft.row_of
+    tok_list = ft.to_object_array()
+    lens = ft.counts
 
     def _ret(sh, rows):
         return (sh, rows, n, lens) if return_lens else (sh, rows, n)
@@ -543,14 +544,11 @@ def all_pairs_jaccard(
     def row_sets(batch: pa.Table) -> list[tuple[int, np.ndarray]]:
         ids = batch[id_col].to_pylist()
         if use_token_sets:
-            toks = pc.utf8_split_whitespace(
-                pc.utf8_lower(batch[text_col].combine_chunks().cast(pa.string()))
-            ).to_pylist()
             sets = [
-                np.unique(pd.util.hash_array(np.array(sorted({t for t in (r or []) if t}), dtype=object)))
-                if r
+                np.unique(pd.util.hash_array(np.array(sorted(set(r.tolist())), dtype=object)))
+                if len(r)
                 else np.empty(0, dtype=np.uint64)
-                for r in toks
+                for r in tokens_flat(batch[text_col]).per_row_lists()
             ]
         else:
             sets = _shingle_hashes(batch[text_col], shingle_k)

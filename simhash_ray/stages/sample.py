@@ -62,7 +62,13 @@ def stratified_sample(
 ) -> rd.Dataset:
     """Per-stratum deterministic sampling: row of stratum g survives
     iff u32(md5(id)) · den_g < num_g · 2^32 (``default`` for strata not
-    in ``rates``)."""
+    in ``rates``).
+
+    Null-group policy: rows whose ``group_col`` is null/NaN belong to
+    no named stratum and are sampled at the ``default`` rate — they are
+    never silently dropped.  SQL mirrors must treat NULL groups
+    explicitly (``lang IS NULL OR lang NOT IN (...)``), since a bare
+    ``NOT IN`` drops NULLs (round-3 advice item 3)."""
     for num, den in list(rates.values()) + [default]:
         if not (0 <= num <= den and den > 0):
             raise ValueError(f"rate {num}/{den} out of [0, 1]")

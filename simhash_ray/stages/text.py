@@ -21,16 +21,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..functions.tokenize import tokens_flat
+
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count, matching Python ``str.split`` semantics."""
-    toks = pc.utf8_split_whitespace(batch[text_col].combine_chunks().cast(pa.string()))
-    flat = pc.list_flatten(toks)
-    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    n = len(toks)
-    lens = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
-    row_of = np.repeat(np.arange(n), lens)
-    counts = np.bincount(row_of[keep], minlength=n).astype(np.int64)
+    counts = tokens_flat(batch[text_col], lower=False).counts
     return batch.append_column("n_tokens", pa.array(counts, type=pa.int64()))
 
 
@@ -73,17 +69,15 @@ def repetition_counts_batch(
 def unigram_token_counts(docs, text_col: str = "text"):
     """Corpus unigram counts (lower + whitespace tokens, every
     occurrence): per-batch value_counts partials → one groupby sum.
-    The vocabulary table is bounded (≈10^7 rows even web-scale), so the
-    caller may broadcast it for scoring."""
+    Returns the DISTRIBUTED (token, cnt) dataset — on web-scale text
+    the distinct-token tail is unbounded (typos/URLs), so callers must
+    bound it (min-count cutoff / top-N) BEFORE any driver collect or
+    broadcast; see queries.q_doc_unigram_logprob."""
     import ray.data as rd  # noqa: F401  (signature documentation)
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(
-            pc.utf8_lower(batch[text_col].combine_chunks().cast(pa.string()))
-        )
-        flat = pc.list_flatten(toks)
-        flat = flat.filter(pc.not_equal(flat, ""))
+        flat = tokens_flat(batch[text_col]).flat
         if len(flat) == 0:
             return pa.table(
                 {"token": pa.array([], type=pa.string()),
@@ -107,32 +101,29 @@ def unigram_token_counts(docs, text_col: str = "text"):
 
 def make_unigram_scorer(freq_ref, total: int, text_col: str = "text",
                         id_col: str = "doc_id"):
-    """Batch scorer: mean ln(count/total) over a doc's token
+    """Batch scorer: mean ln(count/total) over a doc's IN-VOCAB token
     occurrences (the CCNet-style unigram-LM quality signal, cf.
     Wenzek et al., LREC 2020).  ``freq_ref`` = ray.put pandas Series
-    token → corpus count.  Docs with zero tokens are dropped (mirrored
-    by the SQL oracle's n_tokens > 0 filter)."""
+    token → corpus count — a vocabulary BOUNDED by the caller (min-count
+    cutoff / top-N); out-of-vocab tokens are excluded from the average
+    (the LM-vocab behaviour), and docs with zero in-vocab tokens are
+    dropped (mirrored by the SQL oracle's freq join)."""
     import ray
 
     def score(batch: pa.Table) -> pa.Table:
         freq = ray.get(freq_ref)
-        toks = pc.utf8_split_whitespace(
-            pc.utf8_lower(batch[text_col].combine_chunks().cast(pa.string()))
-        )
-        flat = pc.list_flatten(toks)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        ft = tokens_flat(batch[text_col])
         n = batch.num_rows
-        lens0 = pc.list_value_length(toks).fill_null(0).to_numpy(
-            zero_copy_only=False
-        )
-        row_of = np.repeat(np.arange(n), lens0)[keep]
-        tok_arr = flat.to_numpy(zero_copy_only=False)[keep]
+        row_of = ft.row_of
+        tok_arr = ft.flat.to_numpy(zero_copy_only=False)
         if len(tok_arr) == 0:
             return pa.table(
                 {id_col: pa.array([], type=batch[id_col].type),
                  "avg_logprob": pa.array([], type=pa.float64())}
             )
         counts = pd.Series(tok_arr).map(freq).to_numpy(dtype=np.float64)
+        in_vocab = ~np.isnan(counts)
+        row_of, counts = row_of[in_vocab], counts[in_vocab]
         logp = np.log(counts / total)
         sums = np.bincount(row_of, weights=logp, minlength=n)
         ntok = np.bincount(row_of, minlength=n)
@@ -204,12 +195,9 @@ class LangIdScorer:
         self.tables = [_STOPWORDS[lang] for lang in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        text = batch[self.text_col].combine_chunks().cast(pa.string())
-        toks = pc.utf8_split_whitespace(pc.utf8_lower(text))
-        flat = pc.list_flatten(toks)
-        n = len(toks)
-        lens = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
-        dict_arr = flat.dictionary_encode()
+        ft = tokens_flat(batch[self.text_col])
+        n = ft.n
+        dict_arr = ft.flat.dictionary_encode()
         uniq = dict_arr.dictionary.to_pylist()
         codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         # per-unique-token lang votes
@@ -218,9 +206,8 @@ class LangIdScorer:
             for j, table in enumerate(self.tables):
                 if tok in table:
                     votes[i, j] = 1
-        row_of = np.repeat(np.arange(n), lens)
         scores = np.zeros((n, len(self.langs)), dtype=np.int64)
-        np.add.at(scores, row_of, votes[codes])
+        np.add.at(scores, ft.row_of, votes[codes])
         best = np.argmax(scores, axis=1)
         hit = scores.max(axis=1) > 0
         pred = np.where(hit, np.array(self.langs, dtype=object)[best], "und")
@@ -233,18 +220,15 @@ def stopword_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     kept integer so the SQL oracle matches exactly.  Vectorized over
     the batch's unique-token dictionary (membership test runs once per
     distinct token, the per-row step is a bincount)."""
-    text = batch[text_col].combine_chunks().cast(pa.string())
-    toks = pc.utf8_split_whitespace(pc.utf8_lower(text))
-    flat = pc.list_flatten(toks)
-    n = len(toks)
-    lens = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
-    dict_arr = flat.dictionary_encode()
+    ft = tokens_flat(batch[text_col])
+    dict_arr = ft.flat.dictionary_encode()
     uniq = dict_arr.dictionary.to_pylist()
     any_stop = frozenset().union(*_STOPWORDS.values())
     is_stop = np.array([t in any_stop for t in uniq], dtype=np.int64)
     codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    row_of = np.repeat(np.arange(n), lens)
-    counts = np.bincount(row_of, weights=is_stop[codes], minlength=n).astype(np.int64)
+    counts = np.bincount(
+        ft.row_of, weights=is_stop[codes], minlength=ft.n
+    ).astype(np.int64)
     return batch.append_column("n_stopwords", pa.array(counts, type=pa.int64()))
 
 
@@ -270,13 +254,9 @@ def rolling_fingerprint_batch(
     the hash would be a compiled rolling hash — the pipeline shape
     (map_batches, per-unique-window hashing) is unchanged by that
     swap."""
-    toks = pc.utf8_split_whitespace(
-        pc.utf8_lower(batch[text_col].combine_chunks().cast(pa.string()))
-    )
     out: list[str] = []
-    for row in toks.to_pylist():
-        row = [t for t in (row or []) if t]
-        if not row:
+    for row in tokens_flat(batch[text_col]).per_row_lists():
+        if not len(row):
             out.append("")
             continue
         w = min(window, len(row))

@@ -65,3 +65,27 @@ def test_short_rows_contribute_nothing():
         rd.from_pandas(corpus), rd.from_pandas(evals), window=8
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_string_doc_ids_preserved():
+    """String id columns flow through both decontaminate paths with
+    their Arrow type intact (round-3 advice item 4)."""
+    corpus = rd.from_pandas(pd.DataFrame({
+        "doc_id": ["docA", "docB", "docC"],
+        "text": [
+            "alpha beta gamma delta epsilon zeta eta theta iota",
+            "totally different words with no overlap at all here",
+            "alpha beta gamma delta epsilon zeta eta theta kappa",
+        ],
+    }))
+    eval_ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": ["e1"],
+        "text": ["alpha beta gamma delta epsilon zeta eta theta"],
+    }))
+    got = decontaminate(corpus, eval_ds, window=8).to_pandas()
+    assert set(got["doc_id"]) == {"docA", "docC"}
+    assert got["doc_id"].dtype == object
+    got_join = decontaminate(
+        corpus, eval_ds, window=8, broadcast_limit=0
+    ).to_pandas()
+    assert set(got_join["doc_id"]) == {"docA", "docC"}

@@ -206,3 +206,84 @@ def test_shard_validation_guards():
             imgs([("z9", cap, 1)]), base_sigs, base.assignment,
             candidate_limit=0,
         )
+
+
+def test_full_verify_mode_equals_probe_mode(split_fixture):
+    """The saturation auto-switch (round-3 verdict item 5) must not
+    change the output: force both probe modes on the same shard and
+    compare the reconstructed assignments."""
+    from simhash_ray.pipelines.dedup_incremental import (
+        estimate_candidate_fraction,
+    )
+
+    _df, base_df, shard_df = split_fixture
+    base = dedup_images(rd.from_pandas(base_df))
+    base_sigs = signatures(rd.from_pandas(base_df)).materialize()
+
+    def run(threshold):
+        inc = dedup_images_incremental(
+            rd.from_pandas(shard_df), base_sigs, base.assignment,
+            saturation_threshold=threshold,
+        )
+        return inc, pd.concat(
+            [
+                _assign_df(apply_remap(base.assignment, inc.remap)),
+                _assign_df(inc.assignment_new),
+            ]
+        ).sort_values("image_id").reset_index(drop=True)
+
+    inc_probe, got_probe = run(1.1)   # never switch
+    inc_full, got_full = run(0.0)     # always switch
+    assert inc_probe.probe_mode == "probe"
+    assert inc_full.probe_mode == "full_verify"
+    assert inc_full.candidate_fraction == 1.0
+    assert 0.0 < inc_probe.candidate_fraction <= 1.0
+    pd.testing.assert_frame_equal(got_probe, got_full)
+    # the estimator is a probability
+    assert 0.0 <= estimate_candidate_fraction(
+        {0: [np.array([1, 2, 3], dtype=np.uint64)]},
+        [(0, "simhash", __import__("simhash_ray.config", fromlist=["LSHConfig"]).LSHConfig())],
+    ) <= 1.0
+
+
+def test_strict_ids_catches_non_candidate_overlap():
+    """A shard id colliding with a base id that is NOT a band-key
+    candidate passes the cheap check but must be caught when
+    strict_ids=True (round-3 advice item 2)."""
+    import pyarrow as pa
+
+    from simhash_ray.pipelines.dedup_incremental import (
+        dedup_images_incremental,
+    )
+
+    def imgs(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "image_id": pa.array([r[0] for r in rows], type=pa.string()),
+                    "caption": pa.array([r[1] for r in rows], type=pa.string()),
+                    "phash": pa.array([r[2] for r in rows], type=pa.int64()),
+                }
+            )
+        )
+
+    # full-width phash patterns: low-bit-only values would collide in
+    # the all-zero high blocks of the image bands and become candidates
+    base_rows = [
+        ("b1", "completely unrelated base caption text here", 0x0123_4567_89AB_CDEF),
+        ("b2", "another unrelated body of words for the base", 0x7EDC_BA98_7654_3210),
+    ]
+    base = dedup_images(imgs(base_rows))
+    base_sigs = signatures(imgs(base_rows)).materialize()
+    # shard row reuses id b1 but with a totally different caption/phash
+    # (so b1 is unlikely to be a band-key candidate of the shard)
+    shard = imgs([("b1", "zzz qqq www eee rrr ttt yyy uuu", 0x1357_9BDF_0246_8ACE)])
+    inc = dedup_images_incremental(
+        shard, base_sigs, base.assignment, saturation_threshold=1.1
+    )
+    assert inc.probe_mode == "probe"  # silently passed the cheap check
+    with pytest.raises(ValueError, match="strict"):
+        dedup_images_incremental(
+            shard, base_sigs, base.assignment,
+            saturation_threshold=1.1, strict_ids=True,
+        )

@@ -73,6 +73,16 @@ def test_rows_only_queries_run(name):
     assert len(df.columns) > 0
 
 
+def test_segment_revenue_join_path_matches_broadcast():
+    """Forcing broadcast_limit=0 exercises the distributed-join
+    fallback (round-3 verdict item 7); both paths must agree."""
+    from simhash_ray.pipelines.queries import q_segment_revenue
+
+    a = _canon(_to_pandas(q_segment_revenue(SF_DIR)))
+    b = _canon(_to_pandas(q_segment_revenue(SF_DIR, broadcast_limit=0)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+
+
 def test_entry_smoke():
     df = _to_pandas(entry_mod.entry())
     assert len(df) > 0

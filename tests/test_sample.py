@@ -60,3 +60,19 @@ def test_cap_per_group_deterministic():
     u = md5_u32_of_int_ids(df["doc_id"].to_numpy()).astype(np.int64)
     ranked = df.assign(u=u).sort_values(["u", "doc_id"]).groupby("lang").head(7)
     assert set(a["doc_id"]) == set(ranked["doc_id"])
+
+
+def test_stratified_null_groups_sampled_at_default():
+    """Null group values take the default rate, never dropped silently
+    (round-3 advice item 3; SQL mirrors must handle NULL explicitly)."""
+    df = pd.DataFrame({
+        "doc_id": np.arange(400, dtype=np.int64),
+        "lang": ["en", "de", None, "fr"] * 100,
+    })
+    out = stratified_sample(
+        rd.from_pandas(df), "lang", {"en": (0, 1), "de": (0, 1)},
+        default=(1, 1),
+    ).to_pandas()
+    # en/de fully dropped; fr and ALL null rows kept at default 1/1
+    assert len(out) == 200
+    assert out["lang"].isna().sum() == 100
