@@ -24,6 +24,66 @@ import subprocess
 import sys
 import time
 
+_SORT_N = 20_000_000
+
+
+def _sort_once(_i: int) -> float:
+    """One 20M-u64 np.sort, generation excluded from the timing."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 2**63, size=_SORT_N, dtype=np.uint64)
+    t0 = time.perf_counter()
+    np.sort(a)
+    return time.perf_counter() - t0
+
+
+def host_speed(n_procs: int = 8) -> dict:
+    """Host-throughput calibration (BASELINE.md protocol): the 20M-u64
+    np.sort microbenchmark at 1 and ``n_procs`` concurrent processes.
+    The sandbox VM's parallel throughput drifts >2× between minutes —
+    quiet-phase aggregate is ~80+ M/s @8 procs; bench numbers taken
+    when this reads far below that are contention artifacts, not code.
+    Emitted with every bench run so cross-round comparisons are
+    interpretable (round-3 verdict item 8)."""
+    import multiprocessing as mp
+
+    t1 = _sort_once(0)
+    with mp.get_context("fork").Pool(n_procs) as pool:
+        times = pool.map(_sort_once, range(n_procs))
+    return {
+        "host_sort_mps_1p": round(_SORT_N / t1 / 1e6, 1),
+        f"host_sort_mps_{n_procs}p": round(
+            n_procs * _SORT_N / max(times) / 1e6, 1
+        ),
+    }
+
+
+def _burn_worker(seconds: float) -> None:
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 2**63, size=5_000_000, dtype=np.uint64)
+    t_end = time.perf_counter() + seconds
+    while time.perf_counter() < t_end:
+        np.sort(a)
+
+
+def host_burn(seconds: float = 12.0, n_procs: int = 8) -> None:
+    """Untimed all-core warm-load before the timed region.
+
+    Measured on this sandbox VM (see BASELINE.md): per-core speed is a
+    function of TOTAL host load — single-proc np.sort runs ~19 M/s
+    from idle but ~55 M/s right after (or during) ≥8-core load, and
+    2-core load does NOT sustain the boost.  Burning all cores first
+    equalizes the ramp-in state across scaling legs; low-CPU legs still
+    decay mid-run, which is why (8, 32) pairs are the interpretable
+    protocol on this box (both legs stay in the boosted regime)."""
+    import multiprocessing as mp
+
+    with mp.get_context("fork").Pool(n_procs) as pool:
+        pool.map(_burn_worker, [seconds] * n_procs)
+
 
 def _run_bench() -> dict:
     import logging
@@ -32,6 +92,7 @@ def _run_bench() -> dict:
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    calibration_pre = host_speed()
     ray.init(
         address="local",
         num_cpus=num_cpus,
@@ -85,6 +146,7 @@ def _run_bench() -> dict:
     # startup, not pipeline cost; same warmup at every CPU level)
     warm = read_images(columns=["image_id", "caption", "phash"]).limit(4096)
     flagship.dedup_images(warm, DEFAULT_CONFIG).assignment.count()
+    host_burn()  # equalize the host's load-dependent clock ramp
 
     timings: dict[str, float] = {}
 
@@ -170,15 +232,28 @@ def _run_bench() -> dict:
 
         timed("doc_decontaminate", lambda: q_doc_decontaminate(sf_dir).count())
 
-        # incremental ingest: fold a 20% shard into the deduped 80%
-        # base; the base run + its signatures are the pre-existing
-        # corpus state, so they stay OUTSIDE the timed region
+        # incremental ingest, SELECTIVE regime (round-3 advice item 1 /
+        # verdict item 5): fold a 20% shard into the deduped 80% base
+        # at the hourly-ingest config — 32-bit band keys (4 blocks
+        # choose 2, τ=2; LSHConfig's scale note) so the shard's
+        # distinct keys stay ≪ the key space and the probe touches
+        # O(shard) base rows instead of degenerating into a full
+        # verify.  The base run + its signatures are the pre-existing
+        # corpus state, so they stay OUTSIDE the timed region; the
+        # candidate fraction is reported next to the throughput so the
+        # number can't be misread as the degenerate regime's.
+        from simhash_ray.config import DedupConfig, LSHConfig
         from simhash_ray.pipelines.dedup_incremental import (
             dedup_images_incremental,
         )
 
         import numpy as _np
         import pyarrow as _pa
+
+        inc_cfg = DedupConfig(
+            text_lsh=LSHConfig(n_blocks=4, combo_m=2, hamming_tau=2),
+            image_lsh=LSHConfig(n_blocks=4, combo_m=2, hamming_tau=2),
+        )
 
         def _split(want: bool):
             def fn(t):
@@ -192,18 +267,48 @@ def _run_bench() -> dict:
         imgs = read_images(columns=["image_id", "caption", "phash"])
         base = imgs.map_batches(_split(True), batch_format="pyarrow").materialize()
         shard = imgs.map_batches(_split(False), batch_format="pyarrow").materialize()
-        base_res = flagship.dedup_images(base, DEFAULT_CONFIG)
-        base_sigs = flagship.signatures(base, DEFAULT_CONFIG).materialize()
+        base_res = flagship.dedup_images(base, inc_cfg)
+        base_sigs = flagship.signatures(base, inc_cfg).materialize()
         n_shard = shard.count()
-        timed(
-            "incremental_ingest",
-            lambda: dedup_images_incremental(
-                shard, base_sigs, base_res.assignment
-            ).assignment_new.count(),
-        )
+
+        def run_incremental():
+            inc = dedup_images_incremental(
+                shard, base_sigs, base_res.assignment, inc_cfg
+            )
+            n = inc.assignment_new.count()
+            timings["incremental_candidate_fraction"] = round(
+                inc.candidate_fraction, 4
+            )
+            timings["incremental_probe_mode"] = inc.probe_mode
+            return n
+
+        timed("incremental_ingest", run_incremental)
         timings["incremental_images_per_sec"] = round(
             n_shard / timings["incremental_ingest"], 1
         )
+
+        # multimodal: decode → color-histogram embedding (actor pool
+        # over the binary column) → banded cosine-LSH dup pairs — the
+        # embedding-space dedup composition benched end-to-end
+        from simhash_ray.stages.multimodal import image_embeddings
+
+        def run_embed_dedup():
+            emb = image_embeddings(read_images(), concurrency=(1, 8))
+
+            def to_int(t: _pa.Table) -> _pa.Table:
+                import pyarrow.compute as _pc
+
+                ids = _pc.cast(
+                    _pc.replace_substring(t["image_id"], "img", ""), _pa.int64()
+                )
+                return _pa.table({"vec_id": ids, "embedding": t["embedding"]})
+
+            return lsh_cosine_dup_pairs(
+                emb.map_batches(to_int, batch_format="pyarrow"),
+                999, 1000, n_parts=16,
+            ).count()
+
+        timed("images_embed_dedup", run_embed_dedup)
 
     result = {
         "metric": "e2e_dedup_seconds",
@@ -214,8 +319,10 @@ def _run_bench() -> dict:
         "num_cpus": num_cpus,
         "n_images": n_images,
         "images_per_sec": round(n_images / timings["e2e_dedup"], 1),
+        "host_speed_pre": calibration_pre,
     }
     ray.shutdown()
+    result["host_speed_post"] = host_speed()
     return result
 
 
@@ -259,6 +366,8 @@ def main() -> None:
                     "images_per_sec_locpu": r_lo["images_per_sec"],
                     "images_per_sec_hicpu": r_hi["images_per_sec"],
                     "sf": r_hi["sf"],
+                    "host_speed_locpu": r_lo.get("host_speed_pre"),
+                    "host_speed_hicpu": r_hi.get("host_speed_pre"),
                 }
             )
         )
