@@ -99,31 +99,58 @@ class ImageFeatures:
     visually-near-identical images land at cosine ≈ 1."""
 
     def __init__(self, bins: int = 16):
+        if 256 % bins:
+            raise ValueError(
+                f"bins must divide 256 (got {bins}): the whole-batch "
+                "bincount kernel maps value→bin as value // (256/bins)"
+            )
         self.bins = bins
         self.decode = decode_image
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        feats = np.zeros((n, self.bins * 3), dtype=np.float32)
+        nb = self.bins
         data = batch["bytes"].to_pylist()
         fmts = batch["fmt"].to_pylist()
         ws = batch["w"].to_pylist()
         hs = batch["h"].to_pylist()
-        for i in range(n):  # per-row decode is inherent; hist is numpy
-            pix = self.decode(data[i], fmts[i], ws[i], hs[i])
-            for c in range(3):
-                h, _ = np.histogram(
-                    pix[:, :, c], bins=self.bins, range=(0, 256)
-                )
-                feats[i, c * self.bins : (c + 1) * self.bins] = h
-            nrm = np.linalg.norm(feats[i])
-            if nrm > 0:
-                feats[i] /= nrm
+        # per-row decode is inherent (header parsing); the HISTOGRAM is
+        # one whole-batch bincount — 3 np.histogram calls per row cost
+        # ~50 µs each in call overhead alone, which dominated the
+        # 400k-row bench (68 s → the bincount path)
+        pix_flat = [
+            self.decode(data[i], fmts[i], ws[i], hs[i]).reshape(-1, 3)
+            for i in range(n)
+        ]
+        if n == 0:
+            return pa.table(
+                {"image_id": batch["image_id"],
+                 "embedding": pa.array([], type=pa.list_(pa.float32()))}
+            )
+        counts = np.array([p.shape[0] for p in pix_flat], dtype=np.int64)
+        flat = np.concatenate(pix_flat, axis=0)  # (total_pix, 3) uint8
+        row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        # bin index = value // (256/bins); layout row*3*nb + c*nb + bin
+        # (identical to the historical per-channel np.histogram layout)
+        shift = 256 // nb
+        code = flat.astype(np.int64) // shift
+        idx = (row_of[:, None] * 3 + np.arange(3, dtype=np.int64)[None, :]) * nb + code
+        feats = (
+            np.bincount(idx.ravel(), minlength=n * 3 * nb)
+            .reshape(n, 3 * nb)
+            .astype(np.float32)
+        )
+        nrm = np.sqrt((feats.astype(np.float64) ** 2).sum(axis=1))
+        nz = nrm > 0
+        feats[nz] /= nrm[nz, None].astype(np.float32)
         return pa.table(
             {
                 "image_id": batch["image_id"],
-                "embedding": pa.array(
-                    list(feats), type=pa.list_(pa.float32())
+                "embedding": pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(n + 1, dtype=np.int32) * (3 * nb)
+                    ),
+                    pa.array(feats.ravel(), type=pa.float32()),
                 ),
             }
         )
