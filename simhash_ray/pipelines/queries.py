@@ -1658,6 +1658,93 @@ FROM lab
 """
 
 
+def q_doc_dedup_incremental(sf_dir: str):
+    """Document-domain incremental-ingest dedup, SQL-oracle-checked via
+    staging (the text twin of ``images_dedup_incremental``): 80/20
+    base/shard split by doc_id, fold the shard against the base without
+    re-banding it, and hash-compare the reconstructed global assignment
+    against a staged independent full-batch run — the operator's output
+    contract, end-to-end.  Signatures are encoded ONCE for the whole
+    table and reused by the base run, the full run and the staging."""
+    import pandas as _pd
+
+    from ..stages.encode import encode_signatures
+    from .dedup_docs import dedup_documents_from_sigs
+    from .dedup_incremental import apply_remap, dedup_documents_incremental
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    sigs_all = (
+        encode_signatures(
+            docs, DEFAULT_CONFIG.simhash, text_col="text", concurrency=(1, 4)
+        )
+        .select_columns(["doc_id", "simhash"])
+        .materialize()
+    )
+
+    def split(t: pa.Table, want: bool) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids % 5 < 4) == want))
+
+    base_sigs = sigs_all.map_batches(
+        lambda t: split(t, True), batch_format="pyarrow"
+    ).materialize()
+    shard_docs = docs.map_batches(
+        lambda t: split(t, False), batch_format="pyarrow"
+    ).materialize()
+    base_assign = dedup_documents_from_sigs(base_sigs, DEFAULT_CONFIG).materialize()
+    inc = dedup_documents_incremental(
+        shard_docs, base_sigs, base_assign, DEFAULT_CONFIG, concurrency=(1, 4)
+    )
+    reconstructed = _pd.concat(
+        [
+            apply_remap(base_assign, inc.remap, id_col="doc_id").to_pandas(),
+            inc.assignment_new.to_pandas(),
+        ]
+    )[["doc_id", "cluster_id", "is_representative"]]
+    _stage(
+        dedup_documents_from_sigs(sigs_all, DEFAULT_CONFIG),
+        "doc_full_assignment",
+    )
+    return reconstructed
+
+
+SQL_DOC_DEDUP_INCREMENTAL = f"""
+SELECT doc_id, cluster_id, is_representative
+FROM read_parquet('{_staged("doc_full_assignment")}')
+"""
+
+
+def q_doc_redact(sf_dir: str):
+    """PII redaction pass (stages/text.redact_batch): emails and long
+    digit runs → placeholders, with a per-doc redaction count.  The
+    oracle replays the IDENTICAL RE2 patterns through DuckDB's
+    regexp_replace (both engines are RE2-based), counting on the
+    current text before each replacement exactly like the operator."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return docs.map_batches(text_ops.redact_batch, batch_format="pyarrow")
+
+
+_EMAIL_PAT, _NUMBER_PAT = (dict(text_ops.REDACT_PATTERNS)[k] for k in ("email", "number"))
+
+SQL_DOC_REDACT = f"""
+WITH s1 AS (
+  SELECT doc_id,
+         COALESCE(text, '') AS t0,
+         len(regexp_extract_all(COALESCE(text, ''), '{_EMAIL_PAT}')) AS n1
+  FROM documents
+),
+s2 AS (
+  SELECT doc_id, n1,
+         regexp_replace(t0, '{_EMAIL_PAT}', '<email>', 'g') AS t1
+  FROM s1
+)
+SELECT doc_id,
+       CAST(n1 + len(regexp_extract_all(t1, '{_NUMBER_PAT}')) AS BIGINT) AS n_redacted,
+       regexp_replace(t1, '{_NUMBER_PAT}', '<number>', 'g') AS redacted
+FROM s2
+"""
+
+
 def q_doc_lang_pred(sf_dir: str):
     docs = _docs(sf_dir, columns=["doc_id", "text", "lang"])
     return docs.map_batches(
@@ -2249,6 +2336,8 @@ def ray_queries() -> dict:
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_sigs": q_doc_simhash_sigs,
         "doc_simhash_dedup": q_doc_simhash_dedup,
+        "doc_dedup_incremental": q_doc_dedup_incremental,
+        "doc_redact": q_doc_redact,
         "doc_lang_pred": q_doc_lang_pred,
         "doc_rolling_fp": q_doc_rolling_fp,
         "embed_topk": q_embed_topk,
@@ -2322,6 +2411,8 @@ def oracle_sqls() -> dict:
         "images_dedup_truth": SQL_IMAGES_DEDUP_TRUTH,
         "images_dedup_incremental": SQL_IMAGES_DEDUP_INCREMENTAL,
         "doc_simhash_dedup": SQL_DOC_SIMHASH_DEDUP,
+        "doc_dedup_incremental": SQL_DOC_DEDUP_INCREMENTAL,
+        "doc_redact": SQL_DOC_REDACT,
         # rows-only — why no oracle can exist for each:
         # images_dedup — full-assignment output of the same pipeline;
         #   cluster-level conformance IS oracle-checked by the staged

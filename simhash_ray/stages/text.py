@@ -141,6 +141,43 @@ def make_unigram_scorer(freq_ref, total: int, text_col: str = "text",
     return score
 
 
+# PII-redaction patterns (RE2-compatible; the DuckDB oracle runs the
+# IDENTICAL strings through regexp_replace, so semantics can't drift).
+# Applied IN ORDER, counting matches on the current text before each
+# replacement — emails first so their digit runs aren't double-counted.
+REDACT_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("number", r"[0-9]{7,}"),
+]
+
+
+def redact_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """PII scrub: replace emails and long digit runs with ``<email>`` /
+    ``<number>`` placeholders (vectorized RE2 kernels) and count the
+    redactions — the curation pass that runs before publishing a
+    training corpus.  Returns (id, n_redacted, redacted)."""
+    text = pc.fill_null(
+        batch[text_col].combine_chunks().cast(pa.string()), ""
+    )
+    n_red = np.zeros(batch.num_rows, dtype=np.int64)
+    for name, pat in REDACT_PATTERNS:
+        n_red += (
+            pc.count_substring_regex(text, pat)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        text = pc.replace_substring_regex(text, pat, f"<{name}>")
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_redacted": pa.array(n_red, type=pa.int64()),
+            "redacted": text,
+        }
+    )
+
+
 # BPE-ish pre-tokenizer chunks (GPT-2-style, RE2-compatible — no
 # lookahead): optional-space word runs, digit runs, punctuation runs.
 BPE_ISH_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"

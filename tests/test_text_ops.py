@@ -172,3 +172,47 @@ def test_unigram_logprob_planted():
     assert abs(out[0] - round(want0, 6)) < 1e-9
     assert abs(out[1] - round(want1, 6)) < 1e-9
     assert abs(out[2] - round(want2, 6)) < 1e-9
+
+
+def test_redact_batch_matches_duckdb_on_planted_pii():
+    """The fixture corpus has no PII, so the oracle only checks the
+    identity path there; this pins the actual replacement semantics on
+    planted emails/numbers against DuckDB's regexp_replace running the
+    IDENTICAL patterns (both engines are RE2)."""
+    import duckdb
+    import pyarrow as pa
+
+    from simhash_ray.stages.text import REDACT_PATTERNS, redact_batch
+
+    texts = [
+        "contact me at john.doe+spam@example.co.uk or 12345678 now",
+        "two mails a@b.io c.d@e-f.org and digits 1234567 123456",
+        "no pii here",
+        "",
+        None,
+        "edge email@x.yz 9999999999999999999 trailing",
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts, type=pa.string())}
+    )
+    got = redact_batch(batch).to_pandas()
+    email, number = dict(REDACT_PATTERNS)["email"], dict(REDACT_PATTERNS)["number"]
+    con = duckdb.connect()
+    con.register("t", batch)
+    want = con.execute(f"""
+        WITH s1 AS (
+          SELECT doc_id, COALESCE(text, '') AS t0,
+                 len(regexp_extract_all(COALESCE(text, ''), '{email}')) AS n1
+          FROM t),
+        s2 AS (SELECT doc_id, n1,
+                      regexp_replace(t0, '{email}', '<email>', 'g') AS t1
+               FROM s1)
+        SELECT doc_id,
+               CAST(n1 + len(regexp_extract_all(t1, '{number}')) AS BIGINT) AS n_redacted,
+               regexp_replace(t1, '{number}', '<number>', 'g') AS redacted
+        FROM s2 ORDER BY doc_id
+    """).fetchdf()
+    assert got["n_redacted"].tolist() == want["n_redacted"].tolist()
+    assert got["redacted"].tolist() == want["redacted"].tolist()
+    assert got["n_redacted"].sum() >= 7  # the planted PII was actually hit
