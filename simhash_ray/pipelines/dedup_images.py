@@ -57,6 +57,11 @@ class DedupResult:
     edges: rd.Dataset  # verified dup pairs (a, b, space)
     n_clusters_with_dups: int
     n_nodes_clustered: int
+    # (image_id, simhash, phash) — populated in the direct regime where
+    # the table is already materialized (oracle staging reuses it so the
+    # driver gate doesn't pay a second encode pass); None in the
+    # distributed regime (the collapse stage consumes the lazy plan).
+    signatures: rd.Dataset | None = None
 
 
 def signatures(
@@ -211,8 +216,10 @@ def dedup_images(
         n_parts = choose_n_parts(n_rows)
     limit = BROADCAST_SIG_LIMIT if broadcast_sig_limit is None else broadcast_sig_limit
     sigs = signatures(images, cfg, concurrency=concurrency)
+    kept_sigs = None
     if n_rows <= limit:
         sigs = sigs.materialize()
+        kept_sigs = sigs
         sig_df = sigs.to_pandas()
         ids = sig_df["image_id"].to_numpy(dtype=object)
         ai, bi = broadcast_candidate_edges(
@@ -253,6 +260,7 @@ def dedup_images(
         edges=edges,
         n_clusters_with_dups=n_clusters,
         n_nodes_clustered=n_nodes,
+        signatures=kept_sigs,
     )
 
 
