@@ -1889,6 +1889,80 @@ WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * 5
 """
 
 
+def q_embed_kmeans(sf_dir: str):
+    """Distributed spherical k-means assignment (stages/kmeans.py),
+    SQL-oracle-checked via staging: the Lloyd fit itself is iterative
+    (not SQL-expressible), but the trained centroid matrix is staged
+    and DuckDB independently recomputes the argmax-cosine assignment
+    from it (``list_cosine_similarity`` × cross join + ROW_NUMBER with
+    the same sim-desc/cent-asc tie-break) — both engines must agree on
+    every row's cluster."""
+    from ..stages.kmeans import assign_centroids, centroids_table, kmeans_fit
+
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = kmeans_fit(vecs, k=8, n_iters=6)
+    _stage(rd.from_arrow(centroids_table(cents)), "kmeans_centroids")
+    return assign_centroids(vecs, cents).select_columns(["vec_id", "cent"])
+
+
+SQL_EMBED_KMEANS = f"""
+WITH c AS (SELECT cent, centroid FROM read_parquet('{_staged("kmeans_centroids")}')),
+s AS (
+  SELECT e.vec_id, c.cent,
+         list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) AS sim
+  FROM embeddings e CROSS JOIN c
+)
+SELECT vec_id, cent FROM (
+  SELECT vec_id, cent,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent) AS rn
+  FROM s
+) WHERE rn = 1
+"""
+
+
+def q_embed_semdedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (k-means partition + within-cluster
+    cosine scan, stages/kmeans.semdedup), SQL-oracle-checked via
+    staging: the centroid matrix is staged and DuckDB re-derives the
+    assignment AND the within-cluster smaller-id duplicate marking from
+    the original ``embeddings`` view at the same rational threshold —
+    the operator's full output contract, recomputed by a different
+    engine."""
+    from ..stages.kmeans import centroids_table, semdedup
+
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out, cents = semdedup(vecs, k=8, threshold_num=2, threshold_den=5)
+    _stage(rd.from_arrow(centroids_table(cents)), "semdedup_centroids")
+    return out
+
+
+SQL_EMBED_SEMDEDUP = f"""
+WITH c AS (SELECT cent, centroid FROM read_parquet('{_staged("semdedup_centroids")}')),
+s AS (
+  SELECT e.vec_id, c.cent,
+         list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) AS sim
+  FROM embeddings e CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, cent FROM (
+    SELECT vec_id, cent,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent) AS rn
+    FROM s
+  ) WHERE rn = 1
+),
+d AS (
+  SELECT DISTINCT a1.vec_id
+  FROM a a1
+  JOIN a a2 ON a1.cent = a2.cent AND a2.vec_id < a1.vec_id
+  JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+  JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+  WHERE list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) * 5 >= 2
+)
+SELECT a.vec_id, a.cent, (d.vec_id IS NOT NULL) AS is_dup
+FROM a LEFT JOIN d ON d.vec_id = a.vec_id
+"""
+
+
 def _topk_rerank_sql(cands_name: str, k: int) -> str:
     """Shared oracle shape for the bucketed ANN variants: DuckDB
     re-ranks the STAGED candidate set (the probe plan's scored rows)
@@ -2381,6 +2455,8 @@ def ray_queries() -> dict:
         "embed_topk": q_embed_topk,
         "embed_label_stats": q_embed_label_stats,
         "embed_dup_pairs": q_embed_dup_pairs,
+        "embed_kmeans": q_embed_kmeans,
+        "embed_semdedup": q_embed_semdedup,
         "embed_dup_pairs_lsh": q_embed_dup_pairs_lsh,
         "embed_lsh_topk": q_embed_lsh_topk,
         "embed_ivf_topk": q_embed_ivf_topk,
@@ -2442,6 +2518,8 @@ def oracle_sqls() -> dict:
         "doc_simhash_sigs": SQL_DOC_SIMHASH_SIGS,
         "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
         "embed_dup_pairs_lsh": SQL_EMBED_DUP_PAIRS_LSH,
+        "embed_kmeans": SQL_EMBED_KMEANS,
+        "embed_semdedup": SQL_EMBED_SEMDEDUP,
         "embed_lsh_topk": SQL_EMBED_LSH_TOPK,
         "embed_ivf_topk": SQL_EMBED_IVF_TOPK,
         "images_signatures": SQL_IMAGES_SIGNATURES,

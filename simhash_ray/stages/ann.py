@@ -43,6 +43,12 @@ _EMPTY_TOPK = pa.table(
 def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if not hasattr(col, "flatten"):
+        # Ray tensor extension array (from_pandas auto-tensorizes
+        # uniform ndarray columns) — to_numpy gives the (n, dim) block
+        return np.asarray(
+            col.to_numpy(zero_copy_only=False), dtype=np.float64
+        ).reshape(len(col), -1)
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     dim = len(flat) // len(col)
     return flat.reshape(len(col), dim)
