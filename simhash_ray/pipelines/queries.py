@@ -2396,6 +2396,43 @@ FROM read_parquet('{_staged("images_full_assignment")}')
 """
 
 
+def q_images_survivor_invariant(sf_dir: str):
+    """Per-row survivor invariant verification (the north rule's output
+    contract: surviving representative rows are unchanged vs the input
+    — caption equality + payload decodes to the same pixels;
+    stages/invariant.py).  SQL-oracle-checked via staging: the decode
+    step is not SQL-expressible, so the two NARROW digest tables
+    (md5 of payload + md5 of decoded pixels, per side) are staged and
+    DuckDB independently re-runs the verdict join — found / caption_ok
+    / bytes_ok / pixels_ok per survivor must agree with the Ray hash
+    join.  The digest semantics themselves are pytest-gated with
+    planted corruptions (tests/test_invariant.py)."""
+    from ..stages.invariant import invariant_verdicts, row_digests
+
+    fdir = fixture_dir_for_sf(sf_dir)
+    images = read_table(fdir, "images")
+    res = _flagship_dedup(fdir)
+    surv = flagship.survivors(images, res)
+    sur_d = row_digests(surv, concurrency=(1, 4)).materialize()
+    src_d = row_digests(images, concurrency=(1, 4)).materialize()
+    _stage(sur_d, "inv_sur_digests")
+    _stage(src_d, "inv_src_digests")
+    return invariant_verdicts(sur_d, src_d)
+
+
+SQL_IMAGES_SURVIVOR_INVARIANT = f"""
+WITH s AS (SELECT * FROM read_parquet('{_staged("inv_sur_digests")}')),
+o AS (SELECT * FROM read_parquet('{_staged("inv_src_digests")}'))
+SELECT s.image_id,
+       (o.image_id IS NOT NULL) AS found,
+       COALESCE(o.caption = s.caption, FALSE) AS caption_ok,
+       COALESCE(o.byte_md5 = s.byte_md5, FALSE) AS bytes_ok,
+       COALESCE(s.decode_ok AND o.decode_ok AND s.pix_md5 = o.pix_md5, FALSE)
+           AS pixels_ok
+FROM s LEFT JOIN o USING (image_id)
+"""
+
+
 def q_images_stats(sf_dir: str):
     images = read_images_fixture(sf_dir)
     return image_stats(images, concurrency=(1, 4)).select_columns(
@@ -2467,6 +2504,7 @@ def ray_queries() -> dict:
         "images_dedup_incremental": q_images_dedup_incremental,
         "images_embed_dedup": q_images_embed_dedup,
         "images_stats": q_images_stats,
+        "images_survivor_invariant": q_images_survivor_invariant,
     }
 
 
@@ -2530,6 +2568,7 @@ def oracle_sqls() -> dict:
         "doc_dedup_incremental": SQL_DOC_DEDUP_INCREMENTAL,
         "doc_redact": SQL_DOC_REDACT,
         "images_dedup": SQL_IMAGES_DEDUP,
+        "images_survivor_invariant": SQL_IMAGES_SURVIVOR_INVARIANT,
         # rows-only — why no oracle can exist for each:
         # images_stats — recomputes phash from decoded pixel bytes
         #   (DCT over the image payload); not expressible in SQL (the
