@@ -11,6 +11,11 @@ Public surface (see README.md for the full map):
 - curation ops: :func:`decontaminate`, :func:`topk_per_group`,
   :func:`exact_quantiles`, :func:`hash_sample`,
   :func:`stratified_sample`, :func:`cap_per_group`
+- sources/sinks: :func:`read_table` / :func:`write_table`
+  (Lance-or-Parquet), :func:`read_label_lines` /
+  :func:`write_label_lines` (the reference's ``label, message`` line
+  format, Utils.hs:38-54 semantics), :func:`read_jsonl` /
+  :func:`write_jsonl`, :func:`read_csv_table`
 - building blocks live under ``simhash_ray.stages`` (encode, lsh,
   cluster, minhash, substring, ann, text, window, joins, multimodal)
   and ``simhash_ray.state`` (manifests, progress)
@@ -33,6 +38,14 @@ from .pipelines.dedup_incremental import (
     dedup_documents_incremental,
     dedup_images_incremental,
 )
+from .sources.tables import read_table, write_table
+from .sources.textlines import (
+    read_csv_table,
+    read_jsonl,
+    read_label_lines,
+    write_jsonl,
+    write_label_lines,
+)
 from .stages.decontam import decontaminate
 from .stages.sample import cap_per_group, hash_sample, stratified_sample
 from .stages.topk import exact_quantiles, topk_per_group
@@ -52,7 +65,14 @@ __all__ = [
     "dedup_images_incremental",
     "exact_quantiles",
     "hash_sample",
+    "read_csv_table",
+    "read_jsonl",
+    "read_label_lines",
+    "read_table",
     "stratified_sample",
     "survivors",
     "topk_per_group",
+    "write_jsonl",
+    "write_label_lines",
+    "write_table",
 ]
