@@ -953,6 +953,107 @@ LIMIT 20
 """
 
 
+def q_doc_tfidf_topk(sf_dir: str):
+    """Per-document keyword extraction: top-3 tokens by tf·idf
+    (idf = ln(N/df), raw tf), ties score DESC then token ASC —
+    ROW_NUMBER() semantics, rank carried in the output.
+
+    Scale shape: (doc_id, tok, tf) is exact per block (a doc is one
+    row, stages/text.doc_term_freqs), df pre-aggregates per block
+    before its token groupby (one narrow row per distinct token per
+    block), scores attach via a token-keyed Dataset.join (neither side
+    broadcastable at web scale), and the per-doc top-3 goes through
+    topk_per_group's partial-then-merge (≤3 rows per doc per block in
+    the shuffle)."""
+    from ..stages.text import doc_term_freqs
+    from ..stages.topk import topk_per_group
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    n_docs = docs.count()
+    dt = doc_term_freqs(docs)
+
+    def df_part(batch: pa.Table) -> pa.Table:
+        # dt rows are distinct per (doc, tok) → block-local counts per
+        # tok are a valid document-frequency partial
+        vc = pd.Series(batch["tok"].to_numpy(zero_copy_only=False)).value_counts()
+        return pa.table(
+            {
+                "tok": pa.array(vc.index.to_numpy(dtype=object), type=pa.string()),
+                "df": pa.array(vc.to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    df = (
+        dt.map_batches(df_part, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    n_join = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    joined = dt.join(
+        df,
+        join_type="inner",
+        num_partitions=n_join,
+        on=("tok",),
+        aggregator_ray_remote_args={"num_cpus": 0.5},
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # rank on the UNROUNDED score (matching the SQL window's ORDER
+        # BY); the emitted tfidf column rounds to the shared 1e-6 cell
+        s = tf * np.log(float(n_docs) / dfv)
+        return batch.append_column("_s", pa.array(s, type=pa.float64()))
+
+    top = topk_per_group(
+        joined.map_batches(score, batch_format="pyarrow"), "doc_id", "_s", 3, "tok"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "tok": batch["tok"],
+                "tf": batch["tf"],
+                "tfidf": pa.array(
+                    _round6(batch["_s"].to_numpy(zero_copy_only=False)),
+                    type=pa.float64(),
+                ),
+                "rank": batch["rank"],
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DOC_TFIDF_TOPK = r"""
+WITH tokens AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), dt AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM tokens WHERE tok <> ''
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT dt.doc_id, dt.tok, dt.tf,
+         dt.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS s,
+         ROW_NUMBER() OVER (
+           PARTITION BY dt.doc_id
+           ORDER BY dt.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                    dt.tok ASC
+         ) AS rank
+  FROM dt JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tf, ROUND(s, 6) AS tfidf, rank
+FROM scored WHERE rank <= 3
+"""
+
+
 def q_doc_split(sf_dir: str):
     """Deterministic train/valid/test split by content-independent id
     hash (md5 of the id string → first hex nibble: 0-b train, c-d
@@ -2462,6 +2563,7 @@ def ray_queries() -> dict:
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_split": q_doc_split,
         "doc_top_tokens": q_doc_top_tokens,
+        "doc_tfidf_topk": q_doc_tfidf_topk,
         "event_props_stats": q_event_props_stats,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
@@ -2526,6 +2628,7 @@ def oracle_sqls() -> dict:
         "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
         "doc_split": SQL_DOC_SPLIT,
         "doc_top_tokens": SQL_DOC_TOP_TOKENS,
+        "doc_tfidf_topk": SQL_DOC_TFIDF_TOPK,
         "event_props_stats": SQL_EVENT_PROPS_STATS,
         "events_asof": SQL_EVENTS_ASOF,
         "events_range_join": SQL_EVENTS_RANGE_JOIN,

@@ -99,6 +99,48 @@ def unigram_token_counts(docs, text_col: str = "text"):
     )
 
 
+def doc_term_freqs(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document term frequencies: one (id, tok, tf) row per
+    distinct token per document.  EXACT with no merge shuffle — a
+    document is a single input row, so its whole token multiset is
+    visible inside one batch; the count is one vectorized np.unique
+    over (row, token-dict-index) composite keys.  The output is the
+    inverted-index relation every tf-idf / BM25 / keyword-extraction
+    op starts from; downstream df/joins shuffle by token."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=ids.type),
+                "tok": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+            }
+        )
+        ft = tokens_flat(batch[text_col])
+        if len(ft.flat) == 0:
+            return empty
+        flat = (
+            ft.flat.combine_chunks()
+            if isinstance(ft.flat, pa.ChunkedArray)
+            else ft.flat
+        )
+        denc = flat.dictionary_encode()
+        idx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(denc.dictionary)
+        key = ft.row_of * v + idx
+        uk, tf = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(uk // v, type=pa.int64())),
+                "tok": denc.dictionary.take(pa.array(uk % v, type=pa.int64())),
+                "tf": pa.array(tf.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 def make_unigram_scorer(freq_ref, total: int, text_col: str = "text",
                         id_col: str = "doc_id"):
     """Batch scorer: mean ln(count/total) over a doc's IN-VOCAB token
