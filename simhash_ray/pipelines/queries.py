@@ -1054,6 +1054,171 @@ FROM scored WHERE rank <= 3
 """
 
 
+BM25_QUERY = ("hash", "join", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_doc_bm25_topk(sf_dir: str):
+    """Retrieval-style relevance scoring: top-20 documents by BM25
+    (Robertson/Lucene idf = ln((N-df+0.5)/(df+0.5)+1), k1=1.2, b=0.75)
+    against a fixed query-token set — the retrieval-based quality /
+    relevance-filtering primitive (ties: score DESC, doc_id ASC).
+
+    Scale shape: one tokenize pass emits only (doc_id, tok, tf, dl)
+    rows for docs CONTAINING a query token (the match set, not the
+    corpus); df per query token is a |Q|-row driver collect; avgdl is
+    one Sum aggregate (second read of the text column — at extreme
+    scale fold it into the match pass as sentinel summary rows);
+    per-doc scores sum via groupby and the global top-20 reuses
+    topk_per_group's partial-then-merge under a constant group key
+    (≤20 narrow rows per block through the shuffle)."""
+    from ..functions.tokenize import tokens_flat
+    from ..stages.topk import topk_per_group
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    n_docs = docs.count()
+    qset = pa.array(list(BM25_QUERY), type=pa.string())
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "tok": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+            "dl": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def match(batch: pa.Table) -> pa.Table:
+        ft = tokens_flat(batch["text"])
+        if len(ft.flat) == 0:
+            return empty
+        hit = pc.is_in(ft.flat, value_set=qset).to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return empty
+        rows = ft.row_of[hit]
+        toks = np.asarray(ft.flat.filter(pa.array(hit)).to_pylist(), dtype=object)
+        # composite (row, query-token-index) count — |Q| is tiny
+        tcode = np.searchsorted(np.sort(np.array(BM25_QUERY, dtype=object)), toks)
+        key = rows * len(BM25_QUERY) + tcode
+        uk, tf = np.unique(key, return_counts=True)
+        urows = (uk // len(BM25_QUERY)).astype(np.int64)
+        utok = np.sort(np.array(BM25_QUERY, dtype=object))[uk % len(BM25_QUERY)]
+        ids = batch["doc_id"].take(pa.array(urows, type=pa.int64()))
+        return pa.table(
+            {
+                "doc_id": ids,
+                "tok": pa.array(utok, type=pa.string()),
+                "tf": pa.array(tf.astype(np.int64), type=pa.int64()),
+                "dl": pa.array(ft.counts[urows].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    # materialized: the match set is consumed twice (df collect +
+    # scoring) and is narrow — 4 columns × only docs containing a
+    # query token — so pinning it avoids a second tokenize pass over
+    # the full text column
+    matches = docs.map_batches(match, batch_format="pyarrow").materialize()
+
+    # corpus stats: df per query token (≤|Q| rows → driver) and avgdl
+    df_rows = (
+        matches.groupby("tok").aggregate(Count(alias_name="df")).take_all()
+    )
+    df_map = {r["tok"]: float(r["df"]) for r in df_rows}
+    total_tokens = docs.map_batches(
+        lambda t: pa.table(
+            {"n": pa.array([int(tokens_flat(t["text"]).counts.sum())], type=pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).sum("n")
+    avgdl = float(total_tokens) / float(n_docs)
+    idf = {
+        t: float(np.log((n_docs - d + 0.5) / (d + 0.5) + 1.0))
+        for t, d in df_map.items()
+    }
+
+    def term_score(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        toks = batch["tok"].to_numpy(zero_copy_only=False)
+        w = np.array([idf[t] for t in toks], dtype=np.float64)
+        s = w * tf * (BM25_K1 + 1.0) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "s": pa.array(s, type=pa.float64()),
+            }
+        )
+
+    per_doc = (
+        matches.map_batches(term_score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("s", alias_name="s"))
+    )
+
+    withg = per_doc.map_batches(
+        lambda t: t.append_column("_g", pa.array(np.zeros(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+    top = topk_per_group(withg, "_g", "s", 20, "doc_id")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "bm25": pa.array(
+                    _round6(batch["s"].to_numpy(zero_copy_only=False)),
+                    type=pa.float64(),
+                ),
+                "rank": batch["rank"],
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DOC_BM25_TOPK = r"""
+WITH tk AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id
+), n AS (
+  SELECT COUNT(*) AS n FROM documents
+), avgdl AS (
+  SELECT SUM(dl) * 1.0 / (SELECT n FROM n) AS avgdl FROM dl
+), dt AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM tk WHERE tok IN ('hash', 'join', 'stream')
+  GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok
+), scored AS (
+  SELECT dt.doc_id,
+         SUM(
+           ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1)
+           * dt.tf * (1.2 + 1)
+           / (dt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.avgdl))
+         ) AS s
+  FROM dt
+  JOIN df USING (tok)
+  JOIN dl USING (doc_id)
+  CROSS JOIN n CROSS JOIN avgdl
+  GROUP BY dt.doc_id
+)
+SELECT doc_id, ROUND(s, 6) AS bm25,
+       ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+FROM scored
+ORDER BY s DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 def q_doc_split(sf_dir: str):
     """Deterministic train/valid/test split by content-independent id
     hash (md5 of the id string → first hex nibble: 0-b train, c-d
@@ -2564,6 +2729,7 @@ def ray_queries() -> dict:
         "doc_split": q_doc_split,
         "doc_top_tokens": q_doc_top_tokens,
         "doc_tfidf_topk": q_doc_tfidf_topk,
+        "doc_bm25_topk": q_doc_bm25_topk,
         "event_props_stats": q_event_props_stats,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
@@ -2629,6 +2795,7 @@ def oracle_sqls() -> dict:
         "doc_split": SQL_DOC_SPLIT,
         "doc_top_tokens": SQL_DOC_TOP_TOKENS,
         "doc_tfidf_topk": SQL_DOC_TFIDF_TOPK,
+        "doc_bm25_topk": SQL_DOC_BM25_TOPK,
         "event_props_stats": SQL_EVENT_PROPS_STATS,
         "events_asof": SQL_EVENTS_ASOF,
         "events_range_join": SQL_EVENTS_RANGE_JOIN,
