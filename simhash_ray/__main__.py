@@ -16,6 +16,9 @@ Subcommands::
     python -m simhash_ray dedup-docs <table> --out DIR
         text-domain flagship over a document table
         (--text-col/--id-col; writes assignment/ + metrics.json)
+    python -m simhash_ray convert <src> --from lines --to parquet --out DIR
+        stream-convert between corpus formats (lines = the reference's
+        'label, message' files, jsonl, csv, parquet)
     python -m simhash_ray ingest <shard> --base DIR --out DIR
         fold an arriving shard into a deduped corpus (incremental
         dedup): --base holds the prior signatures/ + assignment/;
@@ -213,6 +216,35 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """Format conversion: stream any supported source into any
+    supported sink (distributed, partitioned output) — the on-ramp
+    from a reference user's `label, message` line corpora (or
+    JSONL/CSV exports) into the engine's table formats, and back."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .sources import textlines
+    from .sources.tables import write_table
+
+    readers = {
+        "lines": textlines.read_label_lines,
+        "jsonl": textlines.read_jsonl,
+        "csv": textlines.read_csv_table,
+        "parquet": rd.read_parquet,
+    }
+    ds = readers[args.from_format](args.src)
+    if args.to_format == "parquet":
+        write_table(ds, args.out)
+    elif args.to_format == "jsonl":
+        textlines.write_jsonl(ds, args.out)
+    else:  # lines
+        textlines.write_label_lines(ds, args.out)
+    n = ds.count()
+    print(json.dumps({"rows": n, "from": args.from_format, "to": args.to_format}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="simhash_ray", description="Ray-Data-native near-duplicate engine"
@@ -270,6 +302,23 @@ def main(argv=None) -> int:
     )
     ing.add_argument("--out", required=True, help="output directory")
     ing.set_defaults(fn=cmd_ingest)
+
+    cv = sub.add_parser(
+        "convert",
+        help="convert between corpus formats (lines/jsonl/csv/parquet)",
+    )
+    cv.add_argument("src", help="input file or directory")
+    cv.add_argument("--out", required=True, help="output directory")
+    cv.add_argument(
+        "--from", dest="from_format", required=True,
+        choices=("lines", "jsonl", "csv", "parquet"),
+        help="input format ('lines' = the reference's 'label, message' files)",
+    )
+    cv.add_argument(
+        "--to", dest="to_format", required=True,
+        choices=("lines", "jsonl", "parquet"),
+    )
+    cv.set_defaults(fn=cmd_convert)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

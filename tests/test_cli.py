@@ -239,3 +239,43 @@ def test_cli_ingest_smoke(tmp_path):
     # the updated signature table covers base ∪ shard, ready as next --base
     sigs = pq.read_table(str(ing_out / "signatures")).to_pandas()
     assert set(sigs["image_id"]) == set(df["image_id"])
+
+
+def test_cli_convert_roundtrip(tmp_path):
+    """lines → parquet → jsonl → (read back): the convert on-ramp from
+    the reference's line corpora into engine tables."""
+    src = tmp_path / "corpus.txt"
+    src.write_text(
+        "\n".join(f"lab{i % 2}, body text {i}, extra" for i in range(40)) + "\n",
+        encoding="utf-8",
+    )
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+
+    def run(*cli):
+        res = subprocess.run(
+            [sys.executable, "-m", "simhash_ray", "--num-cpus", "4", *cli],
+            capture_output=True, text=True, timeout=540,
+            cwd="/root/repo", env=env,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    pq_out = tmp_path / "pq"
+    m = run("convert", str(src), "--from", "lines", "--to", "parquet",
+            "--out", str(pq_out))
+    assert m["rows"] == 40
+    import pyarrow.parquet as _pq
+    import glob
+
+    parts = glob.glob(str(pq_out / "*.parquet"))
+    tbl = _pq.read_table(parts)
+    assert tbl.num_rows == 40
+    assert sorted(tbl.column_names) == ["label", "text"]
+    # first-comma split: the message keeps its interior comma
+    assert any(t.endswith(", extra") for t in tbl["text"].to_pylist())
+
+    jl_out = tmp_path / "jl"
+    m2 = run("convert", str(pq_out), "--from", "parquet", "--to", "jsonl",
+             "--out", str(jl_out))
+    assert m2["rows"] == 40
