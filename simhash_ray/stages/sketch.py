@@ -1,5 +1,5 @@
-"""Distinct-count sketching (KMV / bottom-k) as a streaming Ray Data
-aggregate.
+"""Sketches: distinct-count (KMV / bottom-k) and set membership
+(Bloom filter), both as streaming Ray Data passes.
 
 ``kmv_distinct`` estimates ``COUNT(DISTINCT col)`` with bounded memory
 by keeping the ``k`` lexicographically smallest md5 digests of the
@@ -112,3 +112,129 @@ def kmv_distinct(ds: rd.Dataset, col: str, k: int = 256) -> rd.Dataset:
         )
     )
     return final.union(default).limit(1)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership sketch
+
+
+class BloomFilter:
+    """Fixed-size Bloom filter over u64 value hashes (double hashing,
+    Kirsch–Mitzenmacher '06: position_i = (h1 + i·h2) mod m — two
+    derived hashes give the FPR of k independent ones).
+
+    Guarantees NO false negatives: ``contains`` is True for every
+    inserted value; false-positive rate ≈ (1 - e^(-k·n/m))^k.  Use as a
+    pre-filter in front of an exact check (decontamination, seen-URL /
+    seen-document sets): rows the filter rejects are PROVABLY novel and
+    skip the expensive exact path entirely.
+
+    Scale shape: the bitmap is a flat uint64 word array — ``ray.put``
+    it once and probe inside ``map_batches`` (plasma reads of numpy are
+    zero-copy, so N probe tasks share one copy per node).  A single
+    filter is sized for up to ~10^9 members at a useful FPR (m=2^33
+    bits = 1 GiB); beyond that, hash-partition the corpus and build one
+    filter per partition (the probe then routes by the same partition
+    hash) — the build below is that per-partition primitive.
+    """
+
+    __slots__ = ("m_bits", "k", "words")
+
+    _H2_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def __init__(self, m_bits: int, k: int, words: np.ndarray):
+        if m_bits % 64 or len(words) != m_bits // 64:
+            raise ValueError(f"words length {len(words)} != m_bits/64")
+        self.m_bits = m_bits
+        self.k = k
+        self.words = words
+
+    @classmethod
+    def empty(cls, m_bits: int = 1 << 23, k: int = 7) -> "BloomFilter":
+        return cls(m_bits, k, np.zeros(m_bits // 64, dtype=np.uint64))
+
+    @staticmethod
+    def _hash(values: np.ndarray) -> np.ndarray:
+        from ..functions.hashing import hash_strings
+
+        v = np.asarray(values)
+        if v.dtype.kind in "iu":
+            import pandas as pd
+
+            return pd.util.hash_array(v.astype(np.int64), categorize=False)
+        return hash_strings(v)
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        """(n, k) bit positions via double hashing; h2 forced odd so the
+        stride cycles the whole (power-of-two) table."""
+        h1 = h
+        h2 = (h ^ (h >> np.uint64(33))) * self._H2_MIX | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[None, :]
+        return (h1[:, None] + i * h2[:, None]) % np.uint64(self.m_bits)
+
+    def add(self, values: np.ndarray) -> None:
+        pos = self._positions(self._hash(values)).ravel()
+        np.bitwise_or.at(
+            self.words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+
+    def contains(self, values: np.ndarray) -> np.ndarray:
+        """Boolean mask; vectorized word-gather + popcount-free test."""
+        if len(values) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(self._hash(values))
+        w = self.words[(pos >> np.uint64(6)).astype(np.int64)]
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        return ((w & bit) != 0).all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if (self.m_bits, self.k) != (other.m_bits, other.k):
+            raise ValueError("bloom configs differ")
+        return BloomFilter(self.m_bits, self.k, self.words | other.words)
+
+
+def build_bloom(
+    ds: rd.Dataset, col: str, m_bits: int = 1 << 23, k: int = 7
+) -> BloomFilter:
+    """Distributed Bloom build: each block folds its values into a
+    local bitmap (one vectorized scatter-OR), blocks emit the packed
+    bitmap as one binary row, and the driver OR-folds the stream —
+    memory bounded at TWO bitmaps regardless of input size.  The result
+    is a deterministic function of the value SET (OR is commutative),
+    so partitioning never changes it."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter.empty(m_bits, k)
+        vals = batch[col].to_numpy(zero_copy_only=False)
+        if len(vals):
+            bf.add(vals)
+        return pa.table({"bm": pa.array([bf.words.tobytes()], type=pa.binary())})
+
+    out = BloomFilter.empty(m_bits, k)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in b["bm"]:
+            out.words |= np.frombuffer(blob.as_py(), dtype=np.uint64)
+    return out
+
+
+def bloom_split(
+    ds: rd.Dataset, col: str, bloom_ref, novel: bool
+) -> rd.Dataset:
+    """Filter by Bloom membership.  ``novel=True`` keeps rows the
+    filter REJECTS — provably absent from the built set (the
+    no-false-negative guarantee); ``novel=False`` keeps the accepted
+    rows (members plus an FPR-bounded sliver) for the exact
+    verification pass.  ``bloom_ref`` is ``ray.put((m_bits, k, words))``
+    — one object-store copy shared zero-copy by every probe task."""
+    import ray
+
+    def probe(batch: pa.Table) -> pa.Table:
+        m_bits, k, words = ray.get(bloom_ref)
+        bf = BloomFilter(m_bits, k, words)
+        mask = bf.contains(batch[col].to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(~mask if novel else mask))
+
+    return ds.map_batches(probe, batch_format="pyarrow")

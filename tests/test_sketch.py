@@ -58,3 +58,74 @@ def test_kmv_matches_reference_formula(ray_session):
     want = np.round((k - 1) / frac, 6)
     ds = rd.from_arrow(pa.table({"v": vals})).repartition(5)
     assert _est(ds, k=k) == want
+
+
+# --------------------------------------------------------------------------
+# BloomFilter
+
+
+def test_bloom_no_false_negatives_and_fpr(ray_session):
+    from simhash_ray.stages.sketch import BloomFilter
+
+    bf = BloomFilter.empty(1 << 18, 7)
+    members = np.array([f"url/{i}" for i in range(5000)], dtype=object)
+    bf.add(members)
+    assert bf.contains(members).all()  # the hard guarantee
+    probe = np.array([f"other/{i}" for i in range(50000)], dtype=object)
+    fpr = bf.contains(probe).mean()
+    # n=5000, m=2^18, k=7 → theoretical ≈ 2.3e-5; allow generous slack
+    assert fpr < 0.01, fpr
+
+
+def test_bloom_distributed_build_is_partition_invariant(ray_session):
+    from simhash_ray.stages.sketch import BloomFilter, build_bloom
+
+    vals = [f"doc {i % 700}" for i in range(3000)]  # dupes across blocks
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(7)
+    bf = build_bloom(ds, "v", m_bits=1 << 16, k=5)
+    ref = BloomFilter.empty(1 << 16, 5)
+    ref.add(np.array(vals, dtype=object))
+    assert np.array_equal(bf.words, ref.words)  # OR-fold == local build
+    bf1 = build_bloom(ds.repartition(2), "v", m_bits=1 << 16, k=5)
+    assert np.array_equal(bf1.words, bf.words)
+
+
+def test_bloom_split_prefilter_composes_with_exact_check(ray_session):
+    """The decontamination shape: bloom-novel rows are provably clean;
+    bloom-member rows go to the exact check; union == exact answer."""
+    import ray
+
+    from simhash_ray.stages.sketch import build_bloom, bloom_split
+
+    seen = [f"s{i}" for i in range(400)]
+    corpus_vals = [f"s{i}" for i in range(0, 400, 2)] + [
+        f"n{i}" for i in range(600)
+    ]
+    corpus = rd.from_arrow(pa.table({"v": corpus_vals, "row": list(range(len(corpus_vals)))}))
+    bf = build_bloom(rd.from_arrow(pa.table({"v": seen})), "v", m_bits=1 << 16, k=5)
+    ref = ray.put((bf.m_bits, bf.k, bf.words))
+
+    novel = bloom_split(corpus, "v", ref, novel=True).to_pandas()
+    candid = bloom_split(corpus, "v", ref, novel=False).to_pandas()
+    # no member leaks into the novel side
+    assert not set(novel["v"]) & set(seen)
+    # split is a partition of the corpus
+    assert len(novel) + len(candid) == len(corpus_vals)
+    # exact verify over just the candidates reproduces the true clean set
+    truly_clean = set(candid["v"]) - set(seen)
+    got_clean = set(novel["v"]) | truly_clean
+    want_clean = set(corpus_vals) - set(seen)
+    assert got_clean == want_clean
+
+
+def test_bloom_int_column(ray_session):
+    import ray
+
+    from simhash_ray.stages.sketch import build_bloom, bloom_split
+
+    base = rd.from_arrow(pa.table({"doc_id": list(range(0, 1000, 3))}))
+    bf = build_bloom(base, "doc_id", m_bits=1 << 16, k=5)
+    ref = ray.put((bf.m_bits, bf.k, bf.words))
+    probe = rd.from_arrow(pa.table({"doc_id": list(range(100))}))
+    novel = bloom_split(probe, "doc_id", ref, novel=True).to_pandas()
+    assert all(i % 3 != 0 for i in novel["doc_id"])
