@@ -183,12 +183,28 @@ def _decontaminate_join(
     """Distributed path: explode corpus windows (narrow 16-byte rows),
     inner hash join on the window hash against the distinct eval
     windows, then one count per doc.  Only window hashes and doc ids
-    move through the shuffle — never text."""
+    move through the shuffle — never text.
+
+    A Bloom pre-filter (built over the distinct eval windows, bitmap
+    sized ~16 bits/window capped at 2^30 bits = 128 MiB) drops
+    provably-clean corpus windows BEFORE the join shuffle: on a mostly
+    clean corpus this cuts the all-to-all volume from every-window to
+    ~(true hits + FPR sliver) with zero effect on the result — Bloom
+    has no false negatives, and its false positives are removed by the
+    exact join."""
     from ray.data.aggregate import Count
+
+    from .sketch import BloomFilter, bloom_split, build_bloom
 
     exploded = corpus.select_columns([id_col, text_col]).map_batches(
         _window_explode(text_col, id_col, window), batch_format="pyarrow"
     )
+    n_eval = eval_wins.count()
+    if n_eval:
+        m_bits = 1 << min(30, max(16, int(np.ceil(np.log2(16 * n_eval)))))
+        bf = build_bloom(eval_wins, "win", m_bits=m_bits, k=7)
+        bloom_ref = ray.put((bf.m_bits, bf.k, bf.words))
+        exploded = bloom_split(exploded, "win", bloom_ref, novel=False)
     # cap the aggregator-actor CPU reservation well below the cluster
     # total — n_parts aggregators at 0.5 CPU each can otherwise reserve
     # every core of a small cluster and deadlock the feeding map tasks
