@@ -2700,10 +2700,35 @@ FROM s LEFT JOIN o USING (image_id)
 
 
 def q_images_stats(sf_dir: str):
+    """Decode-and-verify stats over the image fixture, SQL-oracle-checked
+    via staging (closing the last rows-only gap, round-4): the
+    decode→DCT phash recompute is not SQL-expressible, so the NARROW
+    recomputed-hash table (image_id, phash_recomputed) is staged
+    alongside the fixture base (image_id, fmt, phash) and DuckDB
+    independently re-derives the ``phash_matches`` predicate with its
+    own join + equality — cross-checking the actor-pool stage's
+    in-batch comparison and the id alignment.  The decode/phash
+    semantics themselves are pytest-gated with planted corruptions
+    (tests/test_phash_imgcodec.py, tests/test_invariant.py)."""
     images = read_images_fixture(sf_dir)
-    return image_stats(images, concurrency=(1, 4)).select_columns(
-        ["image_id", "fmt", "phash_matches"]
+    stats = image_stats(images, concurrency=(1, 4)).materialize()
+    _stage(
+        stats.select_columns(["image_id", "phash_recomputed"]),
+        "images_stats_rephash",
     )
+    _stage(
+        read_images_fixture(sf_dir, columns=["image_id", "fmt", "phash"]),
+        "images_stats_base",
+    )
+    return stats.select_columns(["image_id", "fmt", "phash_matches"])
+
+
+SQL_IMAGES_STATS = f"""
+SELECT b.image_id, b.fmt,
+       (r.phash_recomputed = b.phash) AS phash_matches
+FROM read_parquet('{_staged("images_stats_base")}') b
+JOIN read_parquet('{_staged("images_stats_rephash")}') r USING (image_id)
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2839,8 +2864,5 @@ def oracle_sqls() -> dict:
         "doc_redact": SQL_DOC_REDACT,
         "images_dedup": SQL_IMAGES_DEDUP,
         "images_survivor_invariant": SQL_IMAGES_SURVIVOR_INVARIANT,
-        # rows-only — why no oracle can exist for each:
-        # images_stats — recomputes phash from decoded pixel bytes
-        #   (DCT over the image payload); not expressible in SQL (the
-        #   phash_matches invariant column is pytest-gated instead).
+        "images_stats": SQL_IMAGES_STATS,
     }
