@@ -1295,35 +1295,37 @@ SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text
 """
 
 
-def q_doc_tokenset_dedup(sf_dir: str):
-    """Bag-of-words dedup: identical distinct-token sets collapse."""
+def _tokenset_keyed(batch: pa.Table) -> pa.Table:
+    """(doc_id, set_key): md5 of the sorted distinct-token set, computed
+    over the distinct-TEXT dictionary only — duplicated texts (the dedup
+    target) hash once, the per-row step is a gather."""
     import hashlib
 
+    denc = batch["text"].combine_chunks().cast(pa.string()).dictionary_encode()
+    uniq_keys = np.array(
+        [
+            hashlib.md5(
+                " ".join(sorted({w for w in (t or "").lower().split() if w})).encode()
+            ).hexdigest()
+            for t in denc.dictionary.to_pylist()
+        ],
+        dtype=object,
+    )
+    codes = denc.indices.to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "set_key": pa.array(uniq_keys[codes], type=pa.string()),
+        }
+    )
+
+
+def q_doc_tokenset_dedup(sf_dir: str):
+    """Bag-of-words dedup: identical distinct-token sets collapse."""
     docs = _docs(sf_dir, columns=["doc_id", "text"])
 
-    def keyed(batch: pa.Table) -> pa.Table:
-        # md5 over the distinct-TEXT dictionary only: duplicated texts
-        # (the dedup target) hash once, the per-row step is a gather
-        denc = batch["text"].combine_chunks().cast(pa.string()).dictionary_encode()
-        uniq_keys = np.array(
-            [
-                hashlib.md5(
-                    " ".join(sorted({w for w in (t or "").lower().split() if w})).encode()
-                ).hexdigest()
-                for t in denc.dictionary.to_pylist()
-            ],
-            dtype=object,
-        )
-        codes = denc.indices.to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "set_key": pa.array(uniq_keys[codes], type=pa.string()),
-            }
-        )
-
     out = (
-        docs.map_batches(keyed, batch_format="pyarrow")
+        docs.map_batches(_tokenset_keyed, batch_format="pyarrow")
         .groupby("set_key")
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
     )
@@ -2008,6 +2010,210 @@ SELECT doc_id,
        CAST(n1 + len(regexp_extract_all(t1, '{_NUMBER_PAT}')) AS BIGINT) AS n_redacted,
        regexp_replace(t1, '{_NUMBER_PAT}', '<number>', 'g') AS redacted
 FROM s2
+"""
+
+
+# --------------------------------------------------------------------------
+# end-to-end curation composite
+
+CURATION_LANGS = ("de", "en", "es", "fr")
+# id-set filters broadcast below this many ids (int64 → 160 MB at the
+# limit, one ray.put shared zero-copy); above it a hash join takes over
+CURATION_BROADCAST_LIMIT = 20_000_000
+
+
+def _id_set_filter(
+    ds: rd.Dataset,
+    ids_ds: rd.Dataset,
+    keep: bool,
+    id_col: str = "doc_id",
+    limit: int = CURATION_BROADCAST_LIMIT,
+    n_parts: int = 32,
+) -> rd.Dataset:
+    """Semi-join (``keep=True``) or anti-join (``keep=False``) ``ds``
+    against the id set in ``ids_ds`` — broadcast-set filter below
+    ``limit`` ids, ``Dataset.join`` above it (inner for semi; left
+    outer + null-marker filter for anti), mirroring
+    ``dedup_images.survivors``."""
+    # join partitions sized to the session: each aggregator actor
+    # reserves 0.5 CPU, so a fixed count can starve a small cluster
+    n_parts = int(min(n_parts, max(2, ray.cluster_resources().get("CPU", 8) // 2)))
+    n = ids_ds.count()
+    if n == 0:
+        return ds if not keep else ds.limit(0)
+    if n <= limit:
+        id_arr = pa.array(ids_ds.to_pandas()[id_col])
+        ref = ray.put(id_arr)
+
+        def f(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[id_col], value_set=ray.get(ref))
+            return batch.filter(mask if keep else pc.invert(mask))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+    if keep:
+        return ds.join(
+            ids_ds,
+            join_type="inner",
+            num_partitions=n_parts,
+            on=(id_col,),
+            aggregator_ray_remote_args={"num_cpus": 0.5},
+        )
+    marked = ids_ds.map_batches(
+        lambda t: t.append_column(
+            "__hit", pa.array(np.ones(t.num_rows, dtype=bool))
+        ),
+        batch_format="pyarrow",
+    )
+    joined = ds.join(
+        marked,
+        join_type="left_outer",
+        num_partitions=n_parts,
+        on=(id_col,),
+        aggregator_ray_remote_args={"num_cpus": 0.5},
+    )
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["__hit"])).drop_columns(["__hit"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_doc_curation_pipeline(sf_dir: str):
+    """End-to-end training-data curation composite — the pipeline a
+    user of this engine chains to turn a raw crawl table into a
+    training corpus, expressed as ONE streaming Ray Data flow:
+
+      lang whitelist → quality gate (≥20 tokens, ≥1 stopword per 10
+      tokens) → token-set near-dedup (min-id election through a narrow
+      (set_key, doc_id) shuffle; text never shuffles) → deterministic
+      md5 split → eval-set decontamination (verbatim 8-token windows
+      vs the held-out test split) → (doc_id, split, n_tokens) of the
+      retained train+valid corpus.
+
+    Every constituent is individually oracle-pinned (doc_quality,
+    doc_tokenset_dedup, doc_split, doc_decontaminate); this composite
+    pins the COMPOSITION — gate ordering, survivor rejoin, and the
+    contaminated-row anti-join — against one DuckDB replay.  Scale
+    shape: both id-set filters broadcast below
+    ``CURATION_BROADCAST_LIMIT`` and hash-join above it; the survivor
+    table is materialized once (it is the pipeline's natural stage
+    checkpoint — both the decontamination probe and the final
+    projection consume it)."""
+    from ..functions.hashing import md5_first_byte_of_int_ids
+    from ..stages.decontam import decontaminate
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.is_in(batch["lang"], value_set=pa.array(CURATION_LANGS))
+        )
+        batch = text_ops.token_count_batch(batch)
+        batch = text_ops.stopword_count_batch(batch)
+        n_tok = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        n_stop = batch["n_stopwords"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array((n_tok >= 20) & (n_stop * 10 >= n_tok)))
+        return batch.select(["doc_id", "text", "n_tokens"])
+
+    gated = docs.map_batches(gate, batch_format="pyarrow")
+    winners = (
+        gated.map_batches(_tokenset_keyed, batch_format="pyarrow")
+        .groupby("set_key")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+    surv = _id_set_filter(gated, winners, keep=True)
+
+    def with_split(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nib = (md5_first_byte_of_int_ids(ids) >> 4).astype(np.int64)
+        batch = batch.append_column("nib", pa.array(nib, type=pa.int64()))
+        return batch.filter(pa.array(nib < 14))
+
+    surv = surv.map_batches(with_split, batch_format="pyarrow").materialize()
+
+    def test_split(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nib = (md5_first_byte_of_int_ids(ids) >> 4).astype(np.int64)
+        return batch.filter(pa.array(nib >= 14))
+
+    evalset = docs.map_batches(test_split, batch_format="pyarrow")
+    contaminated = decontaminate(
+        surv.filter(expr="nib < 12"), evalset, window=8
+    ).select_columns(["doc_id"])
+    clean = _id_set_filter(surv, contaminated, keep=False)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nib = batch["nib"].to_numpy(zero_copy_only=False)
+        split = np.where(nib < 12, "train", "valid")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "split": pa.array(split.astype(object), type=pa.string()),
+                "n_tokens": batch["n_tokens"],
+            }
+        )
+
+    return clean.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DOC_CURATION_PIPELINE = rf"""
+WITH sw(tok) AS (VALUES {_stopword_any_values_sql()}),
+langed AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents WHERE lang IN ('de', 'en', 'es', 'fr')
+),
+stopc AS (
+  SELECT t.doc_id, COUNT(*) AS n_stopwords
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM langed) t
+  JOIN sw s ON t.tok = s.tok
+  GROUP BY 1
+),
+q AS (
+  SELECT l.doc_id, l.text, l.n_tokens
+  FROM langed l LEFT JOIN stopc USING (doc_id)
+  WHERE l.n_tokens >= 20 AND COALESCE(n_stopwords, 0) * 10 >= l.n_tokens
+),
+winners AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM q
+  GROUP BY md5(array_to_string(list_sort(list_distinct(
+             string_split_regex(trim(lower(text)), '\s+'))), ' '))
+),
+surv AS (
+  SELECT q.doc_id, q.text, q.n_tokens,
+         CAST(('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 1)) AS BIGINT) AS nib
+  FROM q JOIN winners USING (doc_id)
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+mx AS (SELECT COALESCE(MAX(len(t)), 0) AS m FROM toks),
+idx AS (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS i),
+w AS (
+  SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS win
+  FROM toks JOIN idx ON i <= len(t) - 7
+),
+d AS (SELECT DISTINCT doc_id, win FROM w),
+allsplit AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS BIGINT) AS nib
+  FROM documents
+),
+ev AS (SELECT DISTINCT win
+       FROM d JOIN allsplit USING (doc_id) WHERE allsplit.nib >= 14),
+contaminated AS (
+  SELECT DISTINCT s.doc_id
+  FROM surv s JOIN d ON d.doc_id = s.doc_id JOIN ev USING (win)
+  WHERE s.nib < 12
+)
+SELECT s.doc_id,
+       CASE WHEN s.nib < 12 THEN 'train' ELSE 'valid' END AS split,
+       s.n_tokens
+FROM surv s
+WHERE s.nib < 14 AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
 """
 
 
@@ -2780,6 +2986,7 @@ def ray_queries() -> dict:
         "doc_simhash_dedup": q_doc_simhash_dedup,
         "doc_dedup_incremental": q_doc_dedup_incremental,
         "doc_redact": q_doc_redact,
+        "doc_curation_pipeline": q_doc_curation_pipeline,
         "doc_lang_pred": q_doc_lang_pred,
         "doc_rolling_fp": q_doc_rolling_fp,
         "embed_topk": q_embed_topk,
@@ -2862,6 +3069,7 @@ def oracle_sqls() -> dict:
         "doc_simhash_dedup": SQL_DOC_SIMHASH_DEDUP,
         "doc_dedup_incremental": SQL_DOC_DEDUP_INCREMENTAL,
         "doc_redact": SQL_DOC_REDACT,
+        "doc_curation_pipeline": SQL_DOC_CURATION_PIPELINE,
         "images_dedup": SQL_IMAGES_DEDUP,
         "images_survivor_invariant": SQL_IMAGES_SURVIVOR_INVARIANT,
         "images_stats": SQL_IMAGES_STATS,

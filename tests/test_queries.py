@@ -83,6 +83,36 @@ def test_segment_revenue_join_path_matches_broadcast():
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
 
 
+def test_id_set_filter_join_paths_match_broadcast():
+    """_id_set_filter's hash-join fallbacks (semi via inner join, anti
+    via left-outer + null marker) must agree with the broadcast-set
+    fast path on the same inputs."""
+    import ray.data as rd
+
+    from simhash_ray.pipelines.queries import _id_set_filter
+
+    ds = rd.from_items([{"doc_id": i, "v": i * 10} for i in range(50)])
+    ids = rd.from_items([{"doc_id": i} for i in range(0, 50, 3)])
+    for keep in (True, False):
+        a = (
+            _id_set_filter(ds, ids, keep=keep)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            _id_set_filter(ds, ids, keep=keep, limit=0)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
+        )
+        want = set(range(0, 50, 3)) if keep else set(range(50)) - set(range(0, 50, 3))
+        assert set(a["doc_id"]) == want
+
+
 def test_entry_smoke():
     df = _to_pandas(entry_mod.entry())
     assert len(df) > 0
