@@ -175,3 +175,65 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     if fmt == "png":
         return decode_png(data)
     raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_image_batch(
+    datas: list, fmts: list, ws: list, hs: list
+) -> list[np.ndarray]:
+    """Batch decode: group rows by (fmt, w, h) and decode each uniform
+    raw/BMP group with ONE ``frombuffer``+reshape over the concatenated
+    payloads instead of a per-row Python call — the per-row call
+    overhead (not the byte shuffling) dominated the 400k-image embed
+    bench.  PNG (zlib + per-scanline filters) and non-uniform rows fall
+    back to :func:`decode_image`; output is row-for-row identical to
+    the per-row path (pinned by tests)."""
+    from collections import defaultdict
+
+    n = len(datas)
+    out: list = [None] * n
+    groups: dict = defaultdict(list)
+    for i in range(n):
+        groups[(fmts[i], ws[i], hs[i])].append(i)
+    for (fmt, w, h), idxs in groups.items():
+        if fmt == "raw" and all(len(datas[i]) == w * h * 3 for i in idxs):
+            buf = np.frombuffer(b"".join(datas[i] for i in idxs), dtype=np.uint8)
+            arrs = buf.reshape(len(idxs), h, w, 3)
+            for j, i in enumerate(idxs):
+                out[i] = arrs[j]
+        elif fmt == "bmp":
+            row_size = (w * 3 + 3) & ~3
+            seg = row_size * h
+            uniform = True
+            for i in idxs:
+                d = datas[i]
+                if (
+                    d[:2] != b"BM"
+                    or struct.unpack_from("<H", d, 28)[0] != 24
+                    or struct.unpack_from("<Iii", d, 14) != (40, w, h)
+                    or struct.unpack_from("<I", d, 10)[0] + seg > len(d)
+                ):
+                    uniform = False
+                    break
+            if not uniform:
+                for i in idxs:
+                    out[i] = decode_image(datas[i], fmt, w, h)
+                continue
+            buf = np.frombuffer(
+                b"".join(
+                    datas[i][
+                        struct.unpack_from("<I", datas[i], 10)[0] :
+                        struct.unpack_from("<I", datas[i], 10)[0] + seg
+                    ]
+                    for i in idxs
+                ),
+                dtype=np.uint8,
+            )
+            rows = buf.reshape(len(idxs), h, row_size)[:, :, : w * 3]
+            rgb = rows.reshape(len(idxs), h, w, 3)[:, ::-1, :, ::-1]
+            rgb = np.ascontiguousarray(rgb)
+            for j, i in enumerate(idxs):
+                out[i] = rgb[j]
+        else:
+            for i in idxs:
+                out[i] = decode_image(datas[i], fmt, w, h)
+    return out

@@ -98,3 +98,41 @@ def test_phash_different_images_far():
 def test_phash_rejects_bad_dims():
     with pytest.raises(ValueError):
         phash64(np.zeros((33, 32, 3), dtype=np.uint8))
+
+
+def test_decode_image_batch_matches_per_row():
+    """The grouped frombuffer batch decoder must be row-for-row
+    identical to decode_image across mixed formats, sizes, padded BMP
+    rows (w not divisible by 4), and interleaved group order."""
+    from simhash_ray.imgcodec import decode_image_batch
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for fmt in FORMATS:
+        for (h, w) in ((8, 8), (5, 7), (16, 6)):
+            for _ in range(3):
+                rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                rows.append((encode_image(rgb, fmt), fmt, w, h, rgb))
+    rng.shuffle(rows)
+    datas = [r[0] for r in rows]
+    fmts = [r[1] for r in rows]
+    ws = [r[2] for r in rows]
+    hs = [r[3] for r in rows]
+    got = decode_image_batch(datas, fmts, ws, hs)
+    for g, (data, fmt, w, h, rgb) in zip(got, rows):
+        np.testing.assert_array_equal(g, decode_image(data, fmt, w, h))
+        np.testing.assert_array_equal(g, rgb)
+
+
+def test_decode_image_batch_nonuniform_bmp_falls_back():
+    """A BMP with an unusual-but-valid header layout must still decode
+    (per-row fallback), not crash the uniform fast path."""
+    from simhash_ray.imgcodec import decode_image_batch, encode_bmp
+
+    rng = np.random.default_rng(8)
+    rgb = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    data = bytearray(encode_bmp(rgb))
+    # append trailing junk: offset+seg still <= len, header intact
+    data.extend(b"\x00" * 7)
+    got = decode_image_batch([bytes(data)], ["bmp"], [4], [4])
+    np.testing.assert_array_equal(got[0], rgb)
