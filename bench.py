@@ -232,6 +232,13 @@ def _run_bench() -> dict:
 
         timed("doc_decontaminate", lambda: q_doc_decontaminate(sf_dir).count())
 
+        # end-to-end curation composite (gate → dedup election → split
+        # → decontaminate → anti-join); no oracle staging inside, so
+        # the q_ wrapper is timing-clean
+        from simhash_ray.pipelines.queries import q_doc_curation_pipeline
+
+        timed("doc_curation_pipeline", lambda: q_doc_curation_pipeline(sf_dir).count())
+
         # incremental ingest, SELECTIVE regime (round-3 advice item 1 /
         # verdict item 5): fold a 20% shard into the deduped 80% base
         # at the hourly-ingest config — 32-bit band keys (4 blocks

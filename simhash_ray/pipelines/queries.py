@@ -649,6 +649,47 @@ FROM s
 """
 
 
+def q_doc_distinct_hll(sf_dir: str):
+    """Approximate distinct-document count via HyperLogLog — the
+    constant-memory register-fold complement to doc_distinct_kmv
+    (per-block partials merge by MAX, so shard/stream counts compose).
+    SQL-oracle-checked via staging: the value hash is not
+    SQL-expressible, so the per-block (bucket, rho) partial rows are
+    staged and DuckDB independently re-runs the register fold
+    (GROUP BY bucket MAX(rho)) and the full estimator — exact-integer
+    harmonic denominator, alpha·m²·2⁶⁴/denom, linear-counting
+    correction — cross-checking the distributed merge and finalize."""
+    from ..stages.sketch import hll_from_partials, hll_partials
+
+    docs = _docs(sf_dir, columns=["text"])
+    parts = hll_partials(docs, "text", p=12).materialize()
+    _stage(parts, "hll_partials")
+    return hll_from_partials(parts, 12)
+
+
+SQL_DOC_DISTINCT_HLL = f"""
+WITH part AS (SELECT bucket, rho FROM read_parquet('{_staged("hll_partials")}')),
+regs AS (SELECT bucket, MAX(rho) AS rho FROM part GROUP BY bucket),
+s AS (SELECT COUNT(*) AS n_used,
+             COALESCE(SUM(CAST(POWER(2, 64 - rho) AS HUGEINT)), 0) AS dn
+      FROM regs),
+c AS (SELECT CAST(4096 - n_used AS BIGINT) AS n_zero,
+             dn + (4096 - n_used) * CAST('18446744073709551616' AS HUGEINT) AS denom
+      FROM s),
+e AS (SELECT n_zero, denom,
+             0.7213 / (1 + 1.079 / 4096.0) * 4096 * 4096
+               * 18446744073709551616.0 / CAST(denom AS DOUBLE) AS raw
+      FROM c)
+SELECT ROUND(CASE WHEN raw <= 10240.0 AND n_zero > 0
+                  THEN 4096 * ln(4096.0 / n_zero)
+                  ELSE raw END, 6) AS n_distinct_est,
+       CAST(12 AS BIGINT) AS hll_p,
+       n_zero,
+       CAST(denom AS VARCHAR) AS denom
+FROM e
+"""
+
+
 def q_event_props_stats(sf_dir: str):
     """Semi-structured extraction: pull the integer ``k`` field out of
     the JSON ``props`` string with a vectorized RE2 kernel
@@ -2965,6 +3006,7 @@ def ray_queries() -> dict:
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
         "doc_distinct_kmv": q_doc_distinct_kmv,
+        "doc_distinct_hll": q_doc_distinct_hll,
         "sessionize": q_sessionize,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3032,6 +3074,7 @@ def oracle_sqls() -> dict:
         "events_asof": SQL_EVENTS_ASOF,
         "events_range_join": SQL_EVENTS_RANGE_JOIN,
         "doc_distinct_kmv": SQL_DOC_DISTINCT_KMV,
+        "doc_distinct_hll": SQL_DOC_DISTINCT_HLL,
         "sessionize": SQL_SESSIONIZE,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,

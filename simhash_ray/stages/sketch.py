@@ -1,5 +1,5 @@
-"""Sketches: distinct-count (KMV / bottom-k) and set membership
-(Bloom filter), both as streaming Ray Data passes.
+"""Sketches: distinct-count (KMV bottom-k and HyperLogLog) and set
+membership (Bloom filter), all as streaming Ray Data passes.
 
 ``kmv_distinct`` estimates ``COUNT(DISTINCT col)`` with bounded memory
 by keeping the ``k`` lexicographically smallest md5 digests of the
@@ -238,3 +238,121 @@ def bloom_split(
         return batch.filter(pa.array(~mask if novel else mask))
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+
+
+_HLL_PART_SCHEMA = pa.schema([("bucket", pa.int64()), ("rho", pa.int64())])
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length over uint64 (0 → 0)."""
+    x = x.astype(np.uint64, copy=True)
+    bl = np.zeros(x.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        su = np.uint64(s)
+        big = (x >> su) > 0
+        bl[big] += s
+        x[big] >>= su
+    bl[x > 0] += 1
+    return bl
+
+
+def hll_partials(ds: rd.Dataset, col: str, p: int = 12) -> rd.Dataset:
+    """Per-block HyperLogLog register partials (Flajolet et al. 2007):
+    one streaming pass emitting ≤ 2**p narrow (bucket, rho) rows per
+    block — the per-block MAX-fold of each value hash's register
+    update.  Register folds are idempotent maxes, so the partial
+    stream merges into the exact serial register file regardless of
+    partitioning (pinned by tests), and the groupby that folds it
+    shuffles at most ``blocks × 2**p`` tiny rows — never the data.
+
+    NULLs are skipped (the ``COUNT(DISTINCT col)`` convention, same
+    policy as ``kmv_distinct``)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        colv = batch[col].combine_chunks() if isinstance(
+            batch[col], pa.ChunkedArray
+        ) else batch[col]
+        colv = colv.drop_null()
+        if len(colv) == 0:
+            return _HLL_PART_SCHEMA.empty_table()
+        h = BloomFilter._hash(colv.to_numpy(zero_copy_only=False)).astype(np.uint64)
+        bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+        rho = np.where(
+            w == 0, np.int64(64 - p + 1), np.int64(65) - _bit_length_u64(w)
+        ).astype(np.int64)
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, bucket, rho)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, type=pa.int64()),
+                "rho": pa.array(regs[nz], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def hll_estimate(buckets: np.ndarray, rhos: np.ndarray, p: int) -> dict:
+    """Finalize folded registers → estimate.  The harmonic-mean
+    denominator is carried as the EXACT integer ``sum(2**(64-rho))``
+    (zero registers contribute 2**64), so a SQL oracle can reproduce
+    the estimate bit-for-bit from staged partials: both engines round
+    the same integer to double once, then apply the identical
+    alpha·m²·2⁶⁴/denom expression (and the standard linear-counting
+    small-range correction m·ln(m/V) when est ≤ 2.5·m and V>0)."""
+    import math
+
+    m = 1 << p
+    n_zero = m - len(buckets)
+    denom = sum(int(2 ** (64 - int(r))) for r in rhos) + n_zero * 2**64
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m * 2.0**64 / float(denom)
+    if est <= 2.5 * m and n_zero > 0:
+        est = m * math.log(m / n_zero)
+    return {
+        "n_distinct_est": round(est, 6),
+        "hll_p": p,
+        "n_zero": n_zero,
+        "denom": str(denom),
+    }
+
+
+def hll_distinct(ds: rd.Dataset, col: str, p: int = 12):
+    """COUNT(DISTINCT col) estimate via HyperLogLog (relative error
+    ≈ 1.04/sqrt(2**p); p=12 → ~1.6% at 4 KiB of registers).  The
+    mergeable complement to :func:`kmv_distinct`: KMV is the
+    SQL-replayable deterministic estimator, HLL is the constant-memory
+    register fold whose per-block partials OR into shards/streams —
+    the shape used to track corpus cardinality across incremental
+    ingest.  Returns a one-row pyarrow Table."""
+    parts = hll_partials(ds, col, p)
+    return hll_from_partials(parts, p)
+
+
+def hll_from_partials(parts: rd.Dataset, p: int) -> pa.Table:
+    from ray.data.aggregate import Max
+
+    folded = parts.groupby("bucket").aggregate(Max("rho", alias_name="rho"))
+    df = folded.to_pandas()  # ≤ 2**p rows: driver-side finalize
+    out = hll_estimate(
+        df["bucket"].to_numpy() if len(df) else np.empty(0, np.int64),
+        df["rho"].to_numpy() if len(df) else np.empty(0, np.int64),
+        p,
+    )
+    return pa.table(
+        {
+            "n_distinct_est": pa.array([out["n_distinct_est"]], type=pa.float64()),
+            "hll_p": pa.array([out["hll_p"]], type=pa.int64()),
+            "n_zero": pa.array([out["n_zero"]], type=pa.int64()),
+            "denom": pa.array([out["denom"]], type=pa.string()),
+        }
+    )

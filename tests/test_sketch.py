@@ -129,3 +129,66 @@ def test_bloom_int_column(ray_session):
     probe = rd.from_arrow(pa.table({"doc_id": list(range(100))}))
     novel = bloom_split(probe, "doc_id", ref, novel=True).to_pandas()
     assert all(i % 3 != 0 for i in novel["doc_id"])
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+
+
+def _hll_serial_registers(values, p):
+    """Reference: per-value register update, one Python loop."""
+    from simhash_ray.stages.sketch import BloomFilter, _bit_length_u64
+
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.int64)
+    h = BloomFilter._hash(np.asarray(values, dtype=object)).astype(np.uint64)
+    for hv in h:
+        b = int(hv >> np.uint64(64 - p))
+        w = np.uint64((int(hv) << p) & ((1 << 64) - 1))
+        rho = 64 - p + 1 if w == 0 else 65 - int(_bit_length_u64(np.array([w]))[0])
+        regs[b] = max(regs[b], rho)
+    return regs
+
+
+def test_hll_partials_fold_to_serial_registers(ray_session):
+    """groupby-MAX over per-block partials == the serial register file,
+    independent of partitioning."""
+    from ray.data.aggregate import Max
+
+    from simhash_ray.stages.sketch import hll_partials
+
+    vals = [f"doc-{i % 700}" for i in range(2000)]
+    want = _hll_serial_registers(vals, 10)
+    for blocks in (1, 7):
+        ds = rd.from_items([{"text": v} for v in vals]).repartition(blocks)
+        folded = (
+            hll_partials(ds, "text", p=10)
+            .groupby("bucket")
+            .aggregate(Max("rho", alias_name="rho"))
+            .to_pandas()
+        )
+        got = np.zeros(1 << 10, dtype=np.int64)
+        got[folded["bucket"].to_numpy()] = folded["rho"].to_numpy()
+        np.testing.assert_array_equal(got, want)
+
+
+def test_hll_estimate_within_error_bound(ray_session):
+    """Relative error within ~5·(1.04/sqrt(m)) for a 20k-distinct set."""
+    from simhash_ray.stages.sketch import hll_distinct
+
+    n = 20_000
+    ds = rd.from_items([{"text": f"v{i}"} for i in range(n)]).repartition(4)
+    est = hll_distinct(ds, "text", p=12).to_pandas()["n_distinct_est"][0]
+    assert abs(est - n) / n < 5 * 1.04 / np.sqrt(4096), est
+
+
+def test_hll_small_range_linear_counting_and_nulls(ray_session):
+    """Small cardinalities take the linear-counting branch and stay
+    near-exact; NULLs are skipped like COUNT(DISTINCT)."""
+    from simhash_ray.stages.sketch import hll_distinct
+
+    items = [{"text": f"x{i % 50}"} for i in range(500)] + [{"text": None}] * 20
+    ds = rd.from_items(items).repartition(3)
+    out = hll_distinct(ds, "text", p=12).to_pandas()
+    assert abs(out["n_distinct_est"][0] - 50) < 5
+    assert out["n_zero"][0] > 0
