@@ -66,8 +66,10 @@ def test_query_matches_oracle(name, con):
 ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
+@pytest.mark.parametrize("name", ROWS_ONLY or ["<all queries have oracles>"])
 def test_rows_only_queries_run(name):
+    if not ROWS_ONLY:  # every registered query is covered by the oracle gate
+        return
     df = _to_pandas(entry_mod.queries()[name](SF_DIR))
     assert df is not None
     assert len(df.columns) > 0
