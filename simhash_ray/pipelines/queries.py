@@ -528,6 +528,65 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+def q_events_rolling_avg(sf_dir: str):
+    """Per-row trailing 10-minute window count/mean of ``value`` per
+    user (stages/window.rolling_time_avg) — the standing-window feature
+    every event-stream featurizer computes; exact SQL counterpart is
+    the RANGE-frame window function the oracle runs."""
+    from ..stages.window import rolling_time_avg
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_time_avg(ev, window_s=600)
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("rolling_avg"),
+            "rolling_avg",
+            pa.array(_round6(batch["rolling_avg"].to_numpy(zero_copy_only=False))),
+        )
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
+SQL_EVENTS_ROLLING_AVG = """
+SELECT event_id,
+       CAST(COUNT(value) OVER w AS BIGINT) AS n_win,
+       ROUND(AVG(value) OVER w, 6) AS rolling_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join: customers with no URGENT-priority order — the
+    missing relational verb (semi/anti) registered as a first-class
+    query, routed through the same broadcast-set / left-outer-join
+    dual-path filter the curation composite uses (``_id_set_filter``).
+    The exclusion side is pre-distincted by a groupby so only unique
+    keys travel."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    urgent = (
+        read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda t: pa.table({"c_custkey": t["o_custkey"]}),
+            batch_format="pyarrow",
+        )
+    )
+    return _id_set_filter(cust, urgent, keep=False, id_col="c_custkey")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
 def q_events_asof(sf_dir: str):
     """As-of join (temporal attribution): for every *purchase* event,
     attach the most recent *signup* event at-or-before it by the same
@@ -3008,6 +3067,8 @@ def ray_queries() -> dict:
         "doc_distinct_kmv": q_doc_distinct_kmv,
         "doc_distinct_hll": q_doc_distinct_hll,
         "sessionize": q_sessionize,
+        "events_rolling_avg": q_events_rolling_avg,
+        "customers_without_orders": q_customers_without_orders,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -3076,6 +3137,8 @@ def oracle_sqls() -> dict:
         "doc_distinct_kmv": SQL_DOC_DISTINCT_KMV,
         "doc_distinct_hll": SQL_DOC_DISTINCT_HLL,
         "sessionize": SQL_SESSIONIZE,
+        "events_rolling_avg": SQL_EVENTS_ROLLING_AVG,
+        "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,

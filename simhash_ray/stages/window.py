@@ -247,3 +247,107 @@ def sessionize(
         .groupby("part")
         .map_groups(per_part, batch_format="pyarrow")
     )
+
+
+def rolling_time_avg(
+    events: rd.Dataset,
+    window_s: int = 600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    n_parts: int = 64,
+    virtual_axis_limit: int = 2**62,
+) -> rd.Dataset:
+    """Per-row trailing time-window aggregate: for every event, the
+    count and mean of ``val_col`` over the key's events in
+    ``[ts - window_s, ts]`` — SQL ``AVG(value) OVER (PARTITION BY key
+    ORDER BY ts RANGE BETWEEN INTERVAL w PRECEDING AND CURRENT ROW)``,
+    including the equal-``ts`` peer semantics (all rows sharing the
+    current timestamp are in the frame).
+
+    Same shuffle shape as :func:`sessionize`: one coarse groupby on a
+    hash partition of the key, then the WHOLE partition is processed
+    in a single numpy pass — keys are lexsorted into contiguous runs
+    and each run's timestamps are lifted onto a disjoint virtual time
+    axis (run_index · span), so ONE global ``searchsorted`` pair
+    resolves every row's window without per-key Python and windows can
+    never cross keys.  Window sums come from one prefix sum.
+    Assumes non-null values (the fixture's contract; SQL AVG null
+    semantics would need a second validity prefix sum)."""
+    from ..functions.hashing import part_of_ints, part_of_strings
+
+    win_us = np.int64(window_s) * 1_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        if pa.types.is_integer(keys.type):
+            part = part_of_ints(
+                n_parts, keys.to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        else:
+            part = part_of_strings(
+                np.asarray(keys.to_numpy(zero_copy_only=False), dtype=object),
+                n_parts,
+            )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                key_col: keys,
+                "ts_us": batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+                val_col: batch[val_col],
+                "part": pa.array(part, type=pa.int32()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), ("n_win", pa.int64()), ("rolling_avg", pa.float64())]
+    )
+
+    def per_part(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        keys = group[key_col].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = group[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, keys))
+        keys, ts, vals, ids = keys[order], ts[order], vals[order], ids[order]
+        run_start = np.ones(n, dtype=bool)
+        run_start[1:] = keys[1:] != keys[:-1]
+        run_id = np.cumsum(run_start) - 1
+        ts_rel = ts - ts.min()
+        span = np.int64(int(ts_rel.max()) + int(win_us) + 2)
+        n_runs = int(run_id[-1]) + 1
+        if n_runs * int(span) >= virtual_axis_limit:  # axis would overflow:
+            # per-run searchsorted fallback (same semantics, looped)
+            starts = np.flatnonzero(run_start)
+            ends = np.append(starts[1:], n)
+            lo = np.empty(n, np.int64)
+            hi = np.empty(n, np.int64)
+            for s, e in zip(starts, ends):
+                seg = ts[s:e]
+                lo[s:e] = s + np.searchsorted(seg, seg - win_us, side="left")
+                hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+        else:
+            vt = run_id.astype(np.int64) * span + ts_rel
+            lo = np.searchsorted(vt, vt - win_us, side="left")
+            hi = np.searchsorted(vt, vt, side="right")
+        csum = np.concatenate([[0.0], np.cumsum(vals)])
+        n_win = hi - lo
+        avg = (csum[hi] - csum[lo]) / n_win
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=group[id_col].type),
+                "n_win": pa.array(n_win.astype(np.int64)),
+                "rolling_avg": pa.array(avg, type=pa.float64()),
+            }
+        )
+
+    return (
+        events.select_columns([id_col, key_col, ts_col, val_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )

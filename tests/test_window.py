@@ -1,0 +1,106 @@
+"""rolling_time_avg semantics: RANGE-frame window (trailing w seconds,
+equal-ts peers included), per-key isolation, and the virtual-axis /
+per-run-fallback equivalence."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from simhash_ray.stages.window import rolling_time_avg
+
+US = 1_000_000
+
+
+def _ref(df: pd.DataFrame, window_s: int) -> pd.DataFrame:
+    """O(n²) reference with SQL RANGE semantics."""
+    rows = []
+    for _, g in df.groupby("user_id"):
+        ts = g["ts"].astype("int64").to_numpy()  # pandas datetime64 → ns
+        val = g["value"].to_numpy()
+        for i in range(len(g)):
+            in_win = (ts >= ts[i] - window_s * 1_000_000_000) & (ts <= ts[i])
+            rows.append(
+                {
+                    "event_id": g["event_id"].iloc[i],
+                    "n_win": int(in_win.sum()),
+                    "rolling_avg": float(val[in_win].mean()),
+                }
+            )
+    return (
+        pd.DataFrame(rows).sort_values("event_id").reset_index(drop=True)
+    )
+
+
+def _run(df: pd.DataFrame, window_s: int, **kw) -> pd.DataFrame:
+    ds = rd.from_pandas(df).repartition(3)
+    out = rolling_time_avg(ds, window_s=window_s, **kw).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _mkdf(seed: int, n: int, n_users: int, tie_every: int = 5) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    ts = rng.integers(0, 3600 * US, size=n)
+    ts[::tie_every] = ts[1::tie_every][: len(ts[::tie_every])]  # planted ties
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, n_users, size=n).astype(np.int64),
+            "ts": pd.to_datetime(ts, unit="us"),
+            "value": np.round(rng.uniform(0, 20, size=n), 2),
+        }
+    )
+
+
+def test_rolling_matches_quadratic_reference(ray_session):
+    df = _mkdf(0, 400, 7)
+    got = _run(df, 600)
+    want = _ref(df, 600)
+    pd.testing.assert_series_equal(got["n_win"], want["n_win"], check_dtype=False)
+    np.testing.assert_allclose(got["rolling_avg"], want["rolling_avg"], rtol=1e-12)
+
+
+def test_rolling_equal_ts_peers_all_in_frame(ray_session):
+    """SQL RANGE ... CURRENT ROW includes every row sharing the current
+    ts — all three tied rows must see n_win=3."""
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [5, 5, 5],
+            "ts": pd.to_datetime([100 * US] * 3, unit="us"),
+            "value": [1.0, 2.0, 6.0],
+        }
+    )
+    got = _run(df, 600)
+    assert got["n_win"].tolist() == [3, 3, 3]
+    np.testing.assert_allclose(got["rolling_avg"], [3.0, 3.0, 3.0])
+
+
+def test_rolling_boundary_inclusive_and_key_isolated(ray_session):
+    """A row exactly window_s old is IN the frame; other keys never
+    leak even at identical timestamps."""
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [1, 1, 2],
+            "ts": pd.to_datetime([0, 600 * US, 600 * US], unit="us"),
+            "value": [10.0, 20.0, 99.0],
+        }
+    )
+    got = _run(df, 600)
+    by = got.set_index("event_id")
+    assert by.loc[2, "n_win"] == 2 and by.loc[2, "rolling_avg"] == 15.0
+    assert by.loc[3, "n_win"] == 1 and by.loc[3, "rolling_avg"] == 99.0
+
+
+def test_rolling_fallback_path_matches_virtual_axis(ray_session):
+    """Force the per-run searchsorted fallback (virtual_axis_limit=1 →
+    every partition takes the overflow branch) and pin it equal to the
+    vectorized virtual-axis path and the quadratic reference."""
+    df = _mkdf(1, 300, 5)
+    fast = _run(df, 600)
+    slow = _run(df, 600, virtual_axis_limit=1)
+    want = _ref(df, 600)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+    pd.testing.assert_series_equal(fast["n_win"], want["n_win"], check_dtype=False)
+    np.testing.assert_allclose(fast["rolling_avg"], want["rolling_avg"], rtol=1e-12)
