@@ -2138,6 +2138,10 @@ def _id_set_filter(
     # join partitions sized to the session: each aggregator actor
     # reserves 0.5 CPU, so a fixed count can starve a small cluster
     n_parts = int(min(n_parts, max(2, ray.cluster_resources().get("CPU", 8) // 2)))
+    # materialize before count(): the id pipeline is often expensive
+    # (dedup election, decontamination probe) and count() would
+    # otherwise execute it once and the collect/join a second time
+    ids_ds = ids_ds.materialize()
     n = ids_ds.count()
     if n == 0:
         return ds if not keep else ds.limit(0)
@@ -2151,8 +2155,17 @@ def _id_set_filter(
 
         return ds.map_batches(f, batch_format="pyarrow")
     if keep:
+        # inner join replicates rows per duplicate id — pre-distinct so
+        # the join path keeps the broadcast path's SET semantics (the
+        # anti path below is duplicate-safe: matched rows are dropped
+        # however many times they match, unmatched join exactly once)
+        distinct_ids = (
+            ids_ds.groupby(id_col)
+            .aggregate(Count(alias_name="__n"))
+            .select_columns([id_col])
+        )
         return ds.join(
-            ids_ds,
+            distinct_ids,
             join_type="inner",
             num_partitions=n_parts,
             on=(id_col,),

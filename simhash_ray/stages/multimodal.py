@@ -31,9 +31,6 @@ class ImageStats:
     iff the pinned phash of the decoded pixels equals the stored
     ``phash`` column (north-rule invariant; lossless fmts → exact)."""
 
-    def __init__(self):
-        self.decode = decode_image  # codec tables loaded once per actor
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         means = np.zeros((n, 3), dtype=np.float64)
@@ -105,7 +102,6 @@ class ImageFeatures:
                 "bincount kernel maps value→bin as value // (256/bins)"
             )
         self.bins = bins
-        self.decode = decode_image
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows

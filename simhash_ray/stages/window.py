@@ -334,9 +334,16 @@ def rolling_time_avg(
             vt = run_id.astype(np.int64) * span + ts_rel
             lo = np.searchsorted(vt, vt - win_us, side="left")
             hi = np.searchsorted(vt, vt, side="right")
-        csum = np.concatenate([[0.0], np.cumsum(vals)])
+        # longdouble prefix: the window sum is a difference of two
+        # prefix entries whose magnitude is the PARTITION total, so
+        # float64 cancellation error (~|csum|·eps) could land inside
+        # the oracle's 1e-6 rounding cell at scale; 80-bit prefixes
+        # push it ~3 orders below that
+        csum = np.concatenate(
+            [[np.longdouble(0)], np.cumsum(vals, dtype=np.longdouble)]
+        )
         n_win = hi - lo
-        avg = (csum[hi] - csum[lo]) / n_win
+        avg = ((csum[hi] - csum[lo]) / n_win).astype(np.float64)
         return pa.table(
             {
                 id_col: pa.array(ids, type=group[id_col].type),

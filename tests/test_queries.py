@@ -94,7 +94,11 @@ def test_id_set_filter_join_paths_match_broadcast():
     from simhash_ray.pipelines.queries import _id_set_filter
 
     ds = rd.from_items([{"doc_id": i, "v": i * 10} for i in range(50)])
-    ids = rd.from_items([{"doc_id": i} for i in range(0, 50, 3)])
+    # duplicate ids on purpose: both paths must keep SET semantics
+    ids = rd.from_items(
+        [{"doc_id": i} for i in range(0, 50, 3)]
+        + [{"doc_id": i} for i in range(0, 50, 6)]
+    )
     for keep in (True, False):
         a = (
             _id_set_filter(ds, ids, keep=keep)
