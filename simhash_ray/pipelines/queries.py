@@ -558,6 +558,71 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q_events_value_zscore(sf_dir: str):
+    """Per-group feature standardization: z-score of ``value`` within
+    its event_type — the normalize-before-training step of a feature
+    pipeline.  One aggregate pass (per-block partials → tiny combine)
+    builds the per-type (n, Σx, Σx²) stats; the broadcast of that
+    ≤|types| table standardizes the stream in place.  Sample stddev
+    via the naive formula — at these magnitudes it agrees with the
+    oracle's Welford STDDEV_SAMP far inside the 1e-6 rounding cell."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def with_sq(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return batch.append_column("value_sq", pa.array(v * v))
+
+    stats = (
+        ev.map_batches(with_sq, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("value", alias_name="s"),
+            Count(alias_name="n"),
+            Sum("value_sq", alias_name="ssq"),
+        )
+        .to_pandas()
+    )
+    mu = stats["s"] / stats["n"]
+    sd = np.sqrt((stats["ssq"] - stats["s"] ** 2 / stats["n"]) / (stats["n"] - 1))
+    ref = ray.put(
+        {
+            t: (float(m), float(s))
+            for t, m, s in zip(stats["event_type"], mu, sd)
+        }
+    )
+
+    def standardize(batch: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        types = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        # vectorized two-column gather via pandas map of the small lut
+        import pandas as pd
+
+        s_t = pd.Series(types)
+        m_arr = s_t.map({k: v0 for k, (v0, _) in lut.items()}).to_numpy()
+        sd_arr = s_t.map({k: v1 for k, (_, v1) in lut.items()}).to_numpy()
+        z = _round6((v - m_arr) / sd_arr)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "zscore": pa.array(z, type=pa.float64()),
+            }
+        )
+
+    return ev.map_batches(standardize, batch_format="pyarrow")
+
+
+SQL_EVENTS_VALUE_ZSCORE = """
+WITH s AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, ROUND((e.value - s.mu) / s.sd, 6) AS zscore
+FROM events e JOIN s USING (event_type)
+"""
+
+
 def q_customers_without_orders(sf_dir: str):
     """Anti-join: customers with no URGENT-priority order — the
     missing relational verb (semi/anti) registered as a first-class
@@ -3081,6 +3146,7 @@ def ray_queries() -> dict:
         "doc_distinct_hll": q_doc_distinct_hll,
         "sessionize": q_sessionize,
         "events_rolling_avg": q_events_rolling_avg,
+        "events_value_zscore": q_events_value_zscore,
         "customers_without_orders": q_customers_without_orders,
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
@@ -3151,6 +3217,7 @@ def oracle_sqls() -> dict:
         "doc_distinct_hll": SQL_DOC_DISTINCT_HLL,
         "sessionize": SQL_SESSIONIZE,
         "events_rolling_avg": SQL_EVENTS_ROLLING_AVG,
+        "events_value_zscore": SQL_EVENTS_VALUE_ZSCORE,
         "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
