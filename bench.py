@@ -223,6 +223,9 @@ def _run_bench() -> dict:
 
         timed("events_asof", lambda: q_events_asof(sf_dir).count())
         timed("events_range_join", lambda: q_events_range_join(sf_dir).count())
+        from simhash_ray.pipelines.queries import q_events_rolling_avg
+
+        timed("events_rolling_avg", lambda: q_events_rolling_avg(sf_dir).count())
         vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         timed(
             "embed_dup_pairs_lsh",
