@@ -1460,31 +1460,6 @@ SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text
 """
 
 
-def _tokenset_keyed(batch: pa.Table) -> pa.Table:
-    """(doc_id, set_key): md5 of the sorted distinct-token set, computed
-    over the distinct-TEXT dictionary only — duplicated texts (the dedup
-    target) hash once, the per-row step is a gather."""
-    import hashlib
-
-    denc = batch["text"].combine_chunks().cast(pa.string()).dictionary_encode()
-    uniq_keys = np.array(
-        [
-            hashlib.md5(
-                " ".join(sorted({w for w in (t or "").lower().split() if w})).encode()
-            ).hexdigest()
-            for t in denc.dictionary.to_pylist()
-        ],
-        dtype=object,
-    )
-    codes = denc.indices.to_numpy(zero_copy_only=False)
-    return pa.table(
-        {
-            "doc_id": batch["doc_id"],
-            "set_key": pa.array(uniq_keys[codes], type=pa.string()),
-        }
-    )
-
-
 def q_doc_tokenset_dedup(sf_dir: str):
     """Bag-of-words dedup: identical distinct-token sets collapse."""
     docs = _docs(sf_dir, columns=["doc_id", "text"])
@@ -2179,159 +2154,30 @@ FROM s2
 
 
 # --------------------------------------------------------------------------
-# end-to-end curation composite
+# end-to-end curation composite (implementation: pipelines/curate.py;
+# re-exported names keep existing imports/tests stable)
 
-CURATION_LANGS = ("de", "en", "es", "fr")
-# id-set filters broadcast below this many ids (int64 → 160 MB at the
-# limit, one ray.put shared zero-copy); above it a hash join takes over
-CURATION_BROADCAST_LIMIT = 20_000_000
-
-
-def _id_set_filter(
-    ds: rd.Dataset,
-    ids_ds: rd.Dataset,
-    keep: bool,
-    id_col: str = "doc_id",
-    limit: int = CURATION_BROADCAST_LIMIT,
-    n_parts: int = 32,
-) -> rd.Dataset:
-    """Semi-join (``keep=True``) or anti-join (``keep=False``) ``ds``
-    against the id set in ``ids_ds`` — broadcast-set filter below
-    ``limit`` ids, ``Dataset.join`` above it (inner for semi; left
-    outer + null-marker filter for anti), mirroring
-    ``dedup_images.survivors``."""
-    # join partitions sized to the session: each aggregator actor
-    # reserves 0.5 CPU, so a fixed count can starve a small cluster
-    n_parts = int(min(n_parts, max(2, ray.cluster_resources().get("CPU", 8) // 2)))
-    # materialize before count(): the id pipeline is often expensive
-    # (dedup election, decontamination probe) and count() would
-    # otherwise execute it once and the collect/join a second time
-    ids_ds = ids_ds.materialize()
-    n = ids_ds.count()
-    if n == 0:
-        return ds if not keep else ds.limit(0)
-    if n <= limit:
-        id_arr = pa.array(ids_ds.to_pandas()[id_col])
-        ref = ray.put(id_arr)
-
-        def f(batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch[id_col], value_set=ray.get(ref))
-            return batch.filter(mask if keep else pc.invert(mask))
-
-        return ds.map_batches(f, batch_format="pyarrow")
-    if keep:
-        # inner join replicates rows per duplicate id — pre-distinct so
-        # the join path keeps the broadcast path's SET semantics (the
-        # anti path below is duplicate-safe: matched rows are dropped
-        # however many times they match, unmatched join exactly once)
-        distinct_ids = (
-            ids_ds.groupby(id_col)
-            .aggregate(Count(alias_name="__n"))
-            .select_columns([id_col])
-        )
-        return ds.join(
-            distinct_ids,
-            join_type="inner",
-            num_partitions=n_parts,
-            on=(id_col,),
-            aggregator_ray_remote_args={"num_cpus": 0.5},
-        )
-    marked = ids_ds.map_batches(
-        lambda t: t.append_column(
-            "__hit", pa.array(np.ones(t.num_rows, dtype=bool))
-        ),
-        batch_format="pyarrow",
-    )
-    joined = ds.join(
-        marked,
-        join_type="left_outer",
-        num_partitions=n_parts,
-        on=(id_col,),
-        aggregator_ray_remote_args={"num_cpus": 0.5},
-    )
-    return joined.map_batches(
-        lambda t: t.filter(pc.is_null(t["__hit"])).drop_columns(["__hit"]),
-        batch_format="pyarrow",
-    )
+from .curate import (  # noqa: E402
+    CURATION_BROADCAST_LIMIT,
+    CURATION_LANGS,
+    curate_documents,
+    id_set_filter as _id_set_filter,
+    tokenset_keyed as _tokenset_keyed,
+)
 
 
 def q_doc_curation_pipeline(sf_dir: str):
-    """End-to-end training-data curation composite — the pipeline a
-    user of this engine chains to turn a raw crawl table into a
-    training corpus, expressed as ONE streaming Ray Data flow:
-
-      lang whitelist → quality gate (≥20 tokens, ≥1 stopword per 10
-      tokens) → token-set near-dedup (min-id election through a narrow
-      (set_key, doc_id) shuffle; text never shuffles) → deterministic
-      md5 split → eval-set decontamination (verbatim 8-token windows
-      vs the held-out test split) → (doc_id, split, n_tokens) of the
-      retained train+valid corpus.
+    """End-to-end training-data curation composite (pipelines/curate.py:
+    lang whitelist → quality gate → token-set near-dedup → md5 split →
+    eval-set decontamination → (doc_id, split, n_tokens)).
 
     Every constituent is individually oracle-pinned (doc_quality,
     doc_tokenset_dedup, doc_split, doc_decontaminate); this composite
     pins the COMPOSITION — gate ordering, survivor rejoin, and the
-    contaminated-row anti-join — against one DuckDB replay.  Scale
-    shape: both id-set filters broadcast below
-    ``CURATION_BROADCAST_LIMIT`` and hash-join above it; the survivor
-    table is materialized once (it is the pipeline's natural stage
-    checkpoint — both the decontamination probe and the final
-    projection consume it)."""
-    from ..functions.hashing import md5_first_byte_of_int_ids
-    from ..stages.decontam import decontaminate
-
-    docs = _docs(sf_dir, columns=["doc_id", "text", "lang"])
-
-    def gate(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(
-            pc.is_in(batch["lang"], value_set=pa.array(CURATION_LANGS))
-        )
-        batch = text_ops.token_count_batch(batch)
-        batch = text_ops.stopword_count_batch(batch)
-        n_tok = batch["n_tokens"].to_numpy(zero_copy_only=False)
-        n_stop = batch["n_stopwords"].to_numpy(zero_copy_only=False)
-        batch = batch.filter(pa.array((n_tok >= 20) & (n_stop * 10 >= n_tok)))
-        return batch.select(["doc_id", "text", "n_tokens"])
-
-    gated = docs.map_batches(gate, batch_format="pyarrow")
-    winners = (
-        gated.map_batches(_tokenset_keyed, batch_format="pyarrow")
-        .groupby("set_key")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .select_columns(["doc_id"])
-    )
-    surv = _id_set_filter(gated, winners, keep=True)
-
-    def with_split(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        nib = (md5_first_byte_of_int_ids(ids) >> 4).astype(np.int64)
-        batch = batch.append_column("nib", pa.array(nib, type=pa.int64()))
-        return batch.filter(pa.array(nib < 14))
-
-    surv = surv.map_batches(with_split, batch_format="pyarrow").materialize()
-
-    def test_split(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        nib = (md5_first_byte_of_int_ids(ids) >> 4).astype(np.int64)
-        return batch.filter(pa.array(nib >= 14))
-
-    evalset = docs.map_batches(test_split, batch_format="pyarrow")
-    contaminated = decontaminate(
-        surv.filter(expr="nib < 12"), evalset, window=8
-    ).select_columns(["doc_id"])
-    clean = _id_set_filter(surv, contaminated, keep=False)
-
-    def finish(batch: pa.Table) -> pa.Table:
-        nib = batch["nib"].to_numpy(zero_copy_only=False)
-        split = np.where(nib < 12, "train", "valid")
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "split": pa.array(split.astype(object), type=pa.string()),
-                "n_tokens": batch["n_tokens"],
-            }
-        )
-
-    return clean.map_batches(finish, batch_format="pyarrow")
+    contaminated-row anti-join — against one DuckDB replay.  A
+    checkpoint-resumable variant (curate_documents_checkpointed) is
+    pinned equal in tests/test_resume.py."""
+    return curate_documents(_docs(sf_dir, columns=["doc_id", "text", "lang"]))
 
 
 SQL_DOC_CURATION_PIPELINE = rf"""

@@ -199,3 +199,59 @@ def test_config_change_invalidates(tmp_path, images_tbl):
     dedup_images_checkpointed(images, root, other, n_parts=8)
     metrics = json.load(open(tmp_path / "run" / "metrics.json"))
     assert all(not v["resumed"] for v in metrics.values())
+
+
+def test_curation_checkpointed_matches_plain_and_resumes(tmp_path):
+    """curate_documents_checkpointed == curate_documents, and a rerun
+    resumes every committed stage with identical output."""
+    import numpy as np
+    import pyarrow as pa
+
+    from simhash_ray.pipelines.curate import (
+        curate_documents,
+        curate_documents_checkpointed,
+    )
+
+    rng = np.random.default_rng(11)
+    langs = np.array(["en", "de", "fr", "es", "zh"])
+    words = [f"w{i}" for i in range(30)] + ["the", "and", "der", "die", "le", "el"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(5, 40)))
+        for _ in range(400)
+    ]
+    texts[50] = texts[40]  # planted exact/tokenset dups
+    texts[51] = texts[40]
+    docs_tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(400, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(rng.choice(langs, size=400), type=pa.string()),
+        }
+    )
+
+    def canon(ds):
+        return (
+            ds.to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[["doc_id", "split", "n_tokens"]]
+        )
+
+    docs = rd.from_arrow(docs_tbl)
+    want = canon(curate_documents(docs))
+    root = str(tmp_path / "cur")
+    got1 = canon(curate_documents_checkpointed(docs, root))
+    pd.testing.assert_frame_equal(want, got1)
+    for stage in ("gated", "survivors", "clean"):
+        assert os.path.exists(os.path.join(root, f"{stage}.manifest.json")), stage
+    # rerun: all stages resumed, identical output
+    got2 = canon(curate_documents_checkpointed(docs, root))
+    pd.testing.assert_frame_equal(want, got2)
+    metrics = json.load(open(os.path.join(root, "metrics.json")))
+    assert all(v["resumed"] for v in metrics.values())
+    # kill-sim: drop the clean stage's manifest → only it recomputes
+    os.remove(os.path.join(root, "clean.manifest.json"))
+    got3 = canon(curate_documents_checkpointed(docs, root))
+    pd.testing.assert_frame_equal(want, got3)
+    metrics = json.load(open(os.path.join(root, "metrics.json")))
+    assert metrics["gated"]["resumed"] and metrics["survivors"]["resumed"]
+    assert not metrics["clean"]["resumed"]
