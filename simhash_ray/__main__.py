@@ -19,6 +19,10 @@ Subcommands::
     python -m simhash_ray convert <src> --from lines --to parquet --out DIR
         stream-convert between corpus formats (lines = the reference's
         'label, message' files, jsonl, csv, parquet)
+    python -m simhash_ray curate <table> --out DIR [--ckpt DIR]
+        curate a raw document table (lang gate → quality gate →
+        tokenset dedup → md5 split → decontamination) into a
+        train/valid corpus; --ckpt makes the run stage-resumable
     python -m simhash_ray ingest <shard> --base DIR --out DIR
         fold an arriving shard into a deduped corpus (incremental
         dedup): --base holds the prior signatures/ + assignment/;
@@ -158,6 +162,46 @@ def cmd_dedup_docs(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Full curation pass over a raw document table (lang gate →
+    quality gate → tokenset dedup → split → decontamination); with
+    --ckpt the per-stage checkpoint-resumable variant runs."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines.curate import (
+        CURATION_LANGS,
+        curate_documents,
+        curate_documents_checkpointed,
+    )
+
+    langs = tuple(args.langs.split(",")) if args.langs else CURATION_LANGS
+    docs = rd.read_parquet(args.table, columns=["doc_id", "text", "lang"])
+    if args.ckpt:
+        out = curate_documents_checkpointed(
+            docs, args.ckpt, langs=langs, window=args.window,
+            input_fingerprint=args.table,
+        )
+    else:
+        out = curate_documents(docs, langs=langs, window=args.window)
+    out = out.materialize()
+    os.makedirs(args.out, exist_ok=True)
+    out.write_parquet(os.path.join(args.out, "corpus"))
+    counts = dict(
+        out.to_pandas()["split"].value_counts()
+    ) if out.count() else {}
+    metrics = {
+        "n_rows": out.count(),
+        "splits": {k: int(v) for k, v in counts.items()},
+        "langs": list(langs),
+        "window": args.window,
+    }
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics))
+    return 0
+
+
 def cmd_ingest(args) -> int:
     """Fold a new shard into a previously-deduped corpus: reads the
     prior run's signatures/ + assignment/ outputs (from `encode` +
@@ -289,6 +333,17 @@ def main(argv=None) -> int:
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--id-col", default="doc_id")
     dd.set_defaults(fn=cmd_dedup_docs)
+
+    cu = sub.add_parser(
+        "curate",
+        help="curate a raw document table into a train/valid corpus",
+    )
+    cu.add_argument("table", help="Parquet file/dir with doc_id/text/lang")
+    cu.add_argument("--out", required=True, help="output directory")
+    cu.add_argument("--ckpt", default=None, help="checkpoint dir (resumable)")
+    cu.add_argument("--langs", default=None, help="comma-separated whitelist")
+    cu.add_argument("--window", type=int, default=8, help="decontam window")
+    cu.set_defaults(fn=cmd_curate)
 
     ing = sub.add_parser(
         "ingest",

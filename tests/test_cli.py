@@ -7,6 +7,7 @@ import os
 import subprocess
 import sys
 
+import pandas as pd
 import pyarrow.parquet as pq
 
 from simhash_ray.fixtures import FixtureSpec, default_fixture_dir, write_fixture
@@ -279,3 +280,43 @@ def test_cli_convert_roundtrip(tmp_path):
     m2 = run("convert", str(pq_out), "--from", "parquet", "--to", "jsonl",
              "--out", str(jl_out))
     assert m2["rows"] == 40
+
+
+def test_cli_curate_smoke(tmp_path):
+    """curate over the sf0.001 documents table: writes corpus/ +
+    metrics, resumable rerun from --ckpt is instant-identical."""
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    cmd = [
+        sys.executable, "-m", "simhash_ray", "--num-cpus", "8",
+        "curate", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(out), "--ckpt", str(ckpt),
+    ]
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=540,
+        cwd="/root/repo", env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    metrics = json.loads(res.stdout.strip().splitlines()[-1])
+    assert metrics["n_rows"] > 0
+    assert set(metrics["splits"]) <= {"train", "valid"}
+    df = pq.read_table(str(out / "corpus")).to_pandas()
+    assert len(df) == metrics["n_rows"]
+    assert set(df.columns) == {"doc_id", "split", "n_tokens"}
+    # resumable rerun: committed stages skip, output identical
+    out2 = tmp_path / "out2"
+    cmd2 = cmd[:-4] + ["--out", str(out2), "--ckpt", str(ckpt)]
+    res2 = subprocess.run(
+        cmd2, capture_output=True, text=True, timeout=540,
+        cwd="/root/repo", env=env,
+    )
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    df2 = pq.read_table(str(out2 / "corpus")).to_pandas()
+    pd.testing.assert_frame_equal(
+        df.sort_values("doc_id").reset_index(drop=True),
+        df2.sort_values("doc_id").reset_index(drop=True),
+    )
+    mjson = json.load(open(ckpt / "metrics.json"))
+    assert all(v["resumed"] for v in mjson.values())
