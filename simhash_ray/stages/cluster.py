@@ -34,10 +34,39 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.hashing import part_of_strings
+from .base import map_groups_typed
+
+_EMPTY_LABELS = pa.table(
+    {"node": pa.array([], type=pa.string()), "label": pa.array([], type=pa.string())}
+)
+_EMPTY_MSGS = pa.table(
+    {
+        "node": pa.array([], type=pa.string()),
+        "label": pa.array([], type=pa.string()),
+        "is_self": pa.array([], type=pa.bool_()),
+        "part": pa.array([], type=pa.int32()),
+    }
+)
+_EMPTY_MINIMIZED = pa.table(
+    {
+        "node": pa.array([], type=pa.string()),
+        "label": pa.array([], type=pa.string()),
+        "changed": pa.array([], type=pa.int64()),
+    }
+)
+
+
+_EMPTY_EDGES = pa.table(
+    {"a": pa.array([], type=pa.string()), "b": pa.array([], type=pa.string())}
+)
 
 
 def _dedupe_edges(batch: pa.Table) -> pa.Table:
-    """Batch-local edge dedupe (cross-band duplicates are common)."""
+    """Batch-local edge dedupe (cross-band duplicates are common).
+    Typed empty on empty input — the pandas round-trip would turn an
+    empty string block into a null-typed one (schema drift)."""
+    if batch.num_rows == 0:
+        return _EMPTY_EDGES
     df = batch.select(["a", "b"]).to_pandas().drop_duplicates()
     return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -121,10 +150,9 @@ def init_labels(edges: rd.Dataset, n_parts: int = 64) -> rd.Dataset:
             }
         )
 
-    return (
-        edges.map_batches(explode, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(distinct, batch_format="pyarrow")
+    return map_groups_typed(
+        edges.map_batches(explode, batch_format="pyarrow"),
+        "part", distinct, _EMPTY_LABELS,
     )
 
 
@@ -296,10 +324,9 @@ def _shortcut(labels: rd.Dataset, n_parts: int) -> rd.Dataset:
             }
         )
 
-    return (
-        labels.map_batches(tag, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(resolve, batch_format="pyarrow")
+    return map_groups_typed(
+        labels.map_batches(tag, batch_format="pyarrow"),
+        "part", resolve, _EMPTY_LABELS,
     )
 
 
@@ -340,19 +367,33 @@ def connected_components(
     edges: rd.Dataset, max_rounds: int = 12, n_parts: int = 64
 ) -> rd.Dataset:
     """(a, b) edge Dataset → (node, label) with label = min node id of
-    the component.  Raises if not converged within ``max_rounds``."""
+    the component.  Raises if not converged within ``max_rounds``.
+    Empty edge sets return a typed empty (node, label) table — an
+    all-empty Dataset would otherwise lose its schema entirely."""
     edges = edges.map_batches(_dedupe_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], type=pa.string()),
+                    "label": pa.array([], type=pa.string()),
+                }
+            )
+        )
     labels = init_labels(edges, n_parts).materialize()
-    tagged_edges = edges.map_batches(_tag_edges(n_parts), batch_format="pyarrow")
+    # materialized: the union below re-consumes the tagged edges every
+    # round — without this the tag map (string hash over both endpoint
+    # columns) would re-execute up to max_rounds times
+    tagged_edges = edges.map_batches(
+        _tag_edges(n_parts), batch_format="pyarrow"
+    ).materialize()
     for _ in range(max_rounds):
         tagged = labels.map_batches(_tag_labels(n_parts), batch_format="pyarrow").union(
             tagged_edges
         )
-        msgs = tagged.groupby("part").map_groups(
-            _propagate(n_parts), batch_format="pyarrow"
-        )
-        new_labels = msgs.groupby("part").map_groups(
-            _minimize, batch_format="pyarrow"
+        msgs = map_groups_typed(tagged, "part", _propagate(n_parts), _EMPTY_MSGS)
+        new_labels = map_groups_typed(
+            msgs, "part", _minimize, _EMPTY_MINIMIZED
         ).materialize()
         n_changed = new_labels.sum("changed") or 0
         labels = new_labels.drop_columns(["changed"]).materialize()

@@ -17,10 +17,14 @@ design for the north rule's "LSH banding → Hamming verification":
    check against the per-space τ.
 
 Skew guard: buckets larger than ``pair_full_threshold``
-(config.LSHConfig) emit O(g) chain+star edges instead of all C(g,2)
-pairs — connectivity within the bucket is preserved for clustering
-while bounding pair count, and no member is ever dropped; the
-fallback is reported in the ``star`` column.
+(config.LSHConfig) skip the all-members C(g,2) expansion.  Identical
+sigs are chained (Hamming-0 edges), and the DISTINCT-sig run heads
+still get an exact triu up to ``OVERSIZED_EXACT_CAP`` heads — so
+cross-sig recall stays 1.0 through the verify unless a single band
+bucket holds > OVERSIZED_EXACT_CAP distinct signatures, in which case
+a head-star is emitted with a loud warning and a within-τ pair can be
+missed ONLY if every band bucket it shares is equally degenerate.
+Fallback-path edges are reported in the ``star`` column.
 Exact-signature hot keys (the 10%-hot-caption stressor) never reach
 here: the pipeline collapses identical (simhash, phash) groups first
 (stages/collapse.py).
@@ -115,6 +119,64 @@ def make_band_expander(
     return expand
 
 
+# Above ``pair_full_threshold`` members, a bucket's cross-sig pairs are
+# still generated EXACTLY (triu over the distinct-sig run heads) up to
+# this many distinct sigs — 4096 heads = 8.4M candidate pairs ≈ 0.25 s
+# of SWAR popcount, a bounded cost for a pathological bucket.  Beyond
+# it the star fallback concedes recall for pairs whose EVERY shared
+# band bucket is this degenerate, and a warning is logged.
+OVERSIZED_EXACT_CAP = 4096
+
+_oversized_cap_warned = False
+
+
+def _oversized_bucket_pairs(
+    seg_order: np.ndarray, seg_sig: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Edges for one oversized (> pair_full_threshold) bucket whose
+    members are given sig-sorted: (a) Hamming-0 chains through each
+    identical-sig run (keeps hot masses connected when the caller
+    skipped exact-collapse), (b) EXACT triu over the distinct-sig run
+    heads when there are ≤ OVERSIZED_EXACT_CAP of them — cross-sig
+    recall stays 1.0 — else a head-star with a loud warning (the only
+    regime where a within-τ pair can be missed, and only if every
+    band bucket it shares is equally degenerate)."""
+    g = len(seg_order)
+    head = np.ones(g, dtype=bool)
+    head[1:] = seg_sig[1:] != seg_sig[:-1]
+    a_parts: list[np.ndarray] = []
+    b_parts: list[np.ndarray] = []
+    chain_b = np.flatnonzero(~head)
+    if len(chain_b):
+        a_parts.append(seg_order[chain_b - 1])
+        b_parts.append(seg_order[chain_b])
+    run_heads = seg_order[head]
+    h = len(run_heads)
+    if h > 1:
+        if h <= OVERSIZED_EXACT_CAP:
+            i, j = np.triu_indices(h, 1)
+            a_parts.append(run_heads[i])
+            b_parts.append(run_heads[j])
+        else:
+            global _oversized_cap_warned
+            if not _oversized_cap_warned:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "oversized LSH bucket with %d distinct sigs > "
+                    "OVERSIZED_EXACT_CAP=%d: falling back to a head-star; "
+                    "within-tau pairs confined to such buckets may be "
+                    "missed (logged once per worker)",
+                    h, OVERSIZED_EXACT_CAP,
+                )
+                _oversized_cap_warned = True
+            a_parts.append(np.full(h - 1, run_heads[0]))
+            b_parts.append(run_heads[1:])
+    if not a_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
 def make_pair_generator(
     pair_full_threshold: int = 256,
     taus: dict[int, int] | None = None,
@@ -123,19 +185,22 @@ def make_pair_generator(
 
     Inside one partition: lexsort by (space, band, key), find runs,
     emit all C(g,2) pairs for runs ≤ ``pair_full_threshold``; larger
-    runs get O(g) chain+star edges (identical-sig chains + a star
-    over distinct-sig run heads, same scheme as
-    ``broadcast_candidate_edges``) — connectivity is preserved, no
-    member is ever dropped, and the fallback is visible in the
-    ``star`` column for observability.
+    runs get the oversized-bucket treatment (identical-sig chains +
+    exact triu over the ≤ ``OVERSIZED_EXACT_CAP`` distinct-sig run
+    heads, star + warning beyond — see the module docstring for the
+    precise recall guarantee; same scheme as
+    ``broadcast_candidate_edges``).  The fallback-path edges are
+    visible in the ``star`` column for observability.
 
     When ``taus`` is given (space → Hamming τ), verification is FUSED
     into pair generation — the popcount check runs on the in-partition
     numpy arrays and only surviving edges leave the stage (one fewer
-    operator, no unverified-pair traffic)."""
+    operator, no unverified-pair traffic).  Any space id present in
+    the band rows MUST have a τ entry (validated; a silent default of
+    0 would discard every pair of that space)."""
     tau_arr = None
     if taus is not None:
-        tau_arr = np.zeros(max(taus) + 1, dtype=np.int64)
+        tau_arr = np.full(max(taus) + 1, -1, dtype=np.int64)
         for k, v in taus.items():
             tau_arr[k] = v
 
@@ -176,32 +241,32 @@ def make_pair_generator(
             star_flags.append(np.zeros(n_full, dtype=bool))
         for s, g in zip(
             starts[sel & ~full_sel], lengths[sel & ~full_sel]
-        ):  # rare oversized buckets → O(g) chain+star, never truncated
+        ):  # rare oversized buckets — see _oversized_bucket_pairs
             g = int(g)
             seg_order = np.argsort(sig[s : s + g], kind="stable") + s
             seg_sig = sig[seg_order]
-            head = np.ones(g, dtype=bool)
-            head[1:] = seg_sig[1:] != seg_sig[:-1]
-            chain_b = np.flatnonzero(~head)
-            if len(chain_b):  # Hamming-0 chains within identical sigs
-                a_idx.append(seg_order[chain_b - 1])
-                b_idx.append(seg_order[chain_b])
-                star_flags.append(np.ones(len(chain_b), dtype=bool))
-            run_heads = seg_order[head]
-            if len(run_heads) > 1:  # star over distinct-sig run heads
-                a_idx.append(np.full(len(run_heads) - 1, run_heads[0]))
-                b_idx.append(run_heads[1:])
-                star_flags.append(np.ones(len(run_heads) - 1, dtype=bool))
+            oa, ob = _oversized_bucket_pairs(seg_order, seg_sig)
+            if len(oa):
+                a_idx.append(oa)
+                b_idx.append(ob)
+                star_flags.append(np.ones(len(oa), dtype=bool))
         if not a_idx:
             return _EMPTY_PAIRS
         ai = np.concatenate(a_idx)
         bi = np.concatenate(b_idx)
         stars = np.concatenate(star_flags)
         if tau_arr is not None:  # fused Hamming verification
+            sp = space[ai]
+            if len(sp) and (sp.max() >= len(tau_arr) or tau_arr[sp].min() < 0):
+                raise ValueError(
+                    f"make_pair_generator: band rows contain space ids "
+                    f"{sorted(set(sp.tolist()) - set(np.flatnonzero(tau_arr >= 0).tolist()))} "
+                    f"with no taus entry"
+                )
             d = hamming64(
                 sig[ai].view(np.uint64), sig[bi].view(np.uint64)
             )
-            keep = d <= tau_arr[space[ai]]
+            keep = d <= tau_arr[sp]
             ai, bi, stars = ai[keep], bi[keep], stars[keep]
             if len(ai) == 0:
                 return _EMPTY_PAIRS
@@ -279,7 +344,7 @@ def broadcast_candidate_edges(
     # concurrency near the bandwidth sweet spot at every cluster size.
     @ray.remote(num_cpus=2)
     def band_task(sig_ref, combo, r, tau):
-        sig = sig_ref if isinstance(sig_ref, np.ndarray) else sig_ref
+        sig = sig_ref
         key = combo_key(sig, combo, r)
         order = np.lexsort((sig, key))
         k = key[order]
@@ -296,26 +361,16 @@ def broadcast_candidate_edges(
             i, j = np.triu_indices(int(g), 1)
             a_idx.append((runs[:, None] + i[None, :]).ravel())
             b_idx.append((runs[:, None] + j[None, :]).ravel())
-        # Oversized buckets (hot keys / identical-signature masses):
-        # O(g) edges, never truncated.  Members are sig-sorted within
-        # the bucket, so (a) chaining consecutive identical sigs gives
-        # Hamming-0 edges that keep hot masses connected even when the
-        # caller skipped exact-collapse, and (b) a star from the bucket
-        # head to each distinct-sig run head covers cross-sig
-        # candidates (subject to the τ verify below).
+        # Oversized buckets: identical-sig chains + exact triu over the
+        # distinct-sig run heads (star + warning above
+        # OVERSIZED_EXACT_CAP) — shared kernel with make_pair_generator
+        # so the direct and distributed regimes cannot diverge.
         for s, g in zip(starts[sel & ~full_sel], lengths[sel & ~full_sel]):
-            seg = sig_sorted[s : s + int(g)]
-            head = np.ones(int(g), dtype=bool)
-            head[1:] = seg[1:] != seg[:-1]
             idx = np.arange(s, s + int(g))
-            chain_b = idx[~head]
-            if len(chain_b):
-                a_idx.append(chain_b - 1)
-                b_idx.append(chain_b)
-            run_heads = idx[head]
-            if len(run_heads) > 1:
-                a_idx.append(np.full(len(run_heads) - 1, idx[0]))
-                b_idx.append(run_heads[1:])
+            oa, ob = _oversized_bucket_pairs(idx, sig_sorted[s : s + int(g)])
+            if len(oa):
+                a_idx.append(oa)
+                b_idx.append(ob)
         if not a_idx:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         ai = order[np.concatenate(a_idx)]
@@ -348,8 +403,11 @@ def broadcast_candidate_edges(
 
 
 def make_verifier(taus: dict[int, int]):
-    """map_batches fn: exact Hamming verification per signature space."""
-    tau_arr = np.zeros(max(taus) + 1, dtype=np.int64)
+    """map_batches fn: exact Hamming verification per signature space.
+    Every space id appearing in the pairs MUST have a τ entry —
+    validated per batch (a silent default of 0 would discard every
+    pair of an unlisted space)."""
+    tau_arr = np.full(max(taus) + 1, -1, dtype=np.int64)
     for k, v in taus.items():
         tau_arr[k] = v
 
@@ -361,6 +419,10 @@ def make_verifier(taus: dict[int, int]):
             batch["sig_b"].to_numpy(zero_copy_only=False).view(np.uint64),
         )
         space = batch["space"].to_numpy(zero_copy_only=False)
+        if space.max() >= len(tau_arr) or tau_arr[space].min() < 0:
+            raise ValueError(
+                "make_verifier: pairs contain space ids with no taus entry"
+            )
         keep = d <= tau_arr[space]
         return batch.filter(pa.array(keep))
 

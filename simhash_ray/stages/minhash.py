@@ -14,10 +14,12 @@ Candidate pairs are globally deduped, then verified by rejoining the
 signature table (broadcast via ``ray.put`` when it fits, hash
 ``Dataset.join`` above ``MINHASH_BROADCAST_LIMIT``).
 
-Skew guard: buckets larger than ``pair_full_threshold`` emit an O(g)
-star to the bucket's min id instead of C(g,2) pairs — connectivity is
-preserved for downstream clustering, nothing is silently dropped, and
-the fallback is observable via the ``star`` column (same policy as
+Skew guard: buckets larger than ``pair_full_threshold`` emit an
+exact triu up to ``OVERSIZED_EXACT_CAP`` members (recall through the
+θ-verify preserved), then an O(g) star to the bucket's min id with a
+loud warning — the only regime where a within-θ pair can be missed,
+and only if every band bucket it shares is equally degenerate; the
+fallback is observable via the ``star`` column (same policy as
 stages/lsh.py).
 
 The exact counterpart (``all_pairs_jaccard``) is a broadcast
@@ -36,6 +38,9 @@ import ray.data as rd
 
 from ..functions.hashing import part_of_ints
 from ..functions.tokenize import tokens_flat
+from .lsh import OVERSIZED_EXACT_CAP
+
+_oversized_cap_warned = False
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -329,11 +334,33 @@ def make_pair_generator(pair_full_threshold: int = 512, n_parts: int = 64):
         if a_i:
             star_f.append(np.zeros(sum(len(x) for x in a_i), dtype=bool))
         for s, g in zip(starts[sel & ~full_sel], lengths[sel & ~full_sel]):
-            g = int(g)  # hot bucket → star to min id (ids sorted in-run)
-            members = np.arange(s + 1, s + g)
-            a_i.append(np.full(g - 1, s))
-            b_i.append(members)
-            star_f.append(np.ones(g - 1, dtype=bool))
+            g = int(g)
+            if g <= OVERSIZED_EXACT_CAP:
+                # round-4 recall fix (mirrors stages/lsh.py): exact triu
+                # so a within-θ pair far from the min-id member still
+                # reaches the verify; star=True keeps the fallback path
+                # observable
+                i, j = np.triu_indices(g, 1)
+                a_i.append(s + i)
+                b_i.append(s + j)
+                star_f.append(np.ones(len(i), dtype=bool))
+            else:  # pathological bucket → star to min id + loud warning
+                global _oversized_cap_warned
+                if not _oversized_cap_warned:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "oversized MinHash bucket with %d members > "
+                        "OVERSIZED_EXACT_CAP=%d: head-star fallback; "
+                        "within-theta pairs confined to such buckets may "
+                        "be missed (logged once per worker)",
+                        g, OVERSIZED_EXACT_CAP,
+                    )
+                    _oversized_cap_warned = True
+                members = np.arange(s + 1, s + g)
+                a_i.append(np.full(g - 1, s))
+                b_i.append(members)
+                star_f.append(np.ones(g - 1, dtype=bool))
         if not a_i:
             return _EMPTY_PAIRS
         ai, bi = np.concatenate(a_i), np.concatenate(b_i)

@@ -162,19 +162,44 @@ def _all_connected_to_zero(pairs, n):
     return all(find(i) == 0 for i in range(n))
 
 
-def test_minhash_hot_bucket_star_connectivity():
-    """A bucket with >pair_full_threshold identical docs emits O(g)
-    star edges that keep every member connected to the min id —
-    nothing is silently dropped (the round-1 512-cap lost members)."""
+def test_minhash_hot_bucket_exact_coverage_and_connectivity():
+    """A bucket with >pair_full_threshold members (but ≤
+    OVERSIZED_EXACT_CAP) now gets EXACT pair coverage — round-4 recall
+    fix: the old head-star lost within-θ pairs far from the min id —
+    and every member stays connected."""
     n = 40
     texts = ["alpha beta gamma delta epsilon zeta eta theta"] * n
     df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
     out = minhash_dup_pairs(
         rd.from_pandas(df), theta=0.9, concurrency=(1, 2), pair_full_threshold=8
     ).to_pandas()
-    assert len(out) < n * (n - 1) // 2  # star fallback, not all-pairs
+    assert len(out) == n * (n - 1) // 2  # exact coverage up to the cap
     assert (out["est_jaccard"] == 1.0).all()
     assert _all_connected_to_zero(zip(out["a"], out["b"]), n)
+
+
+def test_minhash_beyond_cap_star_connectivity(monkeypatch):
+    """Above OVERSIZED_EXACT_CAP the generator degrades to the min-id
+    star (bounded work, loud warning) — exercised in-process with a
+    patched cap so the branch is testable without 4097 docs."""
+    import simhash_ray.stages.minhash as M
+
+    monkeypatch.setattr(M, "OVERSIZED_EXACT_CAP", 10)
+    n = 40
+    group = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "band": pa.array(np.zeros(n, dtype=np.int64)),
+            "key": pa.array(np.zeros(n, dtype=np.int64)),
+        }
+    )
+    out = M.make_pair_generator(pair_full_threshold=8)(group)
+    assert out.num_rows == n - 1  # star to the min id
+    assert set(out["a"].to_pylist()) == {0}
+    assert out["star"].to_pylist() == [True] * (n - 1)
+    assert _all_connected_to_zero(
+        zip(out["a"].to_pylist(), out["b"].to_pylist()), n
+    )
 
 
 def test_exact_jaccard_thresholds(corpus):
