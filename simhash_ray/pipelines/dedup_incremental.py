@@ -253,6 +253,13 @@ def _fold_shard(
             "LSHConfig for ingests of this size.",
             len(new_df), 100 * est_frac, 100 * saturation_threshold,
         )
+        n_base_rows = base_sigs.count()
+        if n_base_rows > candidate_limit:  # fail BEFORE the driver collect
+            raise ValueError(
+                f"full-verify fold would collect {n_base_rows} base rows > "
+                f"candidate_limit={candidate_limit}: run the full "
+                "distributed pipeline for this ingest"
+            )
         cand_df = base_sigs.select_columns([id_col, *sig_cols]).to_pandas()
     else:
         keys_ref = ray.put(shard_keys)

@@ -54,6 +54,34 @@ def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return flat.reshape(len(col), dim)
 
 
+
+def _fetch_queries(
+    vectors: rd.Dataset, query_ids, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(q_ids, normalized q_mat) for the given ids — one filtered scan
+    + driver collect (bounded by |query_ids|).  Raises if any requested
+    id is absent from the corpus (np.stack on a partial set would
+    silently drop queries or crash opaquely)."""
+    qset = np.array(sorted(int(q) for q in query_ids), dtype=np.int64)
+
+    def is_query(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, qset)))
+
+    qtbl = (
+        vectors.select_columns([id_col, vec_col])
+        .map_batches(is_query, batch_format="pyarrow")
+        .take_all()
+    )
+    q_ids = np.array([r[id_col] for r in qtbl], dtype=np.int64)
+    missing = set(qset.tolist()) - set(q_ids.tolist())
+    if missing:
+        raise ValueError(f"query ids absent from the vector table: {sorted(missing)}")
+    q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qtbl])
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    return q_ids, q_mat
+
+
 def brute_force_topk(
     vectors: rd.Dataset,
     query_ids: list[int],
@@ -67,23 +95,12 @@ def brute_force_topk(
     broadcast; the big vector table streams through one matmul per
     batch.  Per-batch partial top-k bounds the shuffle to
     len(queries)×k rows per batch before the final merge."""
-    qset = set(int(q) for q in query_ids)
-
-    def is_query(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(np.isin(ids, list(qset))))
-
-    qtbl = (
-        vectors.select_columns([id_col, vec_col])
-        .map_batches(is_query, batch_format="pyarrow")
-        .take_all()
-    )
-    q_ids = np.array([r[id_col] for r in qtbl], dtype=np.int64)
-    q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qtbl])
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ids, q_mat = _fetch_queries(vectors, query_ids, id_col, vec_col)
     ref = ray.put((q_ids, q_mat))
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_TOPK_PARTIAL
         qi, qm = ray.get(ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         mat = _to_matrix(batch[vec_col])
@@ -92,7 +109,10 @@ def brute_force_topk(
         out_q, out_n, out_s = [], [], []
         kk = min(k + 1, scores.shape[1])  # +1: the query itself may be here
         for row in range(len(qi)):
-            top = np.argpartition(-scores[row], kk - 1)[:kk]
+            # full (score desc, id asc) order — argpartition keeps an
+            # ARBITRARY subset among boundary ties, which breaks the
+            # deterministic-tie contract vs the oracle on dup-heavy data
+            top = np.lexsort((ids, -scores[row]))[:kk]
             out_q.append(np.full(len(top), qi[row], dtype=np.int64))
             out_n.append(ids[top])
             out_s.append(scores[row][top])
@@ -170,10 +190,14 @@ def cosine_dup_pairs(
     ref = ray.put((ids, mat))
 
     def compare(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_ID_PAIRS
         uids, umat = ray.get(ref)
         my_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         mine = _to_matrix(batch[vec_col])
-        mine /= np.linalg.norm(mine, axis=1, keepdims=True)
+        # out-of-place: a float64 tensor column arrives as a read-only
+        # zero-copy view and in-place /= raises
+        mine = mine / np.linalg.norm(mine, axis=1, keepdims=True)
         cos = mine @ umat.T
         keep = (cos * threshold_den >= threshold_num) & (
             my_ids[:, None] < uids[None, :]
@@ -203,6 +227,11 @@ class HyperplaneSigner:
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"id": pa.array([], type=pa.int64()),
+                 "hsig": pa.array([], type=pa.int64())}
+            )
         mat = _to_matrix(batch[self.vec_col])
         bits = (mat @ self.planes > 0).astype(np.uint64)
         sig = np.zeros(len(mat), dtype=np.uint64)
@@ -312,6 +341,11 @@ def lsh_cosine_dup_pairs(
     short-circuits the candidate stage (the oracle-staging caller
     passes a materialized candidate set so both engines verify the
     same pairs)."""
+    # materialized: the plan is consumed by the candidate scan, the
+    # count() regime pick, and the verify collect/join — an expensive
+    # upstream (e.g. computed embeddings) would otherwise re-execute
+    # per consumer
+    vectors = vectors.materialize()
     pairs = candidates if candidates is not None else lsh_cosine_candidates(
         vectors, id_col=id_col, vec_col=vec_col, n_bands=n_bands, seed=seed,
         n_parts=n_parts, pair_full_threshold=pair_full_threshold,
@@ -344,8 +378,15 @@ def lsh_cosine_dup_pairs(
             return _EMPTY_ID_PAIRS
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
-        va = umat[np.searchsorted(uids, a)]
-        vb = umat[np.searchsorted(uids, b)]
+        pos_a = np.searchsorted(uids, a).clip(max=len(uids) - 1)
+        pos_b = np.searchsorted(uids, b).clip(max=len(uids) - 1)
+        if not ((uids[pos_a] == a).all() and (uids[pos_b] == b).all()):
+            raise ValueError(
+                "candidate pairs reference ids absent from the vector "
+                "table (stale candidate set?)"
+            )
+        va = umat[pos_a]
+        vb = umat[pos_b]
         cos = np.einsum("ij,ij->i", va, vb)
         keep = cos * threshold_den >= threshold_num
         return pa.table(
@@ -435,6 +476,8 @@ class HyperplaneHasher:
         self.planes = rng.standard_normal((dim, n_planes))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("bucket", pa.array([], type=pa.int64()))
         mat = _to_matrix(batch[batch.column_names[1]])
         proj = mat @ self.planes
         bits = (proj > 0).astype(np.uint64)
@@ -466,21 +509,8 @@ def _lsh_probe_plan(
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    qset = [int(q) for q in query_ids]
-
-    def is_query(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(np.isin(ids, qset)))
-
-    qtbl = (
-        vectors.select_columns([id_col, vec_col])
-        .map_batches(is_query, batch_format="pyarrow")
-        .take_all()
-    )
     rng_planes = HyperplaneHasher(dim=dim, n_planes=n_planes).planes
-    q_ids = np.array([r[id_col] for r in qtbl], dtype=np.int64)
-    q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qtbl])
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ids, q_mat = _fetch_queries(vectors, query_ids, id_col, vec_col)
     proj = q_mat @ rng_planes  # same seed → same planes as the hasher
     base = np.zeros(len(q_mat), dtype=np.uint64)
     for j in range(n_planes):
@@ -628,7 +658,9 @@ def _bucketed_scan_topk(
             scores = mat[rows] @ uq_mat[qidxs].T  # (n_rows, n_q)
             kk = min(k + 1, len(rows))
             for c, qi in enumerate(qidxs):
-                top = np.argpartition(-scores[:, c], kk - 1)[:kk]
+                # (score desc, id asc): deterministic among ties (same
+                # rationale as brute_force_topk's partial)
+                top = np.lexsort((ids[rows], -scores[:, c]))[:kk]
                 out_q.append(np.full(len(top), uq_ids[qi], dtype=np.int64))
                 out_n.append(ids[rows[top]])
                 out_s.append(scores[top, c])
@@ -672,6 +704,8 @@ class CentroidAssigner:
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("cent", pa.array([], type=pa.int64()))
         mat = _to_matrix(batch[self.vec_col])
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         cent = np.argmax(mat @ self.cents.T, axis=1).astype(np.int64)
@@ -694,9 +728,19 @@ def _ivf_probe_plan(
     :func:`_lsh_probe_plan`): train the coarse quantizer, assign the
     corpus, and build the broadcast (q_ids, q_mat, centroid→queries)
     ref.  Returns (assigned_ds, ref)."""
+    n_rows = vectors.count()
     if n_centroids is None:
-        n_centroids = int(min(4096, max(16, round(np.sqrt(vectors.count())))))
-    sample = vectors.select_columns([id_col, vec_col]).limit(train_sample).take_all()
+        n_centroids = int(min(4096, max(16, round(np.sqrt(n_rows)))))
+    # deterministic md5-hash Bernoulli subsample instead of .limit():
+    # the first train_sample rows of a source-ordered corpus would
+    # train every centroid on one source's region (head bias)
+    sample_src = vectors.select_columns([id_col, vec_col])
+    if n_rows > train_sample:
+        from .sample import hash_sample
+
+        num = min(2 * train_sample, n_rows)
+        sample_src = hash_sample(sample_src, num, n_rows, id_col=id_col)
+    sample = sample_src.limit(train_sample).take_all()
     smat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     smat /= np.linalg.norm(smat, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
@@ -720,20 +764,7 @@ def _ivf_probe_plan(
         concurrency=concurrency,
     )
 
-    qset = [int(q) for q in query_ids]
-
-    def is_query(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(np.isin(ids, qset)))
-
-    qtbl = (
-        vectors.select_columns([id_col, vec_col])
-        .map_batches(is_query, batch_format="pyarrow")
-        .take_all()
-    )
-    q_ids = np.array([r[id_col] for r in qtbl], dtype=np.int64)
-    q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qtbl])
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ids, q_mat = _fetch_queries(vectors, query_ids, id_col, vec_col)
     order = np.argsort(-(q_mat @ cents.T), axis=1)[:, : min(n_probe, len(cents))]
     bucket_to_queries: dict[int, list[int]] = {}
     for qi in range(len(q_ids)):
