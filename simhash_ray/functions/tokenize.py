@@ -58,6 +58,8 @@ class FlatTokens(NamedTuple):
 
     def per_row_lists(self) -> list[np.ndarray]:
         """Ragged per-row view: list of n object ndarrays of tokens."""
+        if self.n == 0:  # np.split with no indices returns [whole array]
+            return []
         toks = self.to_object_array()
         return np.split(toks, np.cumsum(self.counts)[:-1])
 

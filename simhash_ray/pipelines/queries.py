@@ -1434,7 +1434,8 @@ def q_doc_bpe_tokens(sf_dir: str):
 
 SQL_DOC_BPE_TOKENS = rf"""
 SELECT doc_id,
-       len(regexp_extract_all(text, '{text_ops.BPE_ISH_PATTERN}')) AS n_bpe_tokens
+       COALESCE(len(regexp_extract_all(text, '{text_ops.BPE_ISH_PATTERN}')), 0)
+           AS n_bpe_tokens
 FROM documents
 """
 

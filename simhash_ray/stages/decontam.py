@@ -154,7 +154,12 @@ def decontaminate(
                                            short_rows="drop")
         if len(sh) == 0 or len(ev) == 0:
             return _empty_hits(batch[id_col].type)
-        hit = rows[np.isin(sh.view(np.int64), ev, assume_unique=False)]
+        # ev is pre-sorted + distinct: searchsorted membership is
+        # O(B log E) per batch; np.isin would re-sort the 50M-entry
+        # array on every batch
+        x = sh.view(np.int64)
+        pos = np.searchsorted(ev, x).clip(max=len(ev) - 1)
+        hit = rows[ev[pos] == x]
         if len(hit) == 0:
             return _empty_hits(batch[id_col].type)
         counts = np.bincount(hit, minlength=n)
@@ -200,6 +205,15 @@ def _decontaminate_join(
         _window_explode(text_col, id_col, window), batch_format="pyarrow"
     )
     n_eval = eval_wins.count()
+    # skip the prefilter when the capped bitmap would saturate (< 4
+    # bits/window → FPR ≳ 0.3): a saturated Bloom passes nearly every
+    # window and the build + probes become pure overhead
+    if n_eval and (1 << 30) < 4 * n_eval:
+        logger.warning(
+            "decontaminate: %d eval windows saturate the 2^30-bit Bloom "
+            "cap — skipping the prefilter (join runs unfiltered)", n_eval,
+        )
+        n_eval = 0
     if n_eval:
         m_bits = 1 << min(30, max(16, int(np.ceil(np.log2(16 * n_eval)))))
         bf = build_bloom(eval_wins, "win", m_bits=m_bits, k=7)

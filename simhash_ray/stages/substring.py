@@ -59,6 +59,13 @@ def shared_substring_pairs(
     def explode(batch: pa.Table) -> pa.Table:
         from .minhash import _shingle_hashes_flat
 
+        if not pa.types.is_integer(batch[id_col].type):
+            raise ValueError(
+                f"shared_substring_pairs requires integer {id_col!r} ids "
+                f"(got {batch[id_col].type}); map string ids to int64 "
+                "first — the pair table and its partition hash are "
+                "int-keyed end-to-end"
+            )
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sh, rows, _ = _shingle_hashes_flat(
             batch[text_col], window, short_rows="drop"

@@ -232,22 +232,20 @@ def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n = pc.count_substring_regex(
         batch[text_col].combine_chunks().cast(pa.string()), BPE_ISH_PATTERN
     ).cast(pa.int64())
-    return batch.append_column("n_bpe_tokens", n)
+    # null text counts 0 tokens, matching token_count_batch (the SQL
+    # oracle COALESCEs identically)
+    return batch.append_column("n_bpe_tokens", pc.fill_null(n, 0))
 
 
 def quality_counters_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Integer quality counters: total/alpha/digit/space char counts."""
     text = batch[text_col].combine_chunks().cast(pa.string())
     n_chars = pc.utf8_length(text).cast(pa.int64())
-    alpha = pc.utf8_length(
-        pc.replace_substring_regex(text, "[^a-zA-Z]", "")
-    ).cast(pa.int64())
-    digit = pc.utf8_length(
-        pc.replace_substring_regex(text, "[^0-9]", "")
-    ).cast(pa.int64())
-    space = pc.utf8_length(
-        pc.replace_substring_regex(text, "[^ ]", "")
-    ).cast(pa.int64())
+    # count kernels, not replace+length: the replace path materialized
+    # three full string columns per batch just to count characters
+    alpha = pc.count_substring_regex(text, "[a-zA-Z]").cast(pa.int64())
+    digit = pc.count_substring_regex(text, "[0-9]").cast(pa.int64())
+    space = pc.count_substring(text, " ").cast(pa.int64())
     out = batch.append_column("len_chars", n_chars)
     out = out.append_column("alpha_chars", alpha)
     out = out.append_column("digit_chars", digit)

@@ -70,9 +70,11 @@ def test_rolling_fp_edit_robust():
     assert fp[0] != fp[2]
 
 
-def test_pair_generator_star_cap():
-    """Buckets above the full-pair threshold emit a star to the bucket
-    min (connectivity preserved, pair count bounded, star flagged)."""
+def test_pair_generator_oversized_exact_then_star(monkeypatch):
+    """Buckets above the full-pair threshold keep EXACT cross-sig pair
+    coverage up to OVERSIZED_EXACT_CAP (round-4 recall fix, flagged
+    star=True); only beyond the cap do they degrade to the min-head
+    star."""
     n = 40
     group = pa.table(
         {
@@ -86,6 +88,12 @@ def test_pair_generator_star_cap():
     full = make_pair_generator(pair_full_threshold=64)(group)
     assert full.num_rows == n * (n - 1) // 2
     assert not any(full["star"].to_pylist())
+    over = make_pair_generator(pair_full_threshold=8)(group)
+    assert over.num_rows == n * (n - 1) // 2  # exact triu, ≤ cap
+    assert all(over["star"].to_pylist())
+    import simhash_ray.stages.lsh as L
+
+    monkeypatch.setattr(L, "OVERSIZED_EXACT_CAP", 10)
     star = make_pair_generator(pair_full_threshold=8)(group)
     assert star.num_rows == n - 1
     assert all(star["star"].to_pylist())
