@@ -54,6 +54,17 @@ class SimHashConfig:
         payload = json.dumps(asdict(self), sort_keys=True).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
+    def __post_init__(self):
+        if self.bits != 64:
+            raise ValueError(f"bits must be 64 (north rule), got {self.bits}")
+        if self.shingle_k < 1:
+            raise ValueError(
+                f"shingle_k must be >= 1, got {self.shingle_k} (a zero "
+                "width would read uninitialized shingle memory)"
+            )
+        if self.char_ngram < 0:
+            raise ValueError(f"char_ngram must be >= 0, got {self.char_ngram}")
+
 
 @dataclass(frozen=True)
 class LSHConfig:

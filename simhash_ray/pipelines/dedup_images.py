@@ -352,7 +352,6 @@ def attach_clusters(
 
     if label_df is not None:
         assignment = _attach_with_label_df(collapsed, label_df)
-        n_clusters = len(set(label_df["label"]))
     else:  # exercised at cluster scale (>BROADCAST_LIMIT labels)
         joined = collapsed.select_columns(["image_id", "rep_id"]).join(
             labels.map_batches(
@@ -381,8 +380,18 @@ def attach_clusters(
             )
 
         assignment = joined.map_batches(finish, batch_format="pyarrow")
-        n_clusters = len(labels.unique("label"))
 
+    # n_clusters = distinct cluster ids among NON-representative rows —
+    # one regime-independent definition (the label-set count missed
+    # collapse-only exact-dup clusters in the distributed regime, so the
+    # CLI metrics differed between regimes and across a resume)
+    assignment = assignment.materialize()
+    n_clusters = (
+        assignment.filter(expr="is_representative == False")
+        .groupby("cluster_id")
+        .count()
+        .count()
+    )
     return assignment, n_clusters, n_nodes
 
 
@@ -460,10 +469,12 @@ def dedup_images_checkpointed(
     assignment = run.stage("assignment", produce_assignment, input_fingerprint)
     run.write_metrics()
     if "n_clusters" not in holder:  # assignment stage was resumed
-        adf_labels = assignment.filter(expr="is_representative == False")
         holder["n_nodes"] = -1  # not recomputed on resume
-        holder["n_clusters"] = len(
-            set(adf_labels.select_columns(["cluster_id"]).to_pandas()["cluster_id"])
+        holder["n_clusters"] = (
+            assignment.filter(expr="is_representative == False")
+            .groupby("cluster_id")
+            .count()
+            .count()  # distributed distinct count — no driver collect
         )
     return DedupResult(
         assignment=assignment,

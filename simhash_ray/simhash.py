@@ -197,7 +197,10 @@ class TokenHashCache:
         for i in miss_idx:
             if len(self._hash) < self.max_size:
                 self._hash[raw_tokens[i]] = int(hashes[i])
-                self._contrib[raw_tokens[i]] = contribs[i]
+                # .copy(): contribs[i] is a VIEW into this call's full
+                # (n_uniq, 64) matrix — caching the view would pin every
+                # call's matrix alive for the actor's lifetime
+                self._contrib[raw_tokens[i]] = contribs[i].copy()
         return hashes, contribs
 
 

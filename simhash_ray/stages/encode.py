@@ -79,7 +79,8 @@ def encode_signatures(
         # clusters).
         concurrency = (
             max(1, min(4, n_cpus // 2)),
-            max(2, n_cpus - 1),
+            max(1, n_cpus - 1),  # strictly below the CPU count: a pool
+            # reserving every core starves the feeding read/map tasks
         )
     return ds.map_batches(
         SimHashEncoder,

@@ -67,9 +67,15 @@ class CheckpointedRun:
         out = os.path.join(self.root, name)
         return out, out + ".tmp", os.path.join(self.root, f"{name}.manifest.json")
 
+    def _drop_shard_manifests(self, name: str) -> None:
+        prefix = f"{name}.shard_"
+        for f in os.listdir(self.root):
+            if f.startswith(prefix) and f.endswith(".manifest.json"):
+                os.remove(os.path.join(self.root, f))
+
     def is_committed(self, name: str, input_fingerprint: str = "") -> bool:
-        _, _, manifest = self._paths(name)
-        if not os.path.exists(manifest):
+        out, _, manifest = self._paths(name)
+        if not os.path.exists(manifest) or not os.path.isdir(out):
             return False
         with open(manifest) as f:
             m = json.load(f)
@@ -93,6 +99,10 @@ class CheckpointedRun:
             shutil.rmtree(tmp)
         if os.path.exists(out):
             shutil.rmtree(out)
+        # a prior SHARDED run of this stage left per-shard manifests
+        # (+ shard dirs inside `out`, removed above): drop them so a
+        # later sharded rerun can't trust stale shard commits
+        self._drop_shard_manifests(name)
         ds.write_parquet(tmp)
         os.replace(tmp, out)  # atomic commit of the data directory
         rows = rd.read_parquet(out).count()
@@ -124,8 +134,8 @@ class CheckpointedRun:
         so manifests committed under the old decomposition must not be
         trusted — skipping them would silently duplicate and/or drop
         rows in the unioned stage output."""
-        _, _, manifest = self._shard_paths(name, i)
-        if not os.path.exists(manifest):
+        out, _, manifest = self._shard_paths(name, i)
+        if not os.path.exists(manifest) or not os.path.isdir(out):
             return False
         with open(manifest) as f:
             m = json.load(f)
@@ -150,6 +160,19 @@ class CheckpointedRun:
         with a different ``len(shard_fns)`` recomputes all shards
         rather than silently mixing two decompositions."""
         from .progress import ProgressEstimator
+
+        # a prior NON-sharded run of this stage committed parquet files
+        # directly in the stage dir (where shard dirs nest): drop its
+        # manifest and loose files, else a later stage-mode read of the
+        # directory would double-count rows from both layouts
+        out_stage, _, stage_manifest = self._paths(name)
+        if os.path.exists(stage_manifest):
+            os.remove(stage_manifest)
+        if os.path.isdir(out_stage):
+            for f in os.listdir(out_stage):
+                fp = os.path.join(out_stage, f)
+                if os.path.isfile(fp):
+                    os.remove(fp)
 
         t0 = time.perf_counter()
         n_resumed = 0
@@ -211,6 +234,7 @@ class CheckpointedRun:
                 (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
         if os.path.exists(out):
             shutil.rmtree(out)
+        self._drop_shard_manifests(name)
 
     def write_metrics(self) -> str:
         path = os.path.join(self.root, "metrics.json")

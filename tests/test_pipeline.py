@@ -128,17 +128,24 @@ def test_distributed_regime_matches_direct():
 
     tables = generate_fixture(FixtureSpec(n_rows=10_000, seed=7))
     images = rd.from_arrow(tables["images"])
-    direct = (
-        dedup_images(images, DEFAULT_CONFIG, n_parts=32)
-        .assignment.to_pandas()
-        .sort_values("image_id", ignore_index=True)
+    direct_res = dedup_images(images, DEFAULT_CONFIG, n_parts=32)
+    dist_res = dedup_images(
+        images, DEFAULT_CONFIG, n_parts=32, broadcast_sig_limit=0
     )
-    dist = (
-        dedup_images(images, DEFAULT_CONFIG, n_parts=32, broadcast_sig_limit=0)
-        .assignment.to_pandas()
-        .sort_values("image_id", ignore_index=True)
+    direct = direct_res.assignment.to_pandas().sort_values(
+        "image_id", ignore_index=True
+    )
+    dist = dist_res.assignment.to_pandas().sort_values(
+        "image_id", ignore_index=True
     )
     pd.testing.assert_frame_equal(direct, dist)
+    # metrics must also be regime-independent: n_clusters counts every
+    # cluster with >= 2 members, INCLUDING collapse-only exact-dup
+    # clusters that never produce a verified edge in the distributed
+    # regime (regression for the label-set-count definition)
+    want_clusters = dist[~dist["is_representative"]]["cluster_id"].nunique()
+    assert direct_res.n_clusters_with_dups == want_clusters
+    assert dist_res.n_clusters_with_dups == want_clusters
     recall, precision, n_pairs = planted_pair_recall(
         dist, tables["truth"].to_pandas()
     )

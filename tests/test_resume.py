@@ -138,6 +138,88 @@ def test_shard_count_change_invalidates_all_shards(tmp_path):
     assert got == list(range(10)), got
 
 
+def test_layout_switch_sharded_then_stage_drops_shard_manifests(tmp_path):
+    """A stage()-mode commit over a directory previously written by
+    sharded_stage() must drop the stale per-shard manifests — else a
+    LATER sharded rerun would trust shard commits whose data files were
+    deleted by the stage-mode commit."""
+    from simhash_ray.state.manifest import CheckpointedRun
+
+    def shard(i):
+        return lambda: rd.from_pandas(pd.DataFrame({"x": [i]}))
+
+    root = str(tmp_path / "ck")
+    CheckpointedRun(root, "cfg1").sharded_stage("sigs", [shard(0), shard(1)])
+    assert os.path.exists(os.path.join(root, "sigs.shard_00000.manifest.json"))
+
+    # stage-mode rerun of the same name (e.g. operator switched from
+    # per-shard to whole-stage checkpointing)
+    out = CheckpointedRun(root, "cfg1").stage(
+        "sigs", lambda: rd.from_pandas(pd.DataFrame({"x": [7, 8]}))
+    )
+    assert sorted(out.to_pandas()["x"]) == [7, 8]
+    for f in os.listdir(root):
+        assert not (f.startswith("sigs.shard_") and f.endswith(".manifest.json")), f
+
+    # a sharded rerun now recomputes every shard (nothing stale trusted)
+    calls = []
+
+    def counted(i):
+        def fn():
+            calls.append(i)
+            return rd.from_pandas(pd.DataFrame({"x": [i]}))
+
+        return fn
+
+    out2 = CheckpointedRun(root, "cfg1").sharded_stage(
+        "sigs", [counted(0), counted(1)]
+    )
+    assert calls == [0, 1]
+    assert sorted(out2.to_pandas()["x"]) == [0, 1]
+
+
+def test_layout_switch_stage_then_sharded_drops_stage_commit(tmp_path):
+    """sharded_stage() over a directory previously committed by
+    stage() must drop the stale whole-stage manifest and loose parquet
+    files, else the stage-mode read would double-count both layouts."""
+    from simhash_ray.state.manifest import CheckpointedRun
+
+    root = str(tmp_path / "ck")
+    CheckpointedRun(root, "cfg1").stage(
+        "sigs", lambda: rd.from_pandas(pd.DataFrame({"x": [7, 8]}))
+    )
+    assert os.path.exists(os.path.join(root, "sigs.manifest.json"))
+
+    def shard(i):
+        return lambda: rd.from_pandas(pd.DataFrame({"x": [i]}))
+
+    out = CheckpointedRun(root, "cfg1").sharded_stage("sigs", [shard(0), shard(1)])
+    assert sorted(out.to_pandas()["x"]) == [0, 1]  # no 7/8 leakage
+    assert not os.path.exists(os.path.join(root, "sigs.manifest.json"))
+    # a stage-mode is_committed must not trust the sharded layout either
+    assert not CheckpointedRun(root, "cfg1").is_committed("sigs")
+
+
+def test_manifest_without_data_dir_not_committed(tmp_path):
+    """A manifest whose data directory was deleted out from under it
+    (partial cleanup, disk recovery) must read as not-committed."""
+    import shutil
+
+    from simhash_ray.state.manifest import CheckpointedRun
+
+    root = str(tmp_path / "ck")
+    run = CheckpointedRun(root, "cfg1")
+    run.stage("sigs", lambda: rd.from_pandas(pd.DataFrame({"x": [1]})))
+    assert CheckpointedRun(root, "cfg1").is_committed("sigs")
+    shutil.rmtree(os.path.join(root, "sigs"))
+    assert not CheckpointedRun(root, "cfg1").is_committed("sigs")
+    # and the rerun recomputes rather than crashing on the missing dir
+    out = CheckpointedRun(root, "cfg1").stage(
+        "sigs", lambda: rd.from_pandas(pd.DataFrame({"x": [2]}))
+    )
+    assert out.to_pandas()["x"].tolist() == [2]
+
+
 def test_sharded_signatures_resume_identical(tmp_path):
     """End-to-end per-shard resume on the real encoder: kill between
     shards, resume, output identical to the unsharded signatures."""

@@ -63,6 +63,17 @@ def test_batch_matches_oracle_config_sweep(cfg):
     np.testing.assert_array_equal(sigs, expected)
 
 
+@pytest.mark.parametrize(
+    "kwargs",
+    [{"bits": 128}, {"bits": 32}, {"shingle_k": 0}, {"char_ngram": -1}],
+)
+def test_invalid_config_rejected_loudly(kwargs):
+    """Config validation fails at construction, not deep in a kernel
+    (SURVEY §2 S3: 'validate loudly')."""
+    with pytest.raises(ValueError):
+        SimHashConfig(**kwargs)
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     st.lists(
