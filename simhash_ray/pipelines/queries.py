@@ -814,6 +814,99 @@ FROM e
 """
 
 
+def q_doc_token_cms(sf_dir: str):
+    """Heavy-hitter token frequencies via a Count-Min sketch: the
+    exact top-20 tokens (ties count DESC, token ASC) with their
+    sketch-estimated counts attached — the bounded-memory frequency
+    pass a pipeline runs when the token vocabulary is too large to
+    groupby exactly (boilerplate phrase detection, stopword discovery).
+    CMS never undercounts, so ``n_cms >= n_exact`` row-by-row (pinned
+    in tests/test_sketch.py).
+
+    Scale shape: per-block token counts (dictionary-encode + bincount,
+    the doc_top_tokens partial) fold into per-block depth×width cell
+    matrices; only nonzero ``(r, c, cnt)`` cells shuffle through one
+    tiny groupby SUM (≤ depth·width = 32k distinct keys), so the folded
+    sketch is a deterministic function of the token multiset.  The
+    oracle stages the folded cells and DuckDB independently re-derives
+    both the exact counts (from `documents`) and the estimates (md5
+    hex-slice positions + MIN over rows) — cross-checking the
+    distributed fold AND the point-query semantics."""
+    from ..functions.tokenize import tokens_flat
+    from ..stages.sketch import cms_cells, cms_partial_table, cms_point_estimates
+
+    depth, width = 4, 8192
+    docs = _docs(sf_dir, columns=["text"])
+    part_schema = pa.schema([("tok", pa.string()), ("n", pa.int64())])
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        denc = tokens_flat(batch["text"]).flat.dictionary_encode()
+        counts = np.bincount(
+            denc.indices.to_numpy(zero_copy_only=False),
+            minlength=len(denc.dictionary),
+        ).astype(np.int64)
+        return pa.table(
+            {"tok": denc.dictionary, "n": pa.array(counts)}, schema=part_schema
+        )
+
+    parts = docs.map_batches(tok_counts, batch_format="pyarrow").materialize()
+
+    def cms_part(batch: pa.Table) -> pa.Table:
+        return cms_partial_table(
+            batch["tok"].to_numpy(zero_copy_only=False),
+            batch["n"].to_numpy(zero_copy_only=False),
+            depth,
+            width,
+        )
+
+    cells = cms_cells(
+        parts.map_batches(cms_part, batch_format="pyarrow"), depth, width
+    ).materialize()
+    _stage(cells, "cms_cells")
+
+    top = (
+        parts.groupby("tok")
+        .aggregate(Sum("n", alias_name="n_exact"))
+        .sort(["n_exact", "tok"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    est = cms_point_estimates(
+        cells.to_pandas(), top["tok"].to_numpy(dtype=object), depth, width
+    )
+    return pa.table(
+        {
+            "tok": pa.array(top["tok"], type=pa.string()),
+            "n_exact": pa.array(top["n_exact"].to_numpy(), type=pa.int64()),
+            "n_cms": pa.array(est, type=pa.int64()),
+        }
+    )
+
+
+SQL_DOC_TOKEN_CMS = rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+exact AS (
+  SELECT tok, COUNT(*) AS n_exact FROM toks WHERE tok <> '' GROUP BY tok
+),
+top AS (SELECT tok, n_exact FROM exact ORDER BY n_exact DESC, tok ASC LIMIT 20),
+cells AS (SELECT r, c, cnt FROM read_parquet('{_staged("cms_cells")}')),
+pos AS (
+  SELECT t.tok, t.n_exact, g.r,
+         CAST(('0x' || substr(md5(t.tok), 1 + 8 * g.r, 8)) AS BIGINT) % 8192 AS c
+  FROM top t CROSS JOIN range(4) AS g(r)
+),
+est AS (
+  SELECT p.tok, p.n_exact, MIN(COALESCE(cl.cnt, 0)) AS n_cms
+  FROM pos p LEFT JOIN cells cl ON cl.r = p.r AND cl.c = p.c
+  GROUP BY p.tok, p.n_exact
+)
+SELECT tok, n_exact, n_cms FROM est ORDER BY n_exact DESC, tok ASC
+"""
+
+
 def q_event_props_stats(sf_dir: str):
     """Semi-structured extraction: pull the integer ``k`` field out of
     the JSON ``props`` string with a vectorized RE2 kernel
@@ -2991,6 +3084,7 @@ def ray_queries() -> dict:
         "events_range_join": q_events_range_join,
         "doc_distinct_kmv": q_doc_distinct_kmv,
         "doc_distinct_hll": q_doc_distinct_hll,
+        "doc_token_cms": q_doc_token_cms,
         "sessionize": q_sessionize,
         "events_rolling_avg": q_events_rolling_avg,
         "events_value_zscore": q_events_value_zscore,
@@ -3062,6 +3156,7 @@ def oracle_sqls() -> dict:
         "events_range_join": SQL_EVENTS_RANGE_JOIN,
         "doc_distinct_kmv": SQL_DOC_DISTINCT_KMV,
         "doc_distinct_hll": SQL_DOC_DISTINCT_HLL,
+        "doc_token_cms": SQL_DOC_TOKEN_CMS,
         "sessionize": SQL_SESSIONIZE,
         "events_rolling_avg": SQL_EVENTS_ROLLING_AVG,
         "events_value_zscore": SQL_EVENTS_VALUE_ZSCORE,

@@ -1,5 +1,6 @@
-"""Sketches: distinct-count (KMV bottom-k and HyperLogLog) and set
-membership (Bloom filter), all as streaming Ray Data passes.
+"""Sketches: distinct-count (KMV bottom-k and HyperLogLog), set
+membership (Bloom filter) and point frequency / heavy hitters
+(Count-Min), all as streaming Ray Data passes.
 
 ``kmv_distinct`` estimates ``COUNT(DISTINCT col)`` with bounded memory
 by keeping the ``k`` lexicographically smallest md5 digests of the
@@ -238,6 +239,93 @@ def bloom_split(
         return batch.filter(pa.array(~mask if novel else mask))
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Count-Min frequency sketch (heavy hitters / point frequency queries)
+
+_CMS_PART_SCHEMA = pa.schema(
+    [("r", pa.int64()), ("c", pa.int64()), ("cnt", pa.int64())]
+)
+
+
+def cms_positions(values: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(n, depth) Count-Min column indices.  Row ``r``'s hash is hex
+    slice ``[8r, 8r+8)`` of ONE md5 hexdigest per value (depth ≤ 4) —
+    the rows are distinct 32-bit views of a single 128-bit digest
+    rather than independent hashes, the portable-oracle trade-off
+    (DuckDB replays each as
+    ``CAST(('0x' || substr(md5(v), 1+8*r, 8)) AS BIGINT) % width``;
+    same md5-per-unique-value cost class as :func:`kmv_distinct`,
+    production would swap a faster keyed hash)."""
+    if not 1 <= depth <= 4:
+        raise ValueError(f"depth must be in [1, 4] (md5 has 4 u32 slices), got {depth}")
+    out = np.empty((len(values), depth), dtype=np.int64)
+    for i, v in enumerate(values):
+        hx = hashlib.md5(str(v).encode("utf-8")).hexdigest()
+        for r in range(depth):
+            out[i, r] = int(hx[8 * r : 8 * r + 8], 16) % width
+    return out
+
+
+def cms_partial_table(
+    values: np.ndarray, weights: np.ndarray, depth: int, width: int
+) -> pa.Table:
+    """One block's Count-Min cells (Cormode & Muthukrishnan '05): fold
+    the (value, weight) pairs into a local depth×width counter matrix
+    via one scatter-add per row, emit the nonzero cells as narrow
+    ``(r, c, cnt)`` rows.  Cell streams SUM-merge (addition is
+    commutative/associative), so the folded sketch is a deterministic
+    function of the input multiset, independent of partitioning."""
+    if len(values) == 0:
+        return _CMS_PART_SCHEMA.empty_table()
+    pos = cms_positions(values, depth, width)
+    mat = np.zeros((depth, width), dtype=np.int64)
+    w = np.asarray(weights, dtype=np.int64)
+    for r in range(depth):
+        np.add.at(mat[r], pos[:, r], w)
+    rr, cc = np.nonzero(mat)
+    return pa.table(
+        {
+            "r": pa.array(rr.astype(np.int64)),
+            "c": pa.array(cc.astype(np.int64)),
+            "cnt": pa.array(mat[rr, cc]),
+        },
+        schema=_CMS_PART_SCHEMA,
+    )
+
+
+def cms_cells(
+    parts: rd.Dataset, depth: int, width: int
+) -> rd.Dataset:
+    """Fold a per-block cell stream into the global sketch: one tiny
+    groupby over ≤ depth·width distinct (r, c) keys — the shuffle moves
+    at most ``blocks × depth × min(width, block_vocab)`` narrow rows,
+    never the data."""
+    from ray.data.aggregate import Sum
+
+    return parts.groupby(["r", "c"]).aggregate(Sum("cnt", alias_name="cnt"))
+
+
+def cms_point_estimates(
+    cells, values: np.ndarray, depth: int, width: int
+) -> np.ndarray:
+    """Point-frequency estimates for ``values`` from folded cells (a
+    pandas DataFrame or pyarrow Table of (r, c, cnt)).  Estimate = min
+    over rows of the addressed cell — never an undercount
+    (est ≥ true count; overshoot ≤ e·N/width per row with prob.
+    1 − e^−depth for independent rows)."""
+    if isinstance(cells, pa.Table):
+        cells = cells.to_pandas()
+    mat = np.zeros((depth, width), dtype=np.int64)
+    mat[cells["r"].to_numpy(), cells["c"].to_numpy()] = cells["cnt"].to_numpy()
+    if len(values) == 0:
+        return np.empty(0, dtype=np.int64)
+    pos = cms_positions(values, depth, width)
+    ests = np.empty((len(values), depth), dtype=np.int64)
+    for r in range(depth):
+        ests[:, r] = mat[r, pos[:, r]]
+    return ests.min(axis=1)
 
 
 # --------------------------------------------------------------------------

@@ -192,3 +192,96 @@ def test_hll_small_range_linear_counting_and_nulls(ray_session):
     out = hll_distinct(ds, "text", p=12).to_pandas()
     assert abs(out["n_distinct_est"][0] - 50) < 5
     assert out["n_zero"][0] > 0
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch
+
+
+def test_cms_never_undercounts_and_exact_on_clean_rows(ray_session):
+    """est >= true for every value (the CMS one-sided guarantee), and
+    est == true for values with at least one collision-free row —
+    computed deterministically from the md5 positions themselves."""
+    from simhash_ray.stages.sketch import (
+        cms_cells,
+        cms_partial_table,
+        cms_point_estimates,
+        cms_positions,
+    )
+
+    depth, width = 4, 1 << 14
+    rng = np.random.default_rng(5)
+    uniq = np.array([f"tok{i}" for i in range(300)], dtype=object)
+    weights = rng.integers(1, 50, size=len(uniq)).astype(np.int64)
+
+    parts = rd.from_arrow(
+        pa.table({"v": uniq, "n": weights})
+    ).repartition(7).map_batches(
+        lambda b: cms_partial_table(
+            b["v"].to_numpy(zero_copy_only=False),
+            b["n"].to_numpy(zero_copy_only=False),
+            depth,
+            width,
+        ),
+        batch_format="pyarrow",
+    )
+    cells = cms_cells(parts, depth, width).to_pandas()
+    est = cms_point_estimates(cells, uniq, depth, width)
+    assert (est >= weights).all()
+
+    pos = cms_positions(uniq, depth, width)
+    for i in range(len(uniq)):
+        clean = False
+        for r in range(depth):
+            if (pos[:, r] == pos[i, r]).sum() == 1:  # no other value shares
+                clean = True
+        if clean:
+            assert est[i] == weights[i], (uniq[i], est[i], weights[i])
+
+
+def test_cms_fold_is_partition_invariant(ray_session):
+    """The folded cell table is a deterministic function of the input
+    multiset: any block decomposition sums to the serial matrix."""
+    from simhash_ray.stages.sketch import cms_cells, cms_partial_table
+
+    depth, width = 3, 512
+    vals = np.array([f"w{i % 40}" for i in range(1000)], dtype=object)
+    ones = np.ones(len(vals), dtype=np.int64)
+    serial = cms_partial_table(vals, ones, depth, width).to_pandas()
+
+    t = pa.table({"v": vals, "n": ones})
+    for n_parts in (1, 4, 11):
+        parts = rd.from_arrow(t).repartition(n_parts).map_batches(
+            lambda b: cms_partial_table(
+                b["v"].to_numpy(zero_copy_only=False),
+                b["n"].to_numpy(zero_copy_only=False),
+                depth,
+                width,
+            ),
+            batch_format="pyarrow",
+        )
+        folded = (
+            cms_cells(parts, depth, width)
+            .to_pandas()
+            .sort_values(["r", "c"], ignore_index=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            folded, serial.sort_values(["r", "c"], ignore_index=True)
+        )
+
+
+def test_cms_empty_and_validation(ray_session):
+    from simhash_ray.stages.sketch import (
+        cms_partial_table,
+        cms_point_estimates,
+        cms_positions,
+    )
+    import pytest
+
+    empty = cms_partial_table(np.array([], dtype=object), np.array([], dtype=np.int64), 4, 64)
+    assert empty.num_rows == 0 and empty.schema.names == ["r", "c", "cnt"]
+    assert len(cms_point_estimates(empty, np.array([], dtype=object), 4, 64)) == 0
+    with pytest.raises(ValueError):
+        cms_positions(np.array(["a"], dtype=object), 5, 64)  # md5 has 4 slices
