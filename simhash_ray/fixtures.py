@@ -38,7 +38,7 @@ import pyarrow.parquet as pq
 
 from .config import DEFAULT_CONFIG, DedupConfig
 from .imgcodec import encode_image
-from .phash import _D, _LOW, phash_to_uint64
+from .phash import gray32_from_rgb, phash_batch_32, phash_to_uint64
 from .simhash import hamming64, simhash_batch
 
 IMAGE_SCHEMA = pa.schema(
@@ -69,6 +69,11 @@ class FixtureSpec:
     frac_near_caption: float = 0.15
     frac_near_image: float = 0.05
     frac_near_both: float = 0.05
+    # mirrored copies with fresh unrelated captions: invisible to BOTH
+    # north-rule spaces (plain phash is not mirror-invariant), found
+    # only by the dihedral-canonical hash (pipelines.dedup_images
+    # .dedup_images_dihedral) — default 0 keeps the standard mix
+    frac_mirror: float = 0.0
 
     def tag(self) -> str:
         import hashlib
@@ -93,30 +98,6 @@ def _make_vocab(n: int = 2000, seed: int = 1234) -> list[str]:
 
 
 _VOCAB = _make_vocab()
-
-
-def _phash_batch_32(gray32: np.ndarray) -> np.ndarray:
-    """Vectorized phash for a (B, 32, 32) float stack → int64 array.
-    Same pinned spec as phash.phash64."""
-    coeffs = _D @ gray32 @ _D.T  # broadcasted BLAS matmul (B,32,32)
-    low = coeffs[:, :_LOW, :_LOW].reshape(len(gray32), -1)
-    med = np.median(low, axis=1, keepdims=True)
-    bits = (low > med).astype(np.uint64)
-    shifts = np.arange(64, dtype=np.uint64)
-    return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64).view(np.int64)
-
-
-def _gray(rgb: np.ndarray) -> np.ndarray:
-    return (
-        0.299 * rgb[..., 0].astype(np.float64)
-        + 0.587 * rgb[..., 1]
-        + 0.114 * rgb[..., 2]
-    )
-
-
-def _block_mean_32(gray: np.ndarray) -> np.ndarray:
-    h, w = gray.shape[-2:]
-    return gray.reshape(*gray.shape[:-2], 32, h // 32, 32, w // 32).mean(axis=(-3, -1))
 
 
 def _edit_caption(rng: np.random.Generator, tokens: list[str], n_ops: int) -> list[str]:
@@ -147,7 +128,8 @@ def generate_fixture(
     n_ncap = int(n * spec.frac_near_caption)
     n_nimg = int(n * spec.frac_near_image)
     n_nboth = int(n * spec.frac_near_both)
-    n_orig = n - n_hot - n_exact - n_ncap - n_nimg - n_nboth
+    n_mirror = int(n * spec.frac_mirror)
+    n_orig = n - n_hot - n_exact - n_ncap - n_nimg - n_nboth - n_mirror
     if n_orig <= 0:
         raise ValueError("n_rows too small for the planted mix")
 
@@ -173,7 +155,7 @@ def generate_fixture(
         for lo in range(0, len(rows), 8192):
             chunk = rows[lo : lo + 8192]
             block = rng.integers(0, 256, (len(chunk), s, s, 3), dtype=np.uint8)
-            phash[chunk] = _phash_batch_32(_block_mean_32(_gray(block)))
+            phash[chunk] = phash_batch_32(gray32_from_rgb(block))
             for j, r in enumerate(chunk):
                 pixels[r] = block[j]
 
@@ -209,6 +191,9 @@ def generate_fixture(
         "near_dup_caption": rng.integers(0, n_src_pool, n_ncap),
         "near_dup_image": rng.integers(0, n_src_pool, n_nimg),
         "near_dup_both": rng.integers(0, n_src_pool, n_nboth),
+        # size-0 draws leave the rng state untouched, so default specs
+        # generate byte-identical fixtures
+        "mirror_dup": rng.integers(0, n_src_pool, n_mirror),
     }
     for arr in src_of.values():
         is_source[arr] = True
@@ -272,7 +257,7 @@ def generate_fixture(
                 cand = np.clip(base.astype(np.int16) + noise, 0, 255).astype(
                     np.uint8
                 )
-                ph1 = _phash_batch_32(_block_mean_32(_gray(cand)))
+                ph1 = phash_batch_32(gray32_from_rgb(cand))
                 ph0 = phash[src_idx[grp]]
                 ok = (
                     hamming64(phash_to_uint64(ph1), phash_to_uint64(ph0))
@@ -304,7 +289,7 @@ def generate_fixture(
         for s in np.unique(sides_):
             rows = np.flatnonzero(sides_ == s)
             stack = np.stack([pix_list[r] for r in rows])
-            out[rows] = _phash_batch_32(_block_mean_32(_gray(stack)))
+            out[rows] = phash_batch_32(gray32_from_rgb(stack))
         return out
 
     # image near-dups
@@ -321,6 +306,23 @@ def generate_fixture(
     ):
         add_row(pix, str(fmts[fmt_idx[j]]), cap, ph1, int(j), "near_dup_both")
 
+    # mirror dups: horizontal flip + FRESH unrelated caption — neither
+    # north-rule space links them to the source (mirroring scrambles
+    # the plain phash's DCT signs), so they pin the dihedral-canonical
+    # space's added recall; truth still records cluster = source
+    if n_mirror:
+        m_lens = rng.integers(5, 31, n_mirror)
+        m_tok = rng.integers(0, len(_VOCAB), int(m_lens.sum()))
+        mcaps: list[str] = []
+        mpos = 0
+        for L in m_lens:
+            mcaps.append(" ".join(_VOCAB[t] for t in m_tok[mpos : mpos + L]))
+            mpos += L
+        for j, cap in zip(src_of["mirror_dup"], mcaps):
+            pix = np.ascontiguousarray(pixels[j][:, ::-1])
+            ph1 = int(phash_batch_32(gray32_from_rgb(pix)[None])[0])
+            add_row(pix, str(fmts[fmt_idx[j]]), cap, ph1, int(j), "mirror_dup")
+
     # ---- hot-caption skew rows ------------------------------------------
     if n_hot:
         hot_cap = "hot " + " ".join(_VOCAB[:8])
@@ -328,7 +330,7 @@ def generate_fixture(
         for _ in range(n_hot):
             s = int(sizes[rng.integers(0, len(sizes))])
             pix = rng.integers(0, 256, (s, s, 3), dtype=np.uint8)
-            ph1 = _phash_batch_32(_block_mean_32(_gray(pix))[None])[0]
+            ph1 = phash_batch_32(gray32_from_rgb(pix)[None])[0]
             add_row(
                 pix,
                 str(fmts[rng.integers(0, len(fmts))]),

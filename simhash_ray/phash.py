@@ -59,3 +59,56 @@ def phash64(rgb: np.ndarray) -> int:
 def phash_to_uint64(phash: np.ndarray) -> np.ndarray:
     """int64 column → uint64 bit view (for Hamming math)."""
     return np.asarray(phash, dtype=np.int64).view(np.uint64)
+
+
+def gray32_from_rgb(rgb: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 → (32, 32) float64 gray thumbnail (steps 1-2 of
+    the pinned spec); also accepts a (B, h, w, 3) stack → (B, 32, 32)."""
+    h, w = rgb.shape[-3:-1]
+    if h % _N or w % _N:
+        raise ValueError(f"dimensions must be multiples of {_N}, got {h}x{w}")
+    gray = (
+        0.299 * rgb[..., 0].astype(np.float64)
+        + 0.587 * rgb[..., 1]
+        + 0.114 * rgb[..., 2]
+    )
+    return gray.reshape(
+        *gray.shape[:-2], _N, h // _N, _N, w // _N
+    ).mean(axis=(-3, -1))
+
+
+def phash_batch_32(gray32: np.ndarray) -> np.ndarray:
+    """Vectorized pinned phash (steps 3-5) for a (B, 32, 32) float
+    stack → int64 array.  ``phash64`` == ``phash_batch_32(thumb[None])[0]``
+    (pinned by tests)."""
+    coeffs = _D @ gray32 @ _D.T  # broadcasted BLAS matmul (B, 32, 32)
+    low = coeffs[:, :_LOW, :_LOW].reshape(len(gray32), -1)
+    med = np.median(low, axis=1, keepdims=True)
+    bits = (low > med).astype(np.uint64)
+    return (bits << _SHIFTS[None, :]).sum(axis=1, dtype=np.uint64).view(np.int64)
+
+
+def dihedral_phash_batch_32(gray32: np.ndarray) -> np.ndarray:
+    """Dihedral-canonical perceptual hash: min (as uint64) of the
+    pinned phash over the 8 symmetries of the 32×32 thumbnail (4
+    rotations × optional mirror).  Every image in a dihedral orbit
+    hashes identically, so mirrored/rotated duplicates — invisible to
+    the plain phash — become Hamming-0 in this space.  The orbit is
+    taken on the THUMBNAIL: block-mean commutes with the symmetry
+    group when h, w are multiples of 32 (north-rule sizes), so
+    thumbnail-orbit == image-orbit."""
+    (b,) = gray32.shape[:1]
+    best = np.full(b, np.iinfo(np.uint64).max, dtype=np.uint64)
+    t = gray32
+    for _ in range(4):
+        t = np.rot90(t, axes=(-2, -1))
+        for v in (t, t[..., ::-1]):
+            best = np.minimum(
+                best, phash_batch_32(np.ascontiguousarray(v)).view(np.uint64)
+            )
+    return best.view(np.int64)
+
+
+def dihedral_phash64(rgb: np.ndarray) -> int:
+    """Dihedral-canonical hash of one (h, w, 3) uint8 RGB image."""
+    return int(dihedral_phash_batch_32(gray32_from_rgb(rgb)[None])[0])

@@ -264,6 +264,85 @@ def dedup_images(
     )
 
 
+def dedup_images_dihedral(
+    images: rd.Dataset,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    n_parts: int | None = None,
+    concurrency=(1, 8),
+    broadcast_sig_limit: int | None = None,
+) -> DedupResult:
+    """Mirror/rotation-robust image dedup: the flagship's candidate →
+    verify → cluster machinery run in the single dihedral-canonical
+    hash space (stages/multimodal.DihedralPhash — min of the pinned
+    phash over the 8 thumbnail symmetries), so a horizontally mirrored
+    or rotated copy lands at Hamming 0 where the precomputed ``phash``
+    column sees an unrelated signature.
+
+    Same two regimes as :func:`dedup_images` (``broadcast_sig_limit=0``
+    forces the distributed path).  The distributed regime reuses
+    collapse_exact / dup_edges / attach_clusters unchanged by carrying
+    the dihedral sig in BOTH signature slots and banding only the
+    image space — 8 extra bytes/row through the collapse shuffle buys
+    zero new shuffle code.  Unlike the flagship this stage must DECODE
+    (the stored phash cannot be canonicalized post-hoc), so the encode
+    pool is the wide-binary actor-pool shape: small batches, bytes
+    never pass the encoder."""
+    from ..stages.multimodal import dihedral_signatures
+
+    n_rows = images.count()
+    if n_parts is None:
+        n_parts = choose_n_parts(n_rows)
+    limit = BROADCAST_SIG_LIMIT if broadcast_sig_limit is None else broadcast_sig_limit
+    sigs = dihedral_signatures(images, concurrency=concurrency)
+    kept_sigs = None
+    if n_rows <= limit:
+        sigs = sigs.materialize()
+        kept_sigs = sigs
+        sig_df = sigs.to_pandas()
+        ids = sig_df["image_id"].to_numpy(dtype=object)
+        ai, bi = broadcast_candidate_edges(
+            {IMAGE_SPACE: sig_df["dsig"].to_numpy().view(np.uint64)},
+            [(IMAGE_SPACE, cfg.image_lsh)],
+            taus={IMAGE_SPACE: cfg.image_lsh.hamming_tau},
+            pair_full_threshold=cfg.image_lsh.pair_full_threshold,
+        )
+        import pandas as pd
+
+        a_ids, b_ids = ids[ai], ids[bi]
+        swap = a_ids > b_ids
+        a_ids[swap], b_ids[swap] = b_ids[swap], a_ids[swap]
+        edge_df = pd.DataFrame({"a": a_ids, "b": b_ids}).drop_duplicates()
+        label_df = unionfind_driver(edge_df)
+        assignment = _attach_by_own_id(sigs, label_df)
+        edges = rd.from_pandas(edge_df) if len(edge_df) else rd.from_arrow(
+            pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+        )
+        n_clusters = len(set(label_df["label"]))
+        n_nodes = len(label_df)
+    else:  # cluster-scale regime: reuse the flagship stages verbatim
+        both = sigs.map_batches(
+            lambda t: pa.table(
+                {"image_id": t["image_id"], "simhash": t["dsig"], "phash": t["dsig"]}
+            ),
+            batch_format="pyarrow",
+        )
+        collapsed = collapse_exact(both, n_parts).materialize()
+        edges = dup_edges(
+            collapsed, cfg, n_parts,
+            spaces=[(IMAGE_SPACE, "phash", cfg.image_lsh)],
+        ).materialize()
+        assignment, n_clusters, n_nodes = attach_clusters(
+            collapsed, edges, cfg, n_parts
+        )
+    return DedupResult(
+        assignment=assignment.materialize(),
+        edges=edges,
+        n_clusters_with_dups=n_clusters,
+        n_nodes_clustered=n_nodes,
+        signatures=kept_sigs,  # (image_id, dsig) in this pipeline
+    )
+
+
 def _attach_by_own_id(sigs: rd.Dataset, label_df) -> rd.Dataset:
     """Attach cluster ids when nodes ARE image ids (direct regime)."""
     import pandas as pd

@@ -2836,6 +2836,70 @@ FROM lab
 """
 
 
+# dedicated mirror-bearing fixture for the dihedral-space dedup: 8% of
+# rows are horizontally mirrored copies with fresh captions — invisible
+# to BOTH north-rule signature spaces, so they isolate exactly the
+# recall the dihedral-canonical hash adds
+_MIRROR_SPECS = {
+    "sf0.001": FixtureSpec(n_rows=800, seed=43, frac_mirror=0.08),
+    "sf0.01": FixtureSpec(n_rows=8000, seed=43, frac_mirror=0.08),
+    "sf0.1": FixtureSpec(
+        n_rows=400_000, seed=43, frac_mirror=0.08, sizes=(32,),
+        formats=("raw", "bmp"),
+    ),
+}
+
+
+def q_images_dedup_dihedral(sf_dir: str):
+    """Mirror/rotation-robust image dedup assignment
+    (pipelines.dedup_images.dedup_images_dihedral): decode → dihedral-
+    canonical phash (min of the pinned 8×8 DCT-sign hash over the 8
+    thumbnail symmetries) → LSH banding → Hamming verify → union-find,
+    over a fixture with planted mirrored copies that the plain phash
+    column cannot link.  SQL-oracle-checked via staging: the
+    (image_id, dsig) signature table is staged (decode+hash is not
+    SQL-expressible; the hash kernel is pinned by
+    tests/test_phash_imgcodec.py) and DuckDB recomputes the ENTIRE
+    downstream pipeline by a different algorithm — all-pairs τ-ball
+    edges + recursive-CTE connected components + min-id election
+    (valid: banding pigeonhole-guarantees recall 1.0 within τ)."""
+    import os
+
+    from .dedup_images import dedup_images_dihedral
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    spec = _MIRROR_SPECS.get(base, FixtureSpec(n_rows=800, seed=43, frac_mirror=0.08))
+    fdir = write_fixture(default_fixture_dir(spec), spec)
+    images = read_table(fdir, "images")
+    res = dedup_images_dihedral(images, concurrency=(1, 4))
+    sigs = res.signatures
+    if sigs is None:  # distributed regime: one extra encode pass
+        from ..stages.multimodal import dihedral_signatures
+
+        sigs = dihedral_signatures(images, concurrency=(1, 4))
+    _stage(sigs, "images_dihedral_sigs")
+    return res.assignment
+
+
+SQL_IMAGES_DEDUP_DIHEDRAL = f"""
+WITH RECURSIVE
+s AS (SELECT image_id, dsig FROM read_parquet('{_staged("images_dihedral_sigs")}')),
+e AS (
+  SELECT a.image_id AS u, b.image_id AS v
+  FROM s a JOIN s b ON a.image_id <> b.image_id
+  WHERE bit_count(xor(a.dsig, b.dsig)) <= {DEFAULT_CONFIG.image_lsh.hamming_tau}
+),
+cc(node, label) AS (
+  SELECT image_id, image_id FROM s
+  UNION
+  SELECT e.v, cc.label FROM cc JOIN e ON cc.node = e.u
+),
+lab AS (SELECT node AS image_id, MIN(label) AS cluster_id FROM cc GROUP BY node)
+SELECT image_id, cluster_id, (image_id = cluster_id) AS is_representative
+FROM lab
+"""
+
+
 def q_images_embed_dedup(sf_dir: str):
     """Multimodal → embedding-space dedup composition: decode images
     into color-histogram embeddings (actor pool over the wide binary
@@ -3123,6 +3187,7 @@ def ray_queries() -> dict:
         "doc_langid_score": q_doc_langid_score,
         "images_signatures": q_images_signatures,
         "images_dedup": q_images_dedup,
+        "images_dedup_dihedral": q_images_dedup_dihedral,
         "images_dedup_truth": q_images_dedup_truth,
         "images_dedup_incremental": q_images_dedup_incremental,
         "images_embed_dedup": q_images_embed_dedup,
@@ -3199,6 +3264,7 @@ def oracle_sqls() -> dict:
         "doc_redact": SQL_DOC_REDACT,
         "doc_curation_pipeline": SQL_DOC_CURATION_PIPELINE,
         "images_dedup": SQL_IMAGES_DEDUP,
+        "images_dedup_dihedral": SQL_IMAGES_DEDUP_DIHEDRAL,
         "images_survivor_invariant": SQL_IMAGES_SURVIVOR_INVARIANT,
         "images_stats": SQL_IMAGES_STATS,
     }

@@ -54,6 +54,54 @@ class ImageStats:
         )
 
 
+class DihedralPhash:
+    """Decode each image and emit the dihedral-canonical perceptual
+    hash (phash.dihedral_phash_batch_32): min-over-orbit of the pinned
+    8×8 DCT-sign hash, so mirrored/rotated copies collide at Hamming 0
+    — the precomputed ``phash`` column cannot catch those (mirroring
+    scrambles DCT signs).  Rows group by decoded shape so each uniform
+    group hashes as ONE vectorized (B, 32, 32) orbit pass."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import defaultdict
+
+        from ..phash import dihedral_phash_batch_32, gray32_from_rgb
+
+        n = batch.num_rows
+        dsig = np.zeros(n, dtype=np.int64)
+        if n:
+            pixs = decode_image_batch(
+                batch["bytes"].to_pylist(),
+                batch["fmt"].to_pylist(),
+                batch["w"].to_pylist(),
+                batch["h"].to_pylist(),
+            )
+            groups = defaultdict(list)
+            for i, p in enumerate(pixs):
+                groups[p.shape].append(i)
+            for idxs in groups.values():
+                stack = np.stack([pixs[i] for i in idxs])
+                dsig[np.asarray(idxs)] = dihedral_phash_batch_32(
+                    gray32_from_rgb(stack)
+                )
+        return pa.table(
+            {"image_id": batch["image_id"], "dsig": pa.array(dsig, type=pa.int64())}
+        )
+
+
+def dihedral_signatures(
+    ds: rd.Dataset, concurrency=(1, 8), batch_size: int = 256
+) -> rd.Dataset:
+    """(image_id, dsig) — actor-pool dihedral-canonical hashing over
+    the wide binary column (feeds dedup_images_dihedral)."""
+    return ds.map_batches(
+        DihedralPhash,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class ImageResize:
     """Block-mean downsample to (out_side, out_side); emits raw RGB
     bytes (the only in-sandbox encodable format without size cost)."""

@@ -136,3 +136,58 @@ def test_decode_image_batch_nonuniform_bmp_falls_back():
     data.extend(b"\x00" * 7)
     got = decode_image_batch([bytes(data)], ["bmp"], [4], [4])
     np.testing.assert_array_equal(got[0], rgb)
+
+
+def test_dihedral_phash_invariant_under_all_8_symmetries():
+    """The canonical hash is constant on the whole dihedral orbit
+    (4 rotations x optional mirror), while the plain phash is NOT
+    mirror-invariant — the gap dedup_images_dihedral exists to close."""
+    from simhash_ray.phash import dihedral_phash64
+
+    rng = np.random.default_rng(3)
+    for side in (32, 64):
+        img = rng.integers(0, 256, (side, side, 3), dtype=np.uint8)
+        base = dihedral_phash64(img)
+        variants = []
+        for k in range(4):
+            rot = np.rot90(img, k)
+            variants += [rot, rot[:, ::-1]]
+        for v in variants:
+            assert dihedral_phash64(np.ascontiguousarray(v)) == base
+        mirrored = np.ascontiguousarray(img[:, ::-1])
+        assert phash64(img) != phash64(mirrored)  # plain hash splits the pair
+
+
+def test_dihedral_phash_batch_matches_scalar_and_is_orbit_min():
+    from simhash_ray.phash import (
+        dihedral_phash64,
+        dihedral_phash_batch_32,
+        gray32_from_rgb,
+        phash_batch_32,
+    )
+
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 256, (5, 64, 64, 3), dtype=np.uint8)
+    thumbs = gray32_from_rgb(imgs)
+    batch = dihedral_phash_batch_32(thumbs)
+    for i in range(5):
+        assert int(batch[i]) == dihedral_phash64(imgs[i])
+        # canonical == min-as-uint64 over the 8 explicitly listed variants
+        orbit = []
+        t = thumbs[i]
+        for k in range(4):
+            rot = np.rot90(t, k)
+            orbit += [rot, rot[:, ::-1]]
+        sigs = phash_batch_32(np.ascontiguousarray(np.stack(orbit)))
+        assert np.int64(batch[i]).view(np.uint64) == sigs.view(np.uint64).min()
+
+
+def test_gray32_matches_phash64_pipeline():
+    """phash_batch_32(gray32_from_rgb(x)) == phash64(x) — one audited
+    kernel behind scalar, batch, fixture and dihedral paths."""
+    from simhash_ray.phash import gray32_from_rgb, phash_batch_32
+
+    rng = np.random.default_rng(5)
+    for side in (32, 96):
+        img = rng.integers(0, 256, (side, side, 3), dtype=np.uint8)
+        assert int(phash_batch_32(gray32_from_rgb(img)[None])[0]) == phash64(img)

@@ -192,3 +192,40 @@ def test_hot_caption_skew_fixture():
     assert hot_clusters.nunique() == 1
     recall, _, _ = planted_pair_recall(adf, tdf)
     assert recall >= 0.99
+
+
+def test_dihedral_dedup_finds_mirrors_both_regimes():
+    """Planted mirrored copies (fresh captions, flipped pixels) are
+    invisible to the flagship's two spaces but Hamming-0 in the
+    dihedral-canonical space: dedup_images_dihedral links every one to
+    its source in BOTH regimes with identical assignments, while the
+    plain pipeline links none."""
+    import pandas as pd
+
+    from simhash_ray.pipelines.dedup_images import dedup_images_dihedral
+
+    tables = generate_fixture(FixtureSpec(n_rows=600, seed=13, frac_mirror=0.1))
+    truth = tables["truth"].to_pandas()
+    images = rd.from_arrow(tables["images"])
+    mirrors = truth[truth["kind"] == "mirror_dup"]
+    assert len(mirrors) == 60
+    src_by_cluster = (
+        truth[truth["kind"] == "original"].set_index("cluster_id")["image_id"]
+    )
+
+    def mirror_hits(adf):
+        a = adf.set_index("image_id")["cluster_id"]
+        return sum(
+            a[m.image_id] == a[src_by_cluster[m.cluster_id]]
+            for m in mirrors.itertuples()
+        )
+
+    direct = dedup_images_dihedral(images, n_parts=8)
+    dist = dedup_images_dihedral(images, n_parts=8, broadcast_sig_limit=0)
+    d_df = direct.assignment.to_pandas().sort_values("image_id", ignore_index=True)
+    x_df = dist.assignment.to_pandas().sort_values("image_id", ignore_index=True)
+    pd.testing.assert_frame_equal(d_df, x_df)
+    assert mirror_hits(d_df) == len(mirrors)
+
+    plain = dedup_images(images, DEFAULT_CONFIG, n_parts=8)
+    assert mirror_hits(plain.assignment.to_pandas()) == 0
