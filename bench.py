@@ -320,6 +320,23 @@ def _run_bench() -> dict:
 
         timed("images_embed_dedup", run_embed_dedup)
 
+        # mirror/rotation-robust dedup: decode → dihedral-canonical
+        # phash (8-symmetry orbit min) → LSH → cluster.  Unlike the
+        # headline this MUST decode (the stored phash column cannot be
+        # canonicalized post-hoc), so it prices the decode-bound
+        # variant of the flagship
+        def run_dihedral():
+            res = flagship.dedup_images_dihedral(
+                read_images(), DEFAULT_CONFIG, concurrency=(1, 8)
+            )
+            return res.assignment.count()
+
+        n_dih = timed("e2e_dedup_dihedral", run_dihedral)
+        assert n_dih == n_images, (n_dih, n_images)
+        timings["dihedral_images_per_sec"] = round(
+            n_images / timings["e2e_dedup_dihedral"], 1
+        )
+
     result = {
         "metric": "e2e_dedup_seconds",
         "value": timings["e2e_dedup"],
