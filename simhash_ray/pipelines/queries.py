@@ -1990,14 +1990,12 @@ GROUP BY 1
 """
 
 
-def q_doc_minhash_pairs(sf_dir: str):
-    """MinHash-LSH near-dup pairs, SQL-oracle-checked via staging: the
-    encoder and band-bucket candidate generation are not
-    SQL-expressible (splitmix permutations), so the UNPACKED signature
-    table (doc_id, perm, minval) and the deduped candidate set are
-    staged to parquet, and the oracle re-runs the verify step —
-    per-pair signature-agreement estimate + θ filter — in DuckDB.
-    Candidate recall vs the exact operator stays pytest-pinned."""
+def _minhash_staged_pairs(sf_dir: str, sig_name: str, cand_name: str):
+    """Shared staging decomposition for the MinHash queries: identical
+    composition/parameters to minhash_dup_pairs(theta=0.7, shingle_k=2,
+    n_perm=64, n_bands=16), decomposed so the UNPACKED signature table
+    (doc_id, perm, minval) and the deduped candidate set land in
+    per-query staged parquet; returns (docs, verified_pairs)."""
     from ..stages.base import map_groups_typed
     from ..stages.minhash import (
         _EMPTY_PAIRS,
@@ -2010,9 +2008,6 @@ def q_doc_minhash_pairs(sf_dir: str):
     )
 
     docs = _docs(sf_dir, columns=["doc_id", "text"])
-    # identical composition/parameters to minhash_dup_pairs(theta=0.7,
-    # shingle_k=2, n_perm=64, n_bands=16) — decomposed so the two
-    # intermediates can be staged
     sig_ds = minhash_signatures(docs, shingle_k=2, concurrency=(1, 4)).materialize()
 
     def unpack(batch: pa.Table) -> pa.Table:
@@ -2027,16 +2022,28 @@ def q_doc_minhash_pairs(sf_dir: str):
             }
         )
 
-    _stage(sig_ds.map_batches(unpack, batch_format="pyarrow"), "minhash_sigs")
+    _stage(sig_ds.map_batches(unpack, batch_format="pyarrow"), sig_name)
     bands = sig_ds.map_batches(make_band_expander(64, 16, 64), batch_format="pyarrow")
     pairs = _dedupe_pairs(
         map_groups_typed(bands, "part", make_pair_generator(512, 64), _EMPTY_PAIRS)
     ).materialize()
     _stage(
         pairs.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow"),
-        "minhash_cands",
+        cand_name,
     )
-    return _verify_broadcast(pairs, sig_ds, 0.7, 64)
+    return docs, _verify_broadcast(pairs, sig_ds, 0.7, 64)
+
+
+def q_doc_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs, SQL-oracle-checked via staging: the
+    encoder and band-bucket candidate generation are not
+    SQL-expressible (splitmix permutations), so the UNPACKED signature
+    table (doc_id, perm, minval) and the deduped candidate set are
+    staged to parquet, and the oracle re-runs the verify step —
+    per-pair signature-agreement estimate + θ filter — in DuckDB.
+    Candidate recall vs the exact operator stays pytest-pinned."""
+    _, verified = _minhash_staged_pairs(sf_dir, "minhash_sigs", "minhash_cands")
+    return verified
 
 
 SQL_DOC_MINHASH_PAIRS = f"""
@@ -2051,6 +2058,49 @@ est AS (
   GROUP BY c.a, c.b
 )
 SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.7
+"""
+
+
+def q_doc_minhash_dedup(sf_dir: str):
+    """MinHash near-dup CLUSTERS — the assignment-level twin of
+    doc_minhash_pairs (every doc gets cluster_id + is_representative,
+    the MinHash counterpart of doc_simhash_dedup).  SQL-oracle-checked
+    via staging: the unpacked signature table and the candidate set are
+    staged (own names, so this query and doc_minhash_pairs never race
+    on staged files), and DuckDB independently re-runs the verify
+    (signature-agreement ≥ θ) AND the whole clustering — symmetrized
+    edges + recursive-CTE connected components over ALL doc ids +
+    min-id representative election."""
+    from ..stages.minhash import minhash_dedup
+
+    docs, verified = _minhash_staged_pairs(
+        sf_dir, "minhash_dedup_sigs", "minhash_dedup_cands"
+    )
+    return minhash_dedup(docs, pairs=verified)
+
+
+SQL_DOC_MINHASH_DEDUP = f"""
+WITH RECURSIVE
+sig AS (SELECT doc_id, perm, minval FROM read_parquet('{_staged("minhash_dedup_sigs")}')),
+cand AS (SELECT a, b FROM read_parquet('{_staged("minhash_dedup_cands")}')),
+est AS (
+  SELECT c.a, c.b,
+         SUM(CASE WHEN sa.minval = sb.minval THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b AND sb.perm = sa.perm
+  GROUP BY c.a, c.b
+),
+p AS (SELECT a, b FROM est WHERE est_jaccard >= 0.7),
+e AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b AS u, a AS v FROM p),
+cc(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, cc.label FROM cc JOIN e ON cc.node = e.u
+),
+lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY node)
+SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_representative
+FROM lab
 """
 
 
@@ -3169,6 +3219,7 @@ def ray_queries() -> dict:
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_cap_per_source": q_doc_cap_per_source,
         "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_minhash_dedup": q_doc_minhash_dedup,
         "doc_simhash_sigs": q_doc_simhash_sigs,
         "doc_simhash_dedup": q_doc_simhash_dedup,
         "doc_dedup_incremental": q_doc_dedup_incremental,
@@ -3250,6 +3301,7 @@ def oracle_sqls() -> dict:
         # staged-parquet oracles (see the "oracle staging" section):
         "doc_simhash_sigs": SQL_DOC_SIMHASH_SIGS,
         "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
+        "doc_minhash_dedup": SQL_DOC_MINHASH_DEDUP,
         "embed_dup_pairs_lsh": SQL_EMBED_DUP_PAIRS_LSH,
         "embed_kmeans": SQL_EMBED_KMEANS,
         "embed_semdedup": SQL_EMBED_SEMDEDUP,

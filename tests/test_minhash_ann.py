@@ -557,3 +557,42 @@ def test_video_frame_decoder_injection_through_ray_stage():
     assert out["video_id"].tolist() == ["a", "a", "a"]
     assert out["frame_idx"].tolist() == [0, 2, 4]
     assert out["bytes"].tolist() == [b"\x00\x00", b"\x02\x02", b"\x04\x04"]
+
+
+def test_minhash_dedup_clusters_match_pairs_both_paths(corpus, ray_session):
+    """minhash_dedup's assignment is the union-find closure of
+    minhash_dup_pairs' verified pair set — every pair co-clustered,
+    every pairless doc its own representative — and the driver
+    union-find path equals the distributed-CC + join-attach path
+    (broadcast_limit=0)."""
+    from simhash_ray.stages.cluster import unionfind_driver
+    from simhash_ray.stages.minhash import minhash_dedup
+
+    docs = rd.from_pandas(corpus)
+    pairs = minhash_dup_pairs(docs, concurrency=(1, 2)).to_pandas()
+    a = (
+        minhash_dedup(docs, concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    b = (
+        minhash_dedup(docs, concurrency=(1, 2), broadcast_limit=0, n_parts=8)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+    assign = a.set_index("doc_id")["cluster_id"]
+    assert len(pairs) > 0
+    for p in pairs.itertuples():
+        assert assign[p.a] == assign[p.b]
+    # expected labels from an independent union-find over the pairs
+    label_df = unionfind_driver(pairs[["a", "b"]])
+    lm = pd.Series(label_df["label"].to_numpy(), index=label_df["node"].to_numpy())
+    want = (
+        corpus["doc_id"].map(lm).fillna(corpus["doc_id"]).astype(np.int64)
+    )
+    assert (assign.loc[corpus["doc_id"]].to_numpy() == want.to_numpy()).all()
+    reps = a[a["is_representative"]]
+    assert (reps["doc_id"] == reps["cluster_id"]).all()
+    assert set(a["cluster_id"]) == set(reps["doc_id"])
