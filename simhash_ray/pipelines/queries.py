@@ -1906,6 +1906,41 @@ FROM (
 """
 
 
+def q_doc_len_quantiles_sampled(sf_dir: str):
+    """Approximate length percentiles via a deterministic 1/4
+    md5-Bernoulli sample + exact quantiles of the sample
+    (stages/topk.sampled_quantiles) — the scale path when the value
+    column's cardinality is unbounded and exact_quantiles' histogram
+    assertion cannot hold.  No RNG anywhere, so the oracle replays the
+    identical sample (md5-u32 threshold) and quantile_disc in SQL."""
+    from ..stages import text as text_ops
+    from ..stages.topk import sampled_quantiles
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    toks = docs.map_batches(
+        text_ops.token_count_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_tokens"])
+    return sampled_quantiles(
+        toks, "n_tokens",
+        {"p50": (1, 2), "p90": (9, 10), "p99": (99, 100)},
+        rate=(1, 4),
+    )
+
+
+SQL_DOC_LEN_QUANTILES_SAMPLED = r"""
+SELECT quantile_disc(n_tokens, 0.50) AS p50,
+       quantile_disc(n_tokens, 0.90) AS p90,
+       quantile_disc(n_tokens, 0.99) AS p99
+FROM (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        * 4 < 4294967296
+)
+"""
+
+
 def q_doc_lang_len_quantiles(sf_dir: str):
     """Per-language exact length percentiles
     (stages/topk.exact_quantiles_per_group): the curation thresholds a
@@ -3212,6 +3247,7 @@ def ray_queries() -> dict:
         "doc_decontaminate": q_doc_decontaminate,
         "orders_topk_per_segment": q_orders_topk_per_segment,
         "doc_len_quantiles": q_doc_len_quantiles,
+        "doc_len_quantiles_sampled": q_doc_len_quantiles_sampled,
         "doc_lang_len_quantiles": q_doc_lang_len_quantiles,
         "doc_best_of_cluster": q_doc_best_of_cluster,
         "doc_unigram_logprob": q_doc_unigram_logprob,
@@ -3286,6 +3322,7 @@ def oracle_sqls() -> dict:
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "orders_topk_per_segment": SQL_ORDERS_TOPK_PER_SEGMENT,
         "doc_len_quantiles": SQL_DOC_LEN_QUANTILES,
+        "doc_len_quantiles_sampled": SQL_DOC_LEN_QUANTILES_SAMPLED,
         "doc_lang_len_quantiles": SQL_DOC_LANG_LEN_QUANTILES,
         "doc_best_of_cluster": SQL_DOC_BEST_OF_CLUSTER,
         "doc_unigram_logprob": SQL_DOC_UNIGRAM_LOGPROB,

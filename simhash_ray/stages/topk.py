@@ -239,3 +239,32 @@ def _disc_index(n: int, num: int, den: int) -> int:
     coincides only when n·q is ≥ the next integer boundary — e.g. both
     give 449 at n=500, q=0.9, but 64 vs 65 at n=73)."""
     return max(0, (n * num + den - 1) // den - 1)
+
+
+def sampled_quantiles(
+    ds: rd.Dataset,
+    col: str,
+    quantiles: dict[str, tuple[int, int]],
+    rate: tuple[int, int],
+    id_col: str = "doc_id",
+    max_distinct: int = 10_000_000,
+) -> pa.Table:
+    """Approximate quantiles at UNBOUNDED value cardinality: a
+    deterministic md5-Bernoulli(rate) row sample (stages/sample
+    .hash_sample — partition-invariant, no RNG, SQL-replayable)
+    followed by :func:`exact_quantiles` on the sample.
+
+    This is the scale path where exact_quantiles' whole-column
+    bounded-distinct requirement cannot hold (floating scores,
+    unbounded lengths): the histogram the driver folds is bounded by
+    the SAMPLE's distinct count instead.  Deterministic given the data,
+    so an oracle replays it exactly; the sample q-quantile's true rank
+    deviates by the usual O(sqrt(q(1-q)/m)) at sample size m (DKW
+    bound) — callers pick the rate so m stays large enough for their
+    tolerance."""
+    from .sample import hash_sample
+
+    num, den = rate
+    return exact_quantiles(
+        hash_sample(ds, num, den, id_col=id_col), col, quantiles, max_distinct
+    )

@@ -101,3 +101,38 @@ def test_quantiles_negative_values():
     assert out["p0"][0] == s[0] == -50
     assert out["p50"][0] == s[(len(s) - 1) // 2]
     assert out["p100"][0] == s[-1] == 100
+
+
+def test_sampled_quantiles_partition_invariant_and_near_exact(ray_session):
+    """The deterministic-sample quantile path: identical result under
+    any partitioning (no RNG), and within the DKW rank band of the
+    exact answer on a 20k-row skewed column."""
+    import pyarrow as pa
+
+    from simhash_ray.stages.topk import exact_quantiles, sampled_quantiles
+
+    rng = np.random.default_rng(8)
+    vals = rng.geometric(0.02, size=20_000).astype(np.int64)  # heavy tail
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(20_000, dtype=np.int64)), "v": pa.array(vals)}
+    )
+    qs = {"p50": (1, 2), "p90": (9, 10)}
+    outs = [
+        sampled_quantiles(
+            rd.from_arrow(t).repartition(p), "v", qs, rate=(1, 4), id_col="doc_id"
+        ).to_pandas()
+        for p in (1, 7)
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    exact = exact_quantiles(rd.from_arrow(t), "v", qs).to_pandas()
+    s = np.sort(vals)
+    for name, (num, den) in qs.items():
+        est = outs[0][name][0]
+        # rank of the estimate in the FULL data within ±4*sqrt(q(1-q)/m)
+        q = num / den
+        m = 20_000 // 4
+        rank = np.searchsorted(s, est, side="right") / len(s)
+        assert abs(rank - q) < 4 * np.sqrt(q * (1 - q) / m) + 1 / m, (
+            name, est, rank, exact[name][0],
+        )
