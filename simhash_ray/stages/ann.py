@@ -221,10 +221,14 @@ class HyperplaneSigner:
     = sign of the projection onto random plane j; P[bit match] =
     1 − angle/π, so near-duplicates agree on almost every bit."""
 
-    def __init__(self, dim: int, id_col: str, vec_col: str, seed: int = 1234):
+    def __init__(
+        self, dim: int, id_col: str, vec_col: str, seed: int = 1234,
+        center: np.ndarray | None = None,
+    ):
         rng = np.random.default_rng(seed)
         self.planes = rng.standard_normal((dim, 64))
         self.id_col, self.vec_col = id_col, vec_col
+        self.center = center
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -233,6 +237,17 @@ class HyperplaneSigner:
                  "hsig": pa.array([], type=pa.int64())}
             )
         mat = _to_matrix(batch[self.vec_col])
+        if self.center is not None:
+            # sign((û − c) @ P): on corpora whose normalized vectors
+            # concentrate around one direction (e.g. color histograms
+            # of natural/noise images all near uniform), raw sign bits
+            # agree for almost every pair and banding degenerates to
+            # all-pairs; centering spreads the angular distribution
+            # while near-duplicates (û ≈ v̂) keep identical centered
+            # vectors and still collide
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            mat = mat / nrm - self.center[None, :]
         bits = (mat @ self.planes > 0).astype(np.uint64)
         sig = np.zeros(len(mat), dtype=np.uint64)
         for j in range(64):
@@ -245,33 +260,103 @@ class HyperplaneSigner:
         )
 
 
+def _corpus_center(
+    vectors: rd.Dataset, id_col: str, vec_col: str, n_rows: int
+) -> np.ndarray:
+    """Deterministic estimate of the normalized-vector centroid: an
+    md5-Bernoulli id sample targeting ~64k rows (whole corpus below
+    that), collected once and averaged in sorted-id order — no RNG, so
+    the center (hence every band key) is partition-invariant and
+    reproducible across reruns."""
+    from ..functions.hashing import md5_u32_of_int_ids
+
+    target = 65536
+    sample = vectors.select_columns([id_col, vec_col])
+    if n_rows > target:
+        thr = np.uint64(((1 << 32) * target) // n_rows)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return batch.filter(pa.array(md5_u32_of_int_ids(ids) < thr))
+
+        sample = sample.map_batches(keep, batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        sample.iter_batches(batch_format="pyarrow", batch_size=65536)
+    )
+    if tbl.num_rows == 0:  # degenerate corpus; fall back to no shift
+        dim = len(vectors.take(1)[0][vec_col])
+        return np.zeros(dim, dtype=np.float64)
+    order = np.argsort(tbl[id_col].to_numpy(zero_copy_only=False))
+    mat = _to_matrix(tbl[vec_col])[order]
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return (mat / nrm).mean(axis=0)
+
+
+def choose_cosine_bands(n_rows: int) -> int:
+    """Band count for the hyperplane-LSH signature as a function of
+    corpus size — the key-space-saturation guard.  With ``n_bands``
+    bands of ``r = 64/n_bands`` bits each there are only ``2^r``
+    buckets per band; once ``n_rows / 2^r`` exceeds the pair
+    generator's useful bucket size, EVERY bucket is oversized and
+    candidate generation degenerates toward all-pairs (measured: the
+    n_bands=8 default at 400k rows spent 340 s where n_bands=4 needs
+    seconds — the same saturation disease the incremental band keys
+    had).  Pick the largest band count (most recall) whose expected
+    bucket stays small; at the high-cosine thresholds this operator
+    targets, fewer/wider bands barely cost recall (c = 0.999:
+    1−(1−p^16)^4 ≈ 0.998)."""
+    for nb in (8, 4, 2):
+        if n_rows / float(2 ** (64 // nb)) <= 64:
+            return nb
+    return 2
+
+
 def lsh_cosine_candidates(
     vectors: rd.Dataset,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bands: int = 8,
+    n_bands: int | None = None,
     seed: int = 1234,
     n_parts: int = 64,
     pair_full_threshold: int = 512,
     concurrency=(1, 8),
+    center: bool = True,
 ) -> rd.Dataset:
     """Candidate half of :func:`lsh_cosine_dup_pairs`: encode
     (HyperplaneSigner actor pool) → narrow band rows (the u64 signature
     splits into ``n_bands`` contiguous bit-chunks; OR-of-bands rule) →
     one bucket groupby (reusing the MinHash pair generator with its
     star skew-guard) → global pair dedupe.  Returns (a, b, star).
-    Exposed separately so the candidate set can be staged for the SQL
-    oracle, which re-runs the exact-cosine verify in DuckDB."""
+    ``n_bands=None`` sizes the bands to the corpus
+    (:func:`choose_cosine_bands`); ``center=True`` signs the
+    MEAN-CENTERED normalized vectors (deterministic sampled centroid,
+    :func:`_corpus_center`) — on angularly concentrated corpora raw
+    sign bits agree for almost every pair (measured: 38.5M candidates
+    for 10k true pairs at 400k histogram embeddings) while near-dup
+    pairs keep identical centered vectors; pairs lying essentially AT
+    the centroid are the only recall exposure, and the exact verify
+    keeps precision 1 either way.  Pass ``vectors`` materialized — the
+    auto rules count/scan it.  Exposed separately so the candidate set
+    can be staged for the SQL oracle, which re-runs the exact-cosine
+    verify in DuckDB."""
     from ..functions.hashing import part_of_ints
     from .base import map_groups_typed
     from .minhash import _EMPTY_PAIRS, _dedupe_pairs, make_pair_generator
 
+    if n_bands is None:
+        n_bands = choose_cosine_bands(vectors.count())
     first = vectors.take(1)[0]
     dim = len(first[vec_col])
+    c_vec = (
+        _corpus_center(vectors, id_col, vec_col, vectors.count())
+        if center
+        else None
+    )
     sig_ds = vectors.select_columns([id_col, vec_col]).map_batches(
         HyperplaneSigner,
         fn_constructor_kwargs={"dim": dim, "id_col": id_col, "vec_col": vec_col,
-                               "seed": seed},
+                               "seed": seed, "center": c_vec},
         batch_format="pyarrow",
         concurrency=concurrency,
     )
@@ -316,7 +401,7 @@ def lsh_cosine_dup_pairs(
     threshold_den: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bands: int = 8,
+    n_bands: int | None = None,
     seed: int = 1234,
     n_parts: int = 64,
     pair_full_threshold: int = 512,
@@ -332,8 +417,11 @@ def lsh_cosine_dup_pairs(
     against a broadcast of the normalized vectors (hash joins above
     ``broadcast_limit``).  Recall for a pair at cosine c is
     1 − (1 − p^(64/n_bands))^n_bands with p = 1 − arccos(c)/π —
-    ≈ 0.999 at c = 0.98 with the defaults; grow bits-per-band
-    (lower n_bands) to cut candidates at higher corpus sizes.
+    ≈ 0.999 at c = 0.98 with 8 bands.  The default ``n_bands=None``
+    widens bands as the corpus grows (:func:`choose_cosine_bands`) so
+    band-key space never saturates; at this operator's high-cosine
+    thresholds the recall cost is negligible (c = 0.999, 4 bands:
+    ≈ 0.998).
 
     Exact-cosine verify means precision 1 vs the exact operator; only
     barely-over-threshold pairs can be missed (tests/test_minhash_ann
