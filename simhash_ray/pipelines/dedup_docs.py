@@ -77,10 +77,17 @@ def dedup_documents_from_sigs(
     )
     edge_df = pd.DataFrame({"a": ids[ai], "b": ids[bi]}).drop_duplicates()
     label_df = unionfind_driver(edge_df)
-    lm = pd.Series(label_df["label"].to_numpy(), index=label_df["node"].to_numpy())
-    cluster = (
-        pd.Series(ids).map(lm).fillna(pd.Series(ids)).to_numpy().astype(ids.dtype)
-    )
+    if np.issubdtype(ids.dtype, np.integer):
+        from ..stages.cluster import attach_int_labels
+
+        cluster = attach_int_labels(ids, label_df)
+    else:  # string/object ids: map stays in object space, no float trip
+        lm = pd.Series(
+            label_df["label"].to_numpy(), index=label_df["node"].to_numpy()
+        )
+        cluster = (
+            pd.Series(ids).map(lm).fillna(pd.Series(ids)).to_numpy().astype(ids.dtype)
+        )
     out = pa.table(
         {
             id_col: pa.array(ids),
@@ -149,7 +156,9 @@ def _dedup_documents_distributed(
     edges = dup_edges(
         collapsed, cfg, n_parts, spaces=[(_TS, "simhash", cfg.text_lsh)]
     ).materialize()
-    assignment, _, _ = attach_clusters(collapsed, edges, cfg, n_parts)
+    assignment, _, _ = attach_clusters(
+        collapsed, edges, cfg, n_parts, compute_n_clusters=False
+    )
 
     def from_wire(batch: pa.Table) -> pa.Table:
         if int_ids:

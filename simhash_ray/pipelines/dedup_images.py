@@ -187,6 +187,27 @@ def cluster_broadcast(collapsed: rd.Dataset, cfg: DedupConfig):
     return label_df, edge_df
 
 
+def _direct_regime_cluster(ids, space_sigs, spaces, taus, pair_full_threshold):
+    """Shared direct-regime tail (flagship + dihedral): broadcast
+    banding over id-aligned signature arrays → canonical (a < b,
+    deduped) edge set → driver union-find.  Returns
+    (edge_df, label_df, edges_ds)."""
+    import pandas as pd
+
+    ai, bi = broadcast_candidate_edges(
+        space_sigs, spaces, taus=taus, pair_full_threshold=pair_full_threshold
+    )
+    a_ids, b_ids = ids[ai], ids[bi]
+    swap = a_ids > b_ids
+    a_ids[swap], b_ids[swap] = b_ids[swap], a_ids[swap]
+    edge_df = pd.DataFrame({"a": a_ids, "b": b_ids}).drop_duplicates()
+    label_df = unionfind_driver(edge_df)
+    edges = rd.from_pandas(edge_df) if len(edge_df) else rd.from_arrow(
+        pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+    )
+    return edge_df, label_df, edges
+
+
 def dedup_images(
     images: rd.Dataset,
     cfg: DedupConfig = DEFAULT_CONFIG,
@@ -222,7 +243,8 @@ def dedup_images(
         kept_sigs = sigs
         sig_df = sigs.to_pandas()
         ids = sig_df["image_id"].to_numpy(dtype=object)
-        ai, bi = broadcast_candidate_edges(
+        edge_df, label_df, edges = _direct_regime_cluster(
+            ids,
             {
                 TEXT_SPACE: sig_df["simhash"].to_numpy().view(np.uint64),
                 IMAGE_SPACE: sig_df["phash"].to_numpy().view(np.uint64),
@@ -236,17 +258,7 @@ def dedup_images(
                 cfg.text_lsh.pair_full_threshold, cfg.image_lsh.pair_full_threshold
             ),
         )
-        import pandas as pd
-
-        a_ids, b_ids = ids[ai], ids[bi]
-        swap = a_ids > b_ids
-        a_ids[swap], b_ids[swap] = b_ids[swap], a_ids[swap]
-        edge_df = pd.DataFrame({"a": a_ids, "b": b_ids}).drop_duplicates()
-        label_df = unionfind_driver(edge_df)
         assignment = _attach_by_own_id(sigs, label_df)
-        edges = rd.from_pandas(edge_df) if len(edge_df) else rd.from_arrow(
-            pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
-        )
         n_clusters = len(set(label_df["label"]))
         n_nodes = len(label_df)
     else:  # cluster-scale regime (composed-tested + benched since r2)
@@ -300,23 +312,14 @@ def dedup_images_dihedral(
         kept_sigs = sigs
         sig_df = sigs.to_pandas()
         ids = sig_df["image_id"].to_numpy(dtype=object)
-        ai, bi = broadcast_candidate_edges(
+        edge_df, label_df, edges = _direct_regime_cluster(
+            ids,
             {IMAGE_SPACE: sig_df["dsig"].to_numpy().view(np.uint64)},
             [(IMAGE_SPACE, cfg.image_lsh)],
             taus={IMAGE_SPACE: cfg.image_lsh.hamming_tau},
             pair_full_threshold=cfg.image_lsh.pair_full_threshold,
         )
-        import pandas as pd
-
-        a_ids, b_ids = ids[ai], ids[bi]
-        swap = a_ids > b_ids
-        a_ids[swap], b_ids[swap] = b_ids[swap], a_ids[swap]
-        edge_df = pd.DataFrame({"a": a_ids, "b": b_ids}).drop_duplicates()
-        label_df = unionfind_driver(edge_df)
         assignment = _attach_by_own_id(sigs, label_df)
-        edges = rd.from_pandas(edge_df) if len(edge_df) else rd.from_arrow(
-            pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
-        )
         n_clusters = len(set(label_df["label"]))
         n_nodes = len(label_df)
     else:  # cluster-scale regime: reuse the flagship stages verbatim
@@ -407,6 +410,7 @@ def attach_clusters(
     cfg: DedupConfig = DEFAULT_CONFIG,
     n_parts: int = 64,
     broadcast_limit: int | None = None,
+    compute_n_clusters: bool = True,
 ) -> tuple[rd.Dataset, int, int]:
     """Cluster the verified edges and attach cluster ids to every row.
 
@@ -460,6 +464,8 @@ def attach_clusters(
 
         assignment = joined.map_batches(finish, batch_format="pyarrow")
 
+    if not compute_n_clusters:  # callers that discard the metric
+        return assignment, -1, n_nodes  # (dedup_docs; review finding)
     # n_clusters = distinct cluster ids among NON-representative rows —
     # one regime-independent definition (the label-set count missed
     # collapse-only exact-dup clusters in the distributed regime, so the

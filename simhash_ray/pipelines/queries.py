@@ -832,24 +832,13 @@ def q_doc_token_cms(sf_dir: str):
     both the exact counts (from `documents`) and the estimates (md5
     hex-slice positions + MIN over rows) — cross-checking the
     distributed fold AND the point-query semantics."""
-    from ..functions.tokenize import tokens_flat
     from ..stages.sketch import cms_cells, cms_partial_table, cms_point_estimates
 
     depth, width = 4, 8192
     docs = _docs(sf_dir, columns=["text"])
-    part_schema = pa.schema([("tok", pa.string()), ("n", pa.int64())])
-
-    def tok_counts(batch: pa.Table) -> pa.Table:
-        denc = tokens_flat(batch["text"]).flat.dictionary_encode()
-        counts = np.bincount(
-            denc.indices.to_numpy(zero_copy_only=False),
-            minlength=len(denc.dictionary),
-        ).astype(np.int64)
-        return pa.table(
-            {"tok": denc.dictionary, "n": pa.array(counts)}, schema=part_schema
-        )
-
-    parts = docs.map_batches(tok_counts, batch_format="pyarrow").materialize()
+    parts = docs.map_batches(
+        _token_count_partial, batch_format="pyarrow"
+    ).materialize()
 
     def cms_part(batch: pa.Table) -> pa.Table:
         return cms_partial_table(
@@ -1169,6 +1158,25 @@ FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
 """
 
 
+_TOK_PART_SCHEMA = pa.schema([("tok", pa.string()), ("n", pa.int64())])
+
+
+def _token_count_partial(batch: pa.Table) -> pa.Table:
+    """Per-block (tok, n) partial counts: dictionary-encode the
+    flattened token stream + one bincount (shared by doc_top_tokens
+    and doc_token_cms — one audited counting kernel)."""
+    from ..functions.tokenize import tokens_flat
+
+    denc = tokens_flat(batch["text"]).flat.dictionary_encode()
+    counts = np.bincount(
+        denc.indices.to_numpy(zero_copy_only=False),
+        minlength=len(denc.dictionary),
+    ).astype(np.int64)
+    return pa.table(
+        {"tok": denc.dictionary, "n": pa.array(counts)}, schema=_TOK_PART_SCHEMA
+    )
+
+
 def q_doc_top_tokens(sf_dir: str):
     """Corpus vocabulary head: top-20 tokens by occurrence (the
     vocab-building aggregate of tokenizer training), with in-batch
@@ -1176,22 +1184,8 @@ def q_doc_top_tokens(sf_dir: str):
     (tiny) token groupby; ties broken (count DESC, token ASC)."""
     docs = _docs(sf_dir, columns=["text"])
 
-    part_schema = pa.schema([("tok", pa.string()), ("n", pa.int64())])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        from ..functions.tokenize import tokens_flat
-
-        denc = tokens_flat(batch["text"]).flat.dictionary_encode()
-        counts = np.bincount(
-            denc.indices.to_numpy(zero_copy_only=False),
-            minlength=len(denc.dictionary),
-        ).astype(np.int64)
-        return pa.table(
-            {"tok": denc.dictionary, "n": pa.array(counts)}, schema=part_schema
-        )
-
     agg = (
-        docs.map_batches(partial, batch_format="pyarrow")
+        docs.map_batches(_token_count_partial, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(Sum("n", alias_name="n"))
     )

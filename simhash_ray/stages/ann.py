@@ -280,12 +280,11 @@ def _corpus_center(
             return batch.filter(pa.array(md5_u32_of_int_ids(ids) < thr))
 
         sample = sample.map_batches(keep, batch_format="pyarrow")
-    tbl = pa.concat_tables(
-        sample.iter_batches(batch_format="pyarrow", batch_size=65536)
-    )
-    if tbl.num_rows == 0:  # degenerate corpus; fall back to no shift
+    batches = list(sample.iter_batches(batch_format="pyarrow", batch_size=65536))
+    if not batches:  # sample drained (degenerate hash luck): no shift
         dim = len(vectors.take(1)[0][vec_col])
         return np.zeros(dim, dtype=np.float64)
+    tbl = pa.concat_tables(batches)
     order = np.argsort(tbl[id_col].to_numpy(zero_copy_only=False))
     mat = _to_matrix(tbl[vec_col])[order]
     nrm = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -344,14 +343,18 @@ def lsh_cosine_candidates(
     from .base import map_groups_typed
     from .minhash import _EMPTY_PAIRS, _dedupe_pairs, make_pair_generator
 
+    # materialize first: a lazy input (e.g. bench's decode→embed chain)
+    # would otherwise re-execute for the count, the take(1), the center
+    # scan AND the signer pass (review finding, late r4); materialize
+    # is idempotent when the caller already did it
+    vectors = vectors.materialize()
+    n_rows = vectors.count()
     if n_bands is None:
-        n_bands = choose_cosine_bands(vectors.count())
+        n_bands = choose_cosine_bands(n_rows)
     first = vectors.take(1)[0]
     dim = len(first[vec_col])
     c_vec = (
-        _corpus_center(vectors, id_col, vec_col, vectors.count())
-        if center
-        else None
+        _corpus_center(vectors, id_col, vec_col, n_rows) if center else None
     )
     sig_ds = vectors.select_columns([id_col, vec_col]).map_batches(
         HyperplaneSigner,

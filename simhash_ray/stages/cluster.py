@@ -405,3 +405,22 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds"
     )
+
+
+def attach_int_labels(ids: np.ndarray, label_df) -> np.ndarray:
+    """Cluster label per int64 id (self-label where the id has no
+    component) — pure int64 searchsorted.  A ``pd.Series.map``+
+    ``fillna`` attach round-trips through float64 and silently corrupts
+    ids above 2^53 (review finding, late r4); every integer-id
+    broadcast attach goes through here instead."""
+    ids = np.asarray(ids, dtype=np.int64)
+    cluster = ids.copy()
+    if len(label_df):
+        nodes = np.asarray(label_df["node"], dtype=np.int64)
+        labels = np.asarray(label_df["label"], dtype=np.int64)
+        order = np.argsort(nodes)
+        nodes, labels = nodes[order], labels[order]
+        pos = np.searchsorted(nodes, ids).clip(max=len(nodes) - 1)
+        hit = nodes[pos] == ids
+        cluster[hit] = labels[pos[hit]]
+    return cluster

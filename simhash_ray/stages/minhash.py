@@ -671,21 +671,20 @@ def minhash_dedup(
     ids_ds = docs.select_columns([id_col])
 
     if pairs.count() <= limit:
+        from .cluster import attach_int_labels
+
         edge_df = pairs.to_pandas()[["a", "b"]]
         label_df = unionfind_driver(edge_df)
-        lm_ref = ray.put(
-            pd.Series(label_df["label"].to_numpy(), index=label_df["node"].to_numpy())
-        )
+        lm_ref = ray.put(label_df)
 
         def attach(batch: pa.Table) -> pa.Table:
-            lm = ray.get(lm_ref)
-            ids = pd.Series(batch[id_col].to_numpy(zero_copy_only=False))
-            cluster = ids.map(lm).fillna(ids).astype(np.int64).to_numpy()
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            cluster = attach_int_labels(ids, ray.get(lm_ref))
             return pa.table(
                 {
                     id_col: batch[id_col],
                     "cluster_id": pa.array(cluster, type=pa.int64()),
-                    "is_representative": pa.array(ids.to_numpy() == cluster),
+                    "is_representative": pa.array(ids == cluster),
                 }
             )
 
