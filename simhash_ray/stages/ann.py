@@ -487,7 +487,14 @@ def lsh_cosine_dup_pairs(
             }
         )
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    # large explicit batches: the default ~1k batch size turns 12.9M
+    # candidate rows into ~12k tiny tasks whose per-batch overhead
+    # dwarfs the searchsorted+einsum (measured 113 s → numpy-bound
+    # seconds); 256k pair rows gather ~200 MB of vectors, well within
+    # a worker's heap
+    return pairs.map_batches(
+        verify, batch_format="pyarrow", batch_size=262144
+    )
 
 
 def _cosine_verify_join(
@@ -555,7 +562,9 @@ def _cosine_verify_join(
             }
         )
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    return joined.map_batches(
+        verify, batch_format="pyarrow", batch_size=262144
+    )
 
 
 class HyperplaneHasher:
