@@ -441,7 +441,10 @@ def _verify_broadcast(
             }
         )
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    # large explicit batches: pair streams arrive as many small
+    # map_groups blocks; coalescing keeps the stage numpy-bound
+    # (same finding as stages/ann.py verify, late r4)
+    return pairs.map_batches(verify, batch_format="pyarrow", batch_size=262144)
 
 
 def _verify_join(
@@ -487,7 +490,7 @@ def _verify_join(
             }
         )
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow", batch_size=262144)
 
 
 def minhash_signatures(
