@@ -13,7 +13,7 @@ Subcommands::
         Parquet plus metrics.json
     python -m simhash_ray encode <table-dir> --out DIR
         signatures only (image_id, simhash, phash)
-    python -m simhash_ray dedup-docs <table> --out DIR
+    python -m simhash_ray dedup-docs <table> --out DIR [--ckpt DIR]
         text-domain flagship over a document table
         (--text-col/--id-col; writes assignment/ + metrics.json)
     python -m simhash_ray convert <src> --from lines --to parquet --out DIR
@@ -139,13 +139,19 @@ def cmd_dedup_docs(args) -> int:
     _init_ray(args.num_cpus)
     import ray.data as rd
 
-    from .pipelines.dedup_docs import dedup_documents
+    from .pipelines.dedup_docs import dedup_documents, dedup_documents_checkpointed
 
     cfg = _load_cfg(args)
     docs = rd.read_parquet(args.table, columns=[args.id_col, args.text_col])
-    assignment = dedup_documents(
-        docs, cfg, text_col=args.text_col, id_col=args.id_col
-    ).materialize()
+    if args.ckpt:
+        assignment = dedup_documents_checkpointed(
+            docs, args.ckpt, cfg, text_col=args.text_col, id_col=args.id_col,
+            input_fingerprint=args.table,
+        ).materialize()
+    else:
+        assignment = dedup_documents(
+            docs, cfg, text_col=args.text_col, id_col=args.id_col
+        ).materialize()
     os.makedirs(args.out, exist_ok=True)
     assignment.write_parquet(os.path.join(args.out, "assignment"))
     n = assignment.count()
@@ -332,6 +338,7 @@ def main(argv=None) -> int:
     dd.add_argument("--out", required=True, help="output directory")
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--ckpt", default=None, help="checkpoint dir (resumable run)")
     dd.set_defaults(fn=cmd_dedup_docs)
 
     cu = sub.add_parser(

@@ -175,3 +175,40 @@ def _dedup_documents_distributed(
         )
 
     return assignment.map_batches(from_wire, batch_format="pyarrow")
+
+
+def dedup_documents_checkpointed(
+    docs: rd.Dataset,
+    ckpt_dir: str,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=None,
+    input_fingerprint: str = "",
+) -> rd.Dataset:
+    """Checkpoint-resumable document dedup — the text twin of
+    dedup_images_checkpointed: the (dominant) encode stage and the
+    clustering each commit a Parquet directory + lineage manifest
+    (state/manifest.py), so a killed run resumes at the first
+    uncommitted stage and a rerun is free.  Kill-and-rerun identity is
+    pinned in tests/test_resume.py."""
+    from ..state.manifest import CheckpointedRun
+
+    run = CheckpointedRun(ckpt_dir, cfg.config_hash())
+    sigs = run.stage(
+        "doc_signatures",
+        lambda: encode_signatures(
+            docs.select_columns([id_col, text_col]),
+            cfg.simhash,
+            text_col=text_col,
+            concurrency=concurrency,
+        ).select_columns([id_col, "simhash"]),
+        input_fingerprint,
+    )
+    assignment = run.stage(
+        "doc_assignment",
+        lambda: dedup_documents_from_sigs(sigs, cfg, id_col=id_col),
+        input_fingerprint,
+    )
+    run.write_metrics()
+    return assignment

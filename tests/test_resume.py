@@ -337,3 +337,53 @@ def test_curation_checkpointed_matches_plain_and_resumes(tmp_path):
     metrics = json.load(open(os.path.join(root, "metrics.json")))
     assert metrics["gated"]["resumed"] and metrics["survivors"]["resumed"]
     assert not metrics["clean"]["resumed"]
+
+
+def test_doc_dedup_checkpointed_matches_plain_and_resumes(tmp_path):
+    """dedup_documents_checkpointed == dedup_documents; a rerun resumes
+    both stages; dropping the assignment manifest recomputes only the
+    clustering (the committed encode never reruns)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from simhash_ray.pipelines.dedup_docs import (
+        dedup_documents,
+        dedup_documents_checkpointed,
+    )
+
+    rng = np.random.default_rng(21)
+    words = [f"w{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(8, 30))) for _ in range(300)
+    ]
+    texts[40] = texts[30]  # planted dups
+    texts[41] = texts[30] + " w0"
+    docs_tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+
+    def canon(ds):
+        return ds.to_pandas().sort_values("doc_id", ignore_index=True)
+
+    docs = rd.from_arrow(docs_tbl)
+    want = canon(dedup_documents(docs, concurrency=(1, 2)))
+    root = str(tmp_path / "dd")
+    got1 = canon(
+        dedup_documents_checkpointed(docs, root, concurrency=(1, 2))
+    )
+    pd.testing.assert_frame_equal(want, got1.astype(want.dtypes.to_dict()))
+    # full rerun: both stages resumed
+    got2 = canon(dedup_documents_checkpointed(docs, root, concurrency=(1, 2)))
+    pd.testing.assert_frame_equal(want, got2.astype(want.dtypes.to_dict()))
+    metrics = json.load(open(os.path.join(root, "metrics.json")))
+    assert all(v["resumed"] for v in metrics.values())
+    # kill-sim: lose the assignment commit, keep the encode
+    os.remove(os.path.join(root, "doc_assignment.manifest.json"))
+    got3 = canon(dedup_documents_checkpointed(docs, root, concurrency=(1, 2)))
+    pd.testing.assert_frame_equal(want, got3.astype(want.dtypes.to_dict()))
+    metrics = json.load(open(os.path.join(root, "metrics.json")))
+    assert metrics["doc_signatures"]["resumed"]
+    assert not metrics["doc_assignment"]["resumed"]
