@@ -746,6 +746,124 @@ FROM e JOIN p
 """
 
 
+def q_doc_profile(sf_dir: str):
+    """Corpus data-profiling composite — the pre-flight pass a pipeline
+    runs before curation to size its stages: per-column null counts,
+    distinct counts (exact distributed groupby for bounded-cardinality
+    columns; the KMV sketch for the unbounded ``text`` column, same
+    deterministic estimator as doc_distinct_kmv) and numeric min/max/
+    mean, as one long-format (col, stat, value) table.
+
+    Scale shape: nulls + numeric moments fold from one streaming
+    per-block partial pass (tiny partial rows, integer sums → the mean
+    is summation-order-exact); the categorical distincts are one small
+    groupby each; text distinct is the bounded-memory bottom-k fold.
+    Everything is a deterministic function of the data, so the oracle
+    replays every stat — including the KMV estimate — in SQL."""
+    from ..stages.sketch import kmv_distinct
+
+    docs = _docs(sf_dir, columns=["text", "lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nch = batch["n_chars"].drop_null()
+        has = len(nch) > 0
+        return pa.table(
+            {
+                "text_nulls": pa.array([batch["text"].null_count], pa.int64()),
+                "lang_nulls": pa.array([batch["lang"].null_count], pa.int64()),
+                "source_nulls": pa.array([batch["source"].null_count], pa.int64()),
+                "nchars_nulls": pa.array([batch["n_chars"].null_count], pa.int64()),
+                "nchars_min": pa.array(
+                    [pc.min(nch).as_py() if has else None], pa.int64()
+                ),
+                "nchars_max": pa.array(
+                    [pc.max(nch).as_py() if has else None], pa.int64()
+                ),
+                "nchars_sum": pa.array(
+                    [pc.sum(nch).as_py() if has else 0], pa.int64()
+                ),
+                "nchars_n": pa.array([len(nch)], pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+    def n_distinct(col: str) -> int:
+        return (
+            docs.select_columns([col])
+            .map_batches(lambda t: t.drop_null(), batch_format="pyarrow")
+            .groupby(col)
+            .count()
+            .count()
+        )
+
+    kmv = kmv_distinct(docs, "text", k=256).to_pandas()["n_distinct_est"][0]
+    mean = (
+        round(float(parts["nchars_sum"].sum()) / int(parts["nchars_n"].sum()), 6)
+        if parts["nchars_n"].sum()
+        else 0.0
+    )
+    rows = [
+        ("lang", "n_nulls", float(parts["lang_nulls"].sum())),
+        ("lang", "n_distinct", float(n_distinct("lang"))),
+        ("source", "n_nulls", float(parts["source_nulls"].sum())),
+        ("source", "n_distinct", float(n_distinct("source"))),
+        ("text", "n_nulls", float(parts["text_nulls"].sum())),
+        ("text", "n_distinct_kmv", float(kmv)),
+        ("n_chars", "n_nulls", float(parts["nchars_nulls"].sum())),
+        ("n_chars", "min", float(parts["nchars_min"].min())),
+        ("n_chars", "max", float(parts["nchars_max"].max())),
+        ("n_chars", "mean", mean),
+    ]
+    return pa.table(
+        {
+            "col": pa.array([r[0] for r in rows], pa.string()),
+            "stat": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([round(r[2], 6) for r in rows], pa.float64()),
+        }
+    )
+
+
+SQL_DOC_PROFILE = """
+WITH h AS (
+  SELECT DISTINCT md5(text) AS d FROM documents WHERE text IS NOT NULL
+),
+o AS (SELECT d FROM h ORDER BY d LIMIT 256),
+s AS (SELECT COUNT(*) AS c, MAX(d) AS kth FROM o),
+kmv AS (
+  SELECT CASE WHEN c < 256 THEN ROUND(CAST(c AS DOUBLE), 6)
+         ELSE ROUND(255 / (('0x' || substr(kth, 1, 16))::UBIGINT
+                            / 18446744073709551616.0), 6)
+         END AS est
+  FROM s
+)
+SELECT col, stat, ROUND(value, 6) AS value FROM (
+  SELECT 'lang' AS col, 'n_nulls' AS stat,
+         CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS value
+  FROM documents
+  UNION ALL SELECT 'lang', 'n_distinct', CAST(COUNT(DISTINCT lang) AS DOUBLE)
+  FROM documents
+  UNION ALL SELECT 'source', 'n_nulls',
+         CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+  FROM documents
+  UNION ALL SELECT 'source', 'n_distinct', CAST(COUNT(DISTINCT source) AS DOUBLE)
+  FROM documents
+  UNION ALL SELECT 'text', 'n_nulls',
+         CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+  FROM documents
+  UNION ALL SELECT 'text', 'n_distinct_kmv', (SELECT est FROM kmv)
+  UNION ALL SELECT 'n_chars', 'n_nulls',
+         CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+  FROM documents
+  UNION ALL SELECT 'n_chars', 'min', CAST(MIN(n_chars) AS DOUBLE) FROM documents
+  UNION ALL SELECT 'n_chars', 'max', CAST(MAX(n_chars) AS DOUBLE) FROM documents
+  UNION ALL SELECT 'n_chars', 'mean',
+         ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars), 6)
+  FROM documents
+)
+"""
+
+
 def q_doc_distinct_kmv(sf_dir: str):
     """Approximate distinct-document count via the bottom-k (KMV)
     sketch — the "how many unique docs are in this crawl" estimate a
@@ -3226,6 +3344,7 @@ def ray_queries() -> dict:
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
         "doc_distinct_kmv": q_doc_distinct_kmv,
+        "doc_profile": q_doc_profile,
         "doc_distinct_hll": q_doc_distinct_hll,
         "doc_token_cms": q_doc_token_cms,
         "sessionize": q_sessionize,
@@ -3301,6 +3420,7 @@ def oracle_sqls() -> dict:
         "events_asof": SQL_EVENTS_ASOF,
         "events_range_join": SQL_EVENTS_RANGE_JOIN,
         "doc_distinct_kmv": SQL_DOC_DISTINCT_KMV,
+        "doc_profile": SQL_DOC_PROFILE,
         "doc_distinct_hll": SQL_DOC_DISTINCT_HLL,
         "doc_token_cms": SQL_DOC_TOKEN_CMS,
         "sessionize": SQL_SESSIONIZE,
