@@ -864,6 +864,46 @@ SELECT col, stat, ROUND(value, 6) AS value FROM (
 """
 
 
+def q_events_funnel(sf_dir: str):
+    """Greedy-earliest conversion funnel view → click → purchase per
+    user (stages/window.funnel): t1 = earliest view, t2 = earliest
+    click strictly after t1, t3 = earliest purchase strictly after t2,
+    NULL from the first missing step.  One user-hash groupby; each
+    step resolves with one global searchsorted over the partition's
+    virtual time axis.  The oracle is the chained MIN-after-join
+    formulation."""
+    from ..stages.window import funnel
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel(ev, ["view", "click", "purchase"], n_parts=16)
+
+
+SQL_EVENTS_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT s1.user_id, MIN(e.ts) AS t2
+  FROM s1 JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY s1.user_id
+),
+s3 AS (
+  SELECT s2.user_id, MIN(e.ts) AS t3
+  FROM s2 JOIN events e
+    ON e.user_id = s2.user_id AND e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY s2.user_id
+)
+SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+       CAST(1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_steps
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
 def q_doc_distinct_kmv(sf_dir: str):
     """Approximate distinct-document count via the bottom-k (KMV)
     sketch — the "how many unique docs are in this crawl" estimate a
@@ -3349,6 +3389,7 @@ def ray_queries() -> dict:
         "doc_token_cms": q_doc_token_cms,
         "sessionize": q_sessionize,
         "events_rolling_avg": q_events_rolling_avg,
+        "events_funnel": q_events_funnel,
         "events_value_zscore": q_events_value_zscore,
         "customers_without_orders": q_customers_without_orders,
         "doc_token_stats": q_doc_token_stats,
@@ -3425,6 +3466,7 @@ def oracle_sqls() -> dict:
         "doc_token_cms": SQL_DOC_TOKEN_CMS,
         "sessionize": SQL_SESSIONIZE,
         "events_rolling_avg": SQL_EVENTS_ROLLING_AVG,
+        "events_funnel": SQL_EVENTS_FUNNEL,
         "events_value_zscore": SQL_EVENTS_VALUE_ZSCORE,
         "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "doc_token_stats": SQL_DOC_TOKEN_STATS,

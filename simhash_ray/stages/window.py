@@ -358,3 +358,132 @@ def rolling_time_avg(
         .groupby("part")
         .map_groups(per_part, batch_format="pyarrow")
     )
+
+
+def funnel(
+    events: rd.Dataset,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    n_parts: int = 64,
+    virtual_axis_limit: int = 2**62,
+) -> rd.Dataset:
+    """Greedy-earliest funnel per user: t1 = the user's earliest
+    ``steps[0]`` event; t_i = the earliest ``steps[i-1]`` event
+    STRICTLY after t_{i-1}; NULL from the first missing step on.  One
+    row per user who reaches step 1: (user_id, t1..tk, n_steps) — the
+    SQL chained MIN-after-join semantics (see SQL_EVENTS_FUNNEL).
+
+    Same shuffle shape as :func:`sessionize` / :func:`rolling_time_avg`:
+    one coarse groupby on the user hash, then the WHOLE partition runs
+    in k vectorized passes — users lexsort into runs, timestamps lift
+    onto the disjoint virtual axis, and each step resolves with ONE
+    global ``searchsorted`` over that step's event subset (no per-user
+    Python; the per-run loop fallback covers a virtual-axis overflow,
+    same policy as rolling_time_avg)."""
+    from ..functions.hashing import part_of_ints, part_of_strings
+
+    k = len(steps)
+    if k == 0:
+        raise ValueError("steps must be non-empty")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        users = batch[user_col]
+        if pa.types.is_integer(users.type):
+            part = part_of_ints(
+                n_parts, users.to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        else:
+            part = part_of_strings(
+                np.asarray(users.to_numpy(zero_copy_only=False), dtype=object),
+                n_parts,
+            )
+        return pa.table(
+            {
+                user_col: users,
+                "ts_us": batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+                type_col: batch[type_col],
+                "part": pa.array(part, type=pa.int32()),
+            }
+        )
+
+    out_fields = [(user_col, pa.int64())]
+    out_fields += [(f"t{i + 1}", pa.timestamp("us")) for i in range(k)]
+    out_fields.append(("n_steps", pa.int64()))
+    out_schema = pa.schema(out_fields)
+
+    def per_part(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        users = group[user_col].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        types = np.asarray(group[type_col].to_numpy(zero_copy_only=False))
+        order = np.lexsort((ts, users))
+        users, ts, types = users[order], ts[order], types[order]
+        run_start = np.ones(n, dtype=bool)
+        run_start[1:] = users[1:] != users[:-1]
+        run_id = np.cumsum(run_start) - 1
+        n_runs = int(run_id[-1]) + 1
+        user_of_run = users[run_start]
+        t0 = int(ts.min())
+        ts_rel = ts - t0
+        span = np.int64(int(ts_rel.max()) + 2)
+        step_ts = np.full((k, n_runs), -1, dtype=np.int64)
+
+        if n_runs * int(span) >= virtual_axis_limit:
+            # per-run fallback: same semantics, looped over users
+            starts = np.flatnonzero(run_start)
+            ends = np.append(starts[1:], n)
+            for j, (s, e) in enumerate(zip(starts, ends)):
+                prev = np.int64(-1)
+                for i, st in enumerate(steps):
+                    seg = ts[s:e][types[s:e] == st]
+                    pos = np.searchsorted(seg, prev, side="right")
+                    if pos >= len(seg):
+                        break
+                    step_ts[i, j] = seg[pos]
+                    prev = seg[pos]
+        else:
+            vt = run_id.astype(np.int64) * span + ts_rel
+            runs = np.arange(n_runs, dtype=np.int64)
+            cur = runs * span - 1  # "before the run's first event"
+            alive = np.ones(n_runs, dtype=bool)
+            for i, st in enumerate(steps):
+                sv = vt[types == st]
+                if len(sv) == 0:
+                    break
+                pos = np.searchsorted(sv, cur, side="right")
+                ok = alive & (pos < len(sv))
+                cand = sv[np.minimum(pos, len(sv) - 1)]
+                ok &= (cand // span) == runs  # hit stayed inside the run
+                step_ts[i, ok] = t0 + (cand[ok] % span)
+                cur = np.where(ok, cand, cur)
+                alive = ok
+                if not alive.any():
+                    break
+
+        keep = step_ts[0] >= 0  # users who reach step 1
+        cols: dict = {user_col: pa.array(user_of_run[keep], type=pa.int64())}
+        for i in range(k):
+            vals = step_ts[i, keep]
+            arr = pa.array(vals, type=pa.int64()).cast(pa.timestamp("us"))
+            cols[f"t{i + 1}"] = pc.if_else(
+                pa.array(vals >= 0), arr, pa.scalar(None, pa.timestamp("us"))
+            )
+        cols["n_steps"] = pa.array(
+            (step_ts[:, keep] >= 0).sum(axis=0).astype(np.int64)
+        )
+        return pa.table(cols, schema=out_schema)
+
+    from .base import map_groups_typed
+
+    return map_groups_typed(
+        events.select_columns([user_col, ts_col, type_col]).map_batches(
+            tag, batch_format="pyarrow"
+        ),
+        "part",
+        per_part,
+        out_schema.empty_table(),
+    )

@@ -104,3 +104,86 @@ def test_rolling_fallback_path_matches_virtual_axis(ray_session):
     pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
     pd.testing.assert_series_equal(fast["n_win"], want["n_win"], check_dtype=False)
     np.testing.assert_allclose(fast["rolling_avg"], want["rolling_avg"], rtol=1e-12)
+
+
+def _funnel_reference(df, steps):
+    """Per-user Python reference: greedy-earliest strict chain."""
+    out = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values("ts")
+        prev = None
+        ts_list = []
+        for st in steps:
+            cand = g[(g["event_type"] == st)]
+            if prev is not None:
+                cand = cand[cand["ts"] > prev]
+            if len(cand) == 0:
+                break
+            prev = cand["ts"].iloc[0]
+            ts_list.append(prev)
+        if ts_list:
+            row = {"user_id": uid, "n_steps": len(ts_list)}
+            for i, t in enumerate(ts_list):
+                row[f"t{i + 1}"] = t
+            out.append(row)
+    cols = ["user_id"] + [f"t{i + 1}" for i in range(len(steps))] + ["n_steps"]
+    return (
+        pd.DataFrame(out, columns=cols)
+        .sort_values("user_id", ignore_index=True)
+    )
+
+
+def test_funnel_partial_paths_match_reference(ray_session):
+    """Funnel edge coverage the testdata can't hit: users missing a
+    step, out-of-order-only steps (click before any view), users with
+    no step-1 event (absent from output), duplicate timestamps — both
+    the vectorized virtual-axis path and the per-run fallback
+    (virtual_axis_limit=1) equal the per-user Python reference."""
+    import pyarrow as pa
+
+    from simhash_ray.stages.window import funnel
+
+    rng = np.random.default_rng(17)
+    steps = ["view", "click", "purchase"]
+    rows = []
+    base = pd.Timestamp("2026-01-01").value // 1000  # us
+    for uid in range(60):
+        n_ev = rng.integers(1, 12)
+        for _ in range(n_ev):
+            rows.append(
+                {
+                    "user_id": uid,
+                    "ts": pd.Timestamp(
+                        (base + int(rng.integers(0, 3_600_000_000))) * 1000
+                    ),
+                    "event_type": steps[rng.integers(0, 3)]
+                    if rng.random() < 0.8
+                    else "error",
+                }
+            )
+    # handcrafted edges
+    t = lambda s: pd.Timestamp(f"2026-01-02 00:00:{s:02d}")
+    rows += [  # user 100: click BEFORE the only view → funnel stops at t1
+        {"user_id": 100, "ts": t(1), "event_type": "click"},
+        {"user_id": 100, "ts": t(2), "event_type": "view"},
+    ]
+    rows += [  # user 101: view+click same ts → strict > rejects the click
+        {"user_id": 101, "ts": t(1), "event_type": "view"},
+        {"user_id": 101, "ts": t(1), "event_type": "click"},
+        {"user_id": 101, "ts": t(3), "event_type": "click"},
+    ]
+    rows += [{"user_id": 102, "ts": t(1), "event_type": "error"}]  # no step 1
+    df = pd.DataFrame(rows)
+    want = _funnel_reference(df, steps)
+    assert (want["n_steps"] < 3).any() and 102 not in set(want["user_id"])
+
+    ev = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    for limit in (2**62, 1):  # vectorized axis, then per-run fallback
+        got = (
+            funnel(ev, steps, n_parts=4, virtual_axis_limit=limit)
+            .to_pandas()
+            .sort_values("user_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(
+            got, want.astype(got.dtypes.to_dict()), check_dtype=False
+        )
