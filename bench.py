@@ -226,6 +226,9 @@ def _run_bench() -> dict:
         from simhash_ray.pipelines.queries import q_events_rolling_avg
 
         timed("events_rolling_avg", lambda: q_events_rolling_avg(sf_dir).count())
+        from simhash_ray.pipelines.queries import q_events_funnel
+
+        timed("events_funnel", lambda: q_events_funnel(sf_dir).count())
         vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         timed(
             "embed_dup_pairs_lsh",
