@@ -2649,6 +2649,140 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# training-output preparation (stages/packing.py)
+
+_CHUNK_WINDOW = 32
+_PACK_CAPACITY = 512
+_PACK_PART_SPAN = 128
+
+
+def q_doc_chunks(sf_dir: str):
+    """Context-length sharding: each document's whitespace tokens cut
+    into consecutive 32-token windows (last window ragged), rebuilt as
+    chunk strings — the map from curated documents to model-sized
+    training pieces.  Pure streaming map_batches; the chunk strings
+    come from ONE vectorized binary_join over a re-offsetted token
+    ListArray."""
+    from ..stages.packing import chunk_tokens
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return chunk_tokens(docs, window=_CHUNK_WINDOW)
+
+
+SQL_DOC_CHUNKS = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+  FROM documents
+)
+SELECT doc_id, i AS chunk_idx,
+       LEAST((i + 1) * {_CHUNK_WINDOW}, n) - i * {_CHUNK_WINDOW}
+           AS n_chunk_tokens,
+       array_to_string(
+           t[i * {_CHUNK_WINDOW} + 1 : LEAST((i + 1) * {_CHUNK_WINDOW}, n)],
+           ' ') AS chunk_text
+FROM toks,
+     LATERAL unnest(generate_series(
+         0, CAST(ceil(n / CAST({_CHUNK_WINDOW} AS DOUBLE)) AS BIGINT) - 1
+     )) AS u(i)
+WHERE n > 0
+"""
+
+
+def q_doc_pack(sf_dir: str):
+    """Greedy sequence packing: documents first-fit in id order into
+    512-token bins inside deterministic 128-id partitions — the
+    pretraining batch-packing step.  Only (doc_id, n_tokens) shuffles;
+    the greedy per partition is O(bins·log rows) searchsorted over the
+    token cumsum.  The SQL oracle re-derives the same greedy with a
+    recursive CTE (one bin per partition per iteration)."""
+    from ..stages.packing import pack_greedy
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    counted = docs.map_batches(
+        text_ops.token_count_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_tokens"])
+    return pack_greedy(
+        counted, capacity=_PACK_CAPACITY, part_span=_PACK_PART_SPAN
+    )
+
+
+SQL_DOC_PACK = rf"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, doc_id // {_PACK_PART_SPAN} AS part,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, part, n,
+         ROW_NUMBER() OVER (PARTITION BY part ORDER BY doc_id) AS rn,
+         CAST(SUM(n) OVER (PARTITION BY part ORDER BY doc_id) AS BIGINT)
+             AS cum
+  FROM base
+),
+mx AS (SELECT part, MAX(rn) AS mr FROM ordered GROUP BY part),
+bins AS (
+  SELECT part, CAST(-1 AS BIGINT) AS bin_seq, CAST(0 AS BIGINT) AS end_rn,
+         CAST(0 AS BIGINT) AS end_cum
+  FROM mx
+  UNION ALL
+  SELECT b.part, b.bin_seq + 1, pick.rn, nxt.cum
+  FROM bins b
+  JOIN mx ON mx.part = b.part
+  CROSS JOIN LATERAL (
+    SELECT COALESCE(
+             (SELECT MAX(o.rn) FROM ordered o
+              WHERE o.part = b.part AND o.rn > b.end_rn
+                AND o.cum <= b.end_cum + {_PACK_CAPACITY}),
+             b.end_rn + 1) AS rn
+  ) pick
+  CROSS JOIN LATERAL (
+    SELECT o2.cum AS cum FROM ordered o2
+    WHERE o2.part = b.part AND o2.rn = pick.rn
+  ) nxt
+  WHERE b.end_rn < mx.mr
+),
+bins2 AS (
+  SELECT part, bin_seq, end_rn, end_cum,
+         LAG(end_rn, 1, 0) OVER (PARTITION BY part ORDER BY bin_seq)
+             AS start_rn,
+         LAG(end_cum, 1, 0) OVER (PARTITION BY part ORDER BY bin_seq)
+             AS start_cum
+  FROM bins WHERE bin_seq >= 0
+)
+SELECT o.doc_id, o.part, b.bin_seq, o.n AS n_tokens,
+       o.cum - o.n - b.start_cum AS bin_offset
+FROM ordered o
+JOIN bins2 b ON o.part = b.part AND o.rn > b.start_rn AND o.rn <= b.end_rn
+"""
+
+
+def q_doc_shuffle_rank(sf_dir: str):
+    """Reproducible training-order shuffle: every doc's global rank
+    under the content-independent (md5_u32(doc_id), doc_id) order —
+    the distributed zipWithIndex.  Bucket-histogram pattern: no global
+    sort, driver sees only the 256-row bucket histogram."""
+    from ..stages.packing import global_rank
+
+    docs = _docs(sf_dir, columns=["doc_id"])
+    return global_rank(docs)
+
+
+SQL_DOC_SHUFFLE_RANK = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS rank
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             AS shuffle_key
+  FROM documents
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # embeddings
 
 
@@ -3417,6 +3551,9 @@ def ray_queries() -> dict:
         "doc_curation_pipeline": q_doc_curation_pipeline,
         "doc_lang_pred": q_doc_lang_pred,
         "doc_rolling_fp": q_doc_rolling_fp,
+        "doc_chunks": q_doc_chunks,
+        "doc_pack": q_doc_pack,
+        "doc_shuffle_rank": q_doc_shuffle_rank,
         "embed_topk": q_embed_topk,
         "embed_label_stats": q_embed_label_stats,
         "embed_dup_pairs": q_embed_dup_pairs,
@@ -3491,6 +3628,9 @@ def oracle_sqls() -> dict:
         "doc_lang_pred": SQL_DOC_LANG_PRED,
         "doc_langid_score": SQL_DOC_LANGID_SCORE,
         "doc_rolling_fp": SQL_DOC_ROLLING_FP,
+        "doc_chunks": SQL_DOC_CHUNKS,
+        "doc_pack": SQL_DOC_PACK,
+        "doc_shuffle_rank": SQL_DOC_SHUFFLE_RANK,
         # staged-parquet oracles (see the "oracle staging" section):
         "doc_simhash_sigs": SQL_DOC_SIMHASH_SIGS,
         "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
