@@ -2785,6 +2785,111 @@ FROM (
 # --------------------------------------------------------------------------
 # embeddings
 
+# shared quantization CTE: deterministic round-half-up int8 per vector,
+# the exact IEEE expression stages/quantize.py evaluates in numpy
+_SQL_QUANTIZE_CTE = """
+qraw AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS e,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127
+             AS scale
+  FROM embeddings
+),
+qq AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0
+              THEN list_transform(e, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e, x -> CAST(floor(x / scale + 0.5)
+                                               AS BIGINT)) END AS qv
+  FROM qraw
+)
+"""
+
+
+def q_embed_quantize(sf_dir: str):
+    """Per-vector symmetric int8 quantization (the 4× embedding
+    storage/shuffle reduction), pinned bit-for-bit against the SQL
+    oracle via integer content checks: saturated-lane count, q·q, and
+    an index-weighted sum — all exact integers, plus the float64
+    scale."""
+    from ..stages.quantize import quantize_int8
+
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = quantize_int8(vecs)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "scale": pa.array([], type=pa.float64()),
+                    "n_sat": pa.array([], type=pa.int64()),
+                    "q_norm2": pa.array([], type=pa.int64()),
+                    "q_wsum": pa.array([], type=pa.int64()),
+                }
+            )
+        lists = batch["qvec"].combine_chunks()
+        flat = lists.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        d = len(flat) // n
+        q = flat.reshape(n, d)
+        idx = np.arange(1, d + 1, dtype=np.int64)  # 1-based, as SQL's (x,i)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "scale": batch["scale"],
+                "n_sat": pa.array((np.abs(q) == 127).sum(axis=1)),
+                "q_norm2": pa.array((q * q).sum(axis=1)),
+                "q_wsum": pa.array(q @ idx),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+SQL_EMBED_QUANTIZE = f"""
+WITH {_SQL_QUANTIZE_CTE}
+SELECT vec_id, scale,
+       CAST(list_sum(list_transform(qv,
+            x -> CASE WHEN abs(x) = 127 THEN 1 ELSE 0 END)) AS BIGINT)
+           AS n_sat,
+       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_norm2,
+       CAST(list_sum(list_transform(qv, (x, i) -> x * i)) AS BIGINT) AS q_wsum
+FROM qq
+"""
+
+
+def q_embed_quantized_topk(sf_dir: str):
+    """Top-5 neighbors under the DEQUANTIZED int8 dot product
+    ``(q_a · q_b) · scale_a · scale_b`` — the quantized ANN path.  The
+    dot is an exact integer in float64 (64 lanes × 127² ≈ 1e6), so
+    scores and therefore ranks match the SQL oracle with no float
+    tolerance."""
+    from ..stages.quantize import quantized_topk
+
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return quantized_topk(vecs, query_ids=list(range(10)), k=5)
+
+
+SQL_EMBED_QUANTIZED_TOPK = f"""
+WITH {_SQL_QUANTIZE_CTE},
+q AS (SELECT vec_id AS query_id, qv AS qa, scale AS sa FROM qq
+      WHERE vec_id < 10),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qa::DOUBLE[], e.qv::DOUBLE[]) * q.sa * e.scale
+             AS score
+  FROM q JOIN qq e ON e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+"""
+
 
 def q_embed_topk(sf_dir: str):
     vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -3555,6 +3660,8 @@ def ray_queries() -> dict:
         "doc_pack": q_doc_pack,
         "doc_shuffle_rank": q_doc_shuffle_rank,
         "embed_topk": q_embed_topk,
+        "embed_quantize": q_embed_quantize,
+        "embed_quantized_topk": q_embed_quantized_topk,
         "embed_label_stats": q_embed_label_stats,
         "embed_dup_pairs": q_embed_dup_pairs,
         "embed_kmeans": q_embed_kmeans,
@@ -3623,6 +3730,8 @@ def oracle_sqls() -> dict:
         "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
         "doc_cap_per_source": SQL_DOC_CAP_PER_SOURCE,
         "embed_topk": SQL_EMBED_TOPK,
+        "embed_quantize": SQL_EMBED_QUANTIZE,
+        "embed_quantized_topk": SQL_EMBED_QUANTIZED_TOPK,
         "embed_label_stats": SQL_EMBED_LABEL_STATS,
         "embed_dup_pairs": SQL_EMBED_DUP_PAIRS,
         "doc_lang_pred": SQL_DOC_LANG_PRED,
