@@ -3595,6 +3595,64 @@ JOIN read_parquet('{_staged("images_stats_rephash")}') r USING (image_id)
 """
 
 
+def _wds_digest(batch: pa.Table) -> pa.Table:
+    """Narrow per-sample digest for the WebDataset round-trip check."""
+    import hashlib
+
+    payloads = batch["bytes"].to_pylist()
+    return pa.table(
+        {
+            "image_id": batch["image_id"].cast(pa.string()),
+            "fmt": batch["fmt"].cast(pa.string()),
+            "caption": batch["caption"].cast(pa.string()),
+            "w": batch["w"].cast(pa.int64()),
+            "h": batch["h"].cast(pa.int64()),
+            "n_bytes": pa.array(
+                [len(b) for b in payloads], type=pa.int64()
+            ),
+            "bytes_md5": pa.array(
+                [hashlib.md5(b).hexdigest() for b in payloads],
+                type=pa.string(),
+            ),
+        }
+    )
+
+
+def q_images_wds_roundtrip(sf_dir: str):
+    """WebDataset tar-shard source/sink round-trip: the images fixture
+    is written as tar shards (one per block, atomic commit,
+    deterministic names/headers) and read back; both sides reduce to a
+    narrow per-sample digest (payload md5 / size / caption / fmt /
+    dims).  The oracle reads the STAGED digest of the ORIGINAL table,
+    so the returned read-back digest must match it exactly — an
+    engine-level check that no byte, caption or metadata field is
+    altered by the shard round-trip."""
+    import os
+    import shutil
+
+    from ..sources.webdataset import read_webdataset, write_webdataset
+
+    fdir = fixture_dir_for_sf(sf_dir)
+    imgs = read_table(
+        fdir, "images", columns=["image_id", "bytes", "w", "h", "fmt", "caption"]
+    )
+    out_dir = os.path.join(
+        "/tmp/simhash_ray_wds", os.path.basename(fdir.rstrip("/"))
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_webdataset(imgs, out_dir).materialize()  # consume the manifest
+    _stage(imgs.map_batches(_wds_digest, batch_format="pyarrow"), "wds_base")
+    return read_webdataset(out_dir).map_batches(
+        _wds_digest, batch_format="pyarrow"
+    )
+
+
+SQL_IMAGES_WDS_ROUNDTRIP = f"""
+SELECT image_id, fmt, caption, w, h, n_bytes, bytes_md5
+FROM read_parquet('{_staged("wds_base")}')
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3678,6 +3736,7 @@ def ray_queries() -> dict:
         "images_embed_dedup": q_images_embed_dedup,
         "images_stats": q_images_stats,
         "images_survivor_invariant": q_images_survivor_invariant,
+        "images_wds_roundtrip": q_images_wds_roundtrip,
     }
 
 
@@ -3761,4 +3820,5 @@ def oracle_sqls() -> dict:
         "images_dedup_dihedral": SQL_IMAGES_DEDUP_DIHEDRAL,
         "images_survivor_invariant": SQL_IMAGES_SURVIVOR_INVARIANT,
         "images_stats": SQL_IMAGES_STATS,
+        "images_wds_roundtrip": SQL_IMAGES_WDS_ROUNDTRIP,
     }
