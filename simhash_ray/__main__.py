@@ -274,7 +274,7 @@ def cmd_convert(args) -> int:
     _init_ray(args.num_cpus)
     import ray.data as rd
 
-    from .sources import textlines
+    from .sources import textlines, webdataset
     from .sources.tables import write_table
 
     readers = {
@@ -282,15 +282,22 @@ def cmd_convert(args) -> int:
         "jsonl": textlines.read_jsonl,
         "csv": textlines.read_csv_table,
         "parquet": rd.read_parquet,
+        "wds": webdataset.read_webdataset,
     }
     ds = readers[args.from_format](args.src)
-    if args.to_format == "parquet":
+    if args.to_format == "wds":
+        # manifest carries the row count — no second pass over the data
+        mani = webdataset.write_webdataset(ds, args.out).to_pandas()
+        n = int(mani["n_samples"].sum())
+    elif args.to_format == "parquet":
         write_table(ds, args.out)
+        n = ds.count()
     elif args.to_format == "jsonl":
         textlines.write_jsonl(ds, args.out)
+        n = ds.count()
     else:  # lines
         textlines.write_label_lines(ds, args.out)
-    n = ds.count()
+        n = ds.count()
     print(json.dumps({"rows": n, "from": args.from_format, "to": args.to_format}))
     return 0
 
@@ -367,18 +374,20 @@ def main(argv=None) -> int:
 
     cv = sub.add_parser(
         "convert",
-        help="convert between corpus formats (lines/jsonl/csv/parquet)",
+        help="convert between corpus formats (lines/jsonl/csv/parquet/wds)",
     )
     cv.add_argument("src", help="input file or directory")
     cv.add_argument("--out", required=True, help="output directory")
     cv.add_argument(
         "--from", dest="from_format", required=True,
-        choices=("lines", "jsonl", "csv", "parquet"),
-        help="input format ('lines' = the reference's 'label, message' files)",
+        choices=("lines", "jsonl", "csv", "parquet", "wds"),
+        help="input format ('lines' = the reference's 'label, message' "
+        "files; 'wds' = WebDataset tar shards of an image+caption table)",
     )
     cv.add_argument(
         "--to", dest="to_format", required=True,
-        choices=("lines", "jsonl", "parquet"),
+        choices=("lines", "jsonl", "parquet", "wds"),
+        help="'wds' requires image_id/bytes/fmt/caption columns",
     )
     cv.set_defaults(fn=cmd_convert)
 

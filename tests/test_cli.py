@@ -320,3 +320,57 @@ def test_cli_curate_smoke(tmp_path):
     )
     mjson = json.load(open(ckpt / "metrics.json"))
     assert all(v["resumed"] for v in mjson.values())
+
+
+def test_cli_convert_wds_roundtrip(tmp_path):
+    """parquet image table → WebDataset tar shards → parquet: the
+    multimodal corpus on/off-ramp."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(6)
+    tbl = pa.table(
+        {
+            "image_id": pa.array([f"k{i:03d}" for i in range(30)]),
+            "bytes": pa.array(
+                [rng.bytes(rng.integers(5, 200)) for _ in range(30)],
+                type=pa.large_binary(),
+            ),
+            "w": pa.array(rng.integers(4, 32, 30).astype(np.int32)),
+            "h": pa.array(rng.integers(4, 32, 30).astype(np.int32)),
+            "fmt": pa.array(["png"] * 30),
+            "caption": pa.array([f"caption {i}" for i in range(30)]),
+        }
+    )
+    src = tmp_path / "imgs.parquet"
+    pq.write_table(tbl, str(src))
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+
+    def run(*cli):
+        res = subprocess.run(
+            [sys.executable, "-m", "simhash_ray", "--num-cpus", "4", *cli],
+            capture_output=True, text=True, timeout=540,
+            cwd="/root/repo", env=env,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    wds_dir = tmp_path / "wds"
+    m = run("convert", str(src), "--from", "parquet", "--to", "wds",
+            "--out", str(wds_dir))
+    assert m["rows"] == 30
+    assert any(f.endswith(".tar") for f in os.listdir(wds_dir))
+
+    back_dir = tmp_path / "back"
+    m2 = run("convert", str(wds_dir), "--from", "wds", "--to", "parquet",
+             "--out", str(back_dir))
+    assert m2["rows"] == 30
+    back = pq.read_table(str(back_dir)).to_pandas().sort_values("image_id")
+    orig = tbl.to_pandas().sort_values("image_id")
+    assert list(back["caption"]) == list(orig["caption"])
+    assert [hashlib.md5(b).hexdigest() for b in back["bytes"]] == [
+        hashlib.md5(b).hexdigest() for b in orig["bytes"]
+    ]
