@@ -318,7 +318,7 @@ def _run_bench() -> dict:
 
             return lsh_cosine_dup_pairs(
                 emb.map_batches(to_int, batch_format="pyarrow"),
-                999, 1000, n_parts=16,
+                999, 1000, n_parts=16, collapse=True,
             ).count()
 
         timed("images_embed_dedup", run_embed_dedup)

@@ -3379,11 +3379,21 @@ FROM lab
 def q_images_embed_dedup(sf_dir: str):
     """Multimodal → embedding-space dedup composition: decode images
     into color-histogram embeddings (actor pool over the wide binary
-    column) and find cosine-0.999 near-dup pairs via the banded LSH
-    operator.  SQL-oracle-checked via staging (post-decode embeddings
-    + candidate set staged; DuckDB re-runs the exact-cosine verify);
-    exact-dup hit rate additionally pytest-gated."""
-    from ..stages.ann import lsh_cosine_candidates, lsh_cosine_dup_pairs
+    column), collapse byte-identical vectors, and find cosine-0.999
+    near-dup pairs with the banded LSH operator over DISTINCT vectors
+    only (the collapse-first regime — web image corpora are dominated
+    by exact re-encodes).  SQL-oracle-checked via staging: the member→
+    rep map, the rep-level embeddings and the rep-level candidate set
+    are staged, and DuckDB independently re-runs the exact-cosine rep
+    verify, the cross-group expansion joins AND the within-group pair
+    generation — the full post-decode operator.  Exact-dup hit rate
+    additionally pytest-gated."""
+    from ..stages.ann import (
+        collapse_identical_vectors,
+        expand_collapsed_pairs,
+        lsh_cosine_candidates,
+        lsh_cosine_dup_pairs,
+    )
     from ..stages.multimodal import image_embeddings
 
     images = read_images_fixture(sf_dir)
@@ -3393,25 +3403,47 @@ def q_images_embed_dedup(sf_dir: str):
         ids = pc.cast(pc.replace_substring(batch["image_id"], "img", ""), pa.int64())
         return pa.table({"vec_id": ids, "embedding": batch["embedding"]})
 
-    # decode → embed is not SQL-expressible, but the verify half is:
-    # the post-decode embeddings and the LSH candidate set are staged,
-    # and the oracle re-runs the exact-cosine verify in DuckDB
     vecs = emb.map_batches(to_int, batch_format="pyarrow").materialize()
-    _stage(vecs, "images_embed_vecs")
-    cands = lsh_cosine_candidates(vecs, n_parts=16).materialize()
+    members, reps = collapse_identical_vectors(vecs, n_parts=16)
+    members = members.materialize()
+    reps = reps.materialize()
+    _stage(members, "images_embed_members")
+    _stage(reps, "images_embed_vecs")
+    cands = lsh_cosine_candidates(reps, n_parts=16).materialize()
     _stage(
         cands.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow"),
         "images_embed_cands",
     )
-    return lsh_cosine_dup_pairs(vecs, 999, 1000, n_parts=16, candidates=cands)
+    rep_pairs = lsh_cosine_dup_pairs(
+        reps, 999, 1000, n_parts=16, candidates=cands
+    )
+    return expand_collapsed_pairs(rep_pairs, members, 999, 1000, n_parts=16)
 
 
 SQL_IMAGES_EMBED_DEDUP = f"""
-SELECT c.a, c.b
-FROM read_parquet('{_staged("images_embed_cands")}') c
-JOIN read_parquet('{_staged("images_embed_vecs")}') va ON va.vec_id = c.a
-JOIN read_parquet('{_staged("images_embed_vecs")}') vb ON vb.vec_id = c.b
-WHERE list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[]) * 1000 >= 999
+WITH rp AS (
+  SELECT c.a, c.b
+  FROM read_parquet('{_staged("images_embed_cands")}') c
+  JOIN read_parquet('{_staged("images_embed_vecs")}') va ON va.vec_id = c.a
+  JOIN read_parquet('{_staged("images_embed_vecs")}') vb ON vb.vec_id = c.b
+  WHERE list_cosine_similarity(va.embedding::DOUBLE[], vb.embedding::DOUBLE[])
+        * 1000 >= 999
+),
+crossed AS (
+  SELECT LEAST(ma.vec_id, mb.vec_id) AS a,
+         GREATEST(ma.vec_id, mb.vec_id) AS b
+  FROM rp
+  JOIN read_parquet('{_staged("images_embed_members")}') ma ON ma.rep = rp.a
+  JOIN read_parquet('{_staged("images_embed_members")}') mb ON mb.rep = rp.b
+),
+within AS (
+  SELECT m1.vec_id AS a, m2.vec_id AS b
+  FROM read_parquet('{_staged("images_embed_members")}') m1
+  JOIN read_parquet('{_staged("images_embed_members")}') m2
+    ON m1.rep = m2.rep AND m1.vec_id < m2.vec_id
+  WHERE m1.nonzero
+)
+SELECT a, b FROM crossed UNION ALL SELECT a, b FROM within
 """
 
 
