@@ -3417,7 +3417,7 @@ def q_images_embed_dedup(sf_dir: str):
     rep_pairs = lsh_cosine_dup_pairs(
         reps, 999, 1000, n_parts=16, candidates=cands
     )
-    return expand_collapsed_pairs(rep_pairs, members, 999, 1000, n_parts=16)
+    return expand_collapsed_pairs(rep_pairs, members, 999, 1000)
 
 
 SQL_IMAGES_EMBED_DEDUP = f"""

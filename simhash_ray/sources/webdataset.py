@@ -59,10 +59,20 @@ def write_webdataset(
 
     One tar per input batch, committed atomically (tmp +
     ``os.replace``) under the deterministic name
-    ``shard-<min image_id>.tar`` — reruns of the same partitioning
-    overwrite their own shards instead of appending duplicates.
+    ``shard-<min image_id>.tar`` — and any PRE-EXISTING ``.tar`` files
+    in ``out_dir`` are removed first, because shard names depend on the
+    input partitioning: a rerun with a different layout (or different
+    data) would otherwise leave stale shards that silently merge into
+    the next read.
+
+    ``fmt`` values are validated per batch: ``txt``/``json`` collide
+    with the reserved caption/metadata member extensions and a dot
+    inside ``fmt`` would corrupt the reader's key split — both raise.
     """
     os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if f.endswith(".tar") or f.endswith(".tar.tmp"):
+            os.unlink(os.path.join(out_dir, f))
     has_meta = [c for c in _META_COLS if c in ds.schema().names]
 
     def _write(batch: pa.Table) -> pa.Table:
@@ -74,6 +84,16 @@ def write_webdataset(
         )
         if batch.num_rows == 0:
             return empty
+        bad = {
+            f for f in set(batch[fmt_col].to_pylist())
+            if not f or "." in str(f) or str(f) in ("txt", "json")
+        }
+        if bad:
+            raise ValueError(
+                f"write_webdataset: fmt values {sorted(map(str, bad))} are "
+                "reserved or contain '.', which would collide with the "
+                "caption/metadata members or corrupt the key split"
+            )
         ids = [str(v) for v in batch[id_col].to_pylist()]
         order = np.argsort(np.asarray(ids, dtype=object), kind="stable")
         payloads = batch[bytes_col].to_pylist()

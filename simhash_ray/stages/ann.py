@@ -56,12 +56,17 @@ def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 
 def _fetch_queries(
-    vectors: rd.Dataset, query_ids, id_col: str, vec_col: str
+    vectors: rd.Dataset,
+    query_ids,
+    id_col: str,
+    vec_col: str,
+    normalize: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(q_ids, normalized q_mat) for the given ids — one filtered scan
-    + driver collect (bounded by |query_ids|).  Raises if any requested
-    id is absent from the corpus (np.stack on a partial set would
-    silently drop queries or crash opaquely)."""
+    """(q_ids, q_mat — L2-normalized unless ``normalize=False``) for
+    the given ids — one filtered scan + driver collect (bounded by
+    |query_ids|).  Raises if any requested id is absent from the corpus
+    (np.stack on a partial set would silently drop queries or crash
+    opaquely)."""
     qset = np.array(sorted(int(q) for q in query_ids), dtype=np.int64)
 
     def is_query(batch: pa.Table) -> pa.Table:
@@ -78,8 +83,25 @@ def _fetch_queries(
     if missing:
         raise ValueError(f"query ids absent from the vector table: {sorted(missing)}")
     q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qtbl])
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    if normalize:
+        q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     return q_ids, q_mat
+
+
+def _merge_topk(k: int):
+    """Shared top-k merge: drop self-pairs, (score desc, id asc) head-k,
+    1-based rank — the ROW_NUMBER() contract every top-k query pins."""
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        group = group[group["neighbor_id"] != group["query_id"]]
+        group = group.sort_values(
+            ["score", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        group = group.reset_index(drop=True)
+        group["rank"] = np.arange(1, len(group) + 1, dtype=np.int64)
+        return group[["query_id", "neighbor_id", "rank"]]
+
+    return merge
 
 
 def brute_force_topk(
@@ -128,19 +150,10 @@ def brute_force_topk(
         partial, batch_format="pyarrow", batch_size=4096
     )
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:  # pandas group
-        group = group[group["neighbor_id"] != group["query_id"]]
-        group = group.sort_values(
-            ["score", "neighbor_id"], ascending=[False, True]
-        ).head(k)
-        group = group.reset_index(drop=True)
-        group["rank"] = np.arange(1, len(group) + 1, dtype=np.int64)
-        return group[["query_id", "neighbor_id", "rank"]]
-
     from .base import map_groups_typed
 
     return map_groups_typed(
-        partials, "query_id", merge, _EMPTY_TOPK, batch_format="pandas"
+        partials, "query_id", _merge_topk(k), _EMPTY_TOPK, batch_format="pandas"
     )
 
 
@@ -455,8 +468,12 @@ def collapse_identical_vectors(
         )
         ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         mat = _to_matrix(tbl[vec_col])
+        # opaque-void view → BYTE equality (memcmp), matching the
+        # distributed digest regime exactly; a structured float view
+        # would instead compare by value (-0.0 == 0.0, NaN ordering)
+        # and the two regimes would collapse different groups
         void = np.ascontiguousarray(mat).view(
-            [("", np.float64)] * mat.shape[1]
+            np.dtype((np.void, mat.shape[1] * 8))
         ).ravel()
         _, inv = np.unique(void, return_inverse=True)
         order = np.lexsort((ids, inv))
@@ -629,7 +646,6 @@ def expand_collapsed_pairs(
     threshold_num: int,
     threshold_den: int,
     id_col: str = "vec_id",
-    n_parts: int = 64,
     cross_members_limit: int = 20_000_000,
 ) -> rd.Dataset:
     """Member-level (a, b) pairs from verified REP-level pairs plus the
@@ -714,19 +730,18 @@ def expand_collapsed_pairs(
             [id_col, "rep"]
         )
 
-    mem_inv = pa.concat_tables(
-        members.map_batches(probe, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=65536
-        )
-    )
-    if mem_inv.num_rows > cross_members_limit:
+    probed = members.map_batches(probe, batch_format="pyarrow").materialize()
+    n_inv = probed.count()
+    if n_inv > cross_members_limit:  # bound the collect BEFORE collecting
         raise ValueError(
-            f"expand_collapsed_pairs: {mem_inv.num_rows} members belong "
-            f"to groups with verified cross-group pairs, above "
-            f"cross_members_limit={cross_members_limit}; the expanded "
-            "output would be at least as large — raise the limit "
-            "deliberately if that output size is intended"
+            f"expand_collapsed_pairs: {n_inv} members belong to groups "
+            f"with verified cross-group pairs, above "
+            f"cross_members_limit={cross_members_limit}; raise the limit "
+            "deliberately if that scale is intended"
         )
+    mem_inv = pa.concat_tables(
+        probed.iter_batches(batch_format="pyarrow", batch_size=65536)
+    )
     mids = mem_inv[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     mreps = mem_inv["rep"].to_numpy(zero_copy_only=False)
     order = np.lexsort((mids, mreps))
@@ -735,6 +750,18 @@ def expand_collapsed_pairs(
     ends = np.searchsorted(mreps, involved, side="right")
     pa_idx = np.searchsorted(involved, ra)
     pb_idx = np.searchsorted(involved, rb)
+    sizes = (ends - starts).astype(np.int64)
+    n_expanded = int((sizes[pa_idx] * sizes[pb_idx]).sum())
+    if n_expanded > cross_members_limit:
+        # the OUTPUT is the sum of per-pair group-size PRODUCTS, which
+        # can be quadratically larger than the member count the first
+        # guard bounds — guard it separately before allocating
+        raise ValueError(
+            f"expand_collapsed_pairs: cross-group expansion would emit "
+            f"{n_expanded} pairs, above "
+            f"cross_members_limit={cross_members_limit}; raise the limit "
+            "deliberately if that output size is intended"
+        )
     out_a, out_b = [], []
     # one tiny numpy cross product per VERIFIED rep pair — the loop is
     # over true cross-group dup relations, not rows
@@ -814,8 +841,7 @@ def lsh_cosine_dup_pairs(
             collapse=False,
         )
         return expand_collapsed_pairs(
-            rep_pairs, members, threshold_num, threshold_den,
-            id_col=id_col, n_parts=n_parts,
+            rep_pairs, members, threshold_num, threshold_den, id_col=id_col
         )
     # materialized: the plan is consumed by the candidate scan, the
     # count() regime pick, and the verify collect/join — an expensive

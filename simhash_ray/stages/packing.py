@@ -251,13 +251,15 @@ def global_rank(
     def _key(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         key = md5_u32_of_int_ids(ids)
+        if n_buckets == 1:  # >> 32 on uint32 is undefined in numpy
+            bucket = np.zeros(len(key), dtype=np.int64)
+        else:
+            bucket = (key >> np.uint32(shift)).astype(np.int64)
         return pa.table(
             {
                 id_col: pa.array(ids, type=pa.int64()),
                 "shuffle_key": pa.array(key.astype(np.int64), type=pa.int64()),
-                "bucket": pa.array(
-                    (key >> np.uint32(shift)).astype(np.int64), type=pa.int64()
-                ),
+                "bucket": pa.array(bucket, type=pa.int64()),
             }
         )
 

@@ -29,12 +29,17 @@ and shuffle width, which is what the operator moves.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
 
-from .ann import _EMPTY_TOPK, _EMPTY_TOPK_PARTIAL, _to_matrix
+from .ann import (
+    _EMPTY_TOPK,
+    _EMPTY_TOPK_PARTIAL,
+    _fetch_queries,
+    _merge_topk,
+    _to_matrix,
+)
 from .base import map_groups_typed
 
 
@@ -107,22 +112,9 @@ def quantized_topk(
     so a DuckDB oracle over the same quantization reproduces the
     ranking bit-for-bit with no float tolerance.
     """
-    qset = np.array(sorted(int(q) for q in query_ids), dtype=np.int64)
-
-    def is_query(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(np.isin(ids, qset)))
-
-    qtbl = (
-        vectors.select_columns([id_col, vec_col])
-        .map_batches(is_query, batch_format="pyarrow")
-        .take_all()
+    q_ids, q_mat = _fetch_queries(
+        vectors, query_ids, id_col, vec_col, normalize=False
     )
-    q_ids = np.array([r[id_col] for r in qtbl], dtype=np.int64)
-    missing = set(qset.tolist()) - set(q_ids.tolist())
-    if missing:
-        raise ValueError(f"query ids absent from the vector table: {sorted(missing)}")
-    q_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in qtbl])
     qq, qs = quantize_mat(q_mat)
     ref = ray.put((q_ids, qq.astype(np.int32), qs))
 
@@ -153,15 +145,6 @@ def quantized_topk(
         partial, batch_format="pyarrow", batch_size=4096
     )
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        group = group[group["neighbor_id"] != group["query_id"]]
-        group = group.sort_values(
-            ["score", "neighbor_id"], ascending=[False, True]
-        ).head(k)
-        group = group.reset_index(drop=True)
-        group["rank"] = np.arange(1, len(group) + 1, dtype=np.int64)
-        return group[["query_id", "neighbor_id", "rank"]]
-
     return map_groups_typed(
-        partials, "query_id", merge, _EMPTY_TOPK, batch_format="pandas"
+        partials, "query_id", _merge_topk(k), _EMPTY_TOPK, batch_format="pandas"
     )

@@ -81,13 +81,16 @@ def _naive_pack(df, capacity, part_span):
     rows = []
     df = df.assign(part=df["doc_id"] // part_span).sort_values("doc_id")
     for part, g in df.groupby("part"):
-        seq, filled, off = 0, 0, 0
+        seq, filled, docs = 0, 0, 0
         for doc_id, n in zip(g["doc_id"], g["n_tokens"]):
-            if filled and filled + n > capacity:
-                seq, filled = seq + 1, 0
-            off = filled
+            # a NON-EMPTY bin closes when the next doc would overflow —
+            # counting docs, not tokens: a bin holding only zero-token
+            # docs still closes (matches the engine's cumsum boundary)
+            if docs > 0 and filled + n > capacity:
+                seq, filled, docs = seq + 1, 0, 0
+            rows.append((doc_id, part, seq, n, filled))
             filled += n
-            rows.append((doc_id, part, seq, n, off))
+            docs += 1
     return pd.DataFrame(
         rows, columns=["doc_id", "part", "bin_seq", "n_tokens", "bin_offset"]
     )

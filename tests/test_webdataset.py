@@ -88,3 +88,30 @@ def test_reader_drops_payloadless_and_ignores_junk(tmp_path):
 def test_reader_empty_dir_raises(tmp_path):
     with pytest.raises(ValueError, match="no .tar shards"):
         read_webdataset(str(tmp_path))
+
+
+def test_writer_rejects_reserved_fmt(tmp_path):
+    tbl = pa.table(
+        {
+            "image_id": pa.array(["a"]),
+            "bytes": pa.array([b"x"], type=pa.large_binary()),
+            "fmt": pa.array(["txt"]),  # collides with the caption member
+            "caption": pa.array(["c"]),
+        }
+    )
+    with pytest.raises(Exception, match="reserved"):
+        write_webdataset(rd.from_arrow(tbl), str(tmp_path / "w")).materialize()
+    tbl2 = tbl.set_column(2, "fmt", pa.array(["tar.gz"]))
+    with pytest.raises(Exception, match="reserved"):
+        write_webdataset(rd.from_arrow(tbl2), str(tmp_path / "w2")).materialize()
+
+
+def test_writer_clears_stale_shards(tmp_path):
+    out = str(tmp_path / "wds")
+    write_webdataset(rd.from_arrow(_table(20, seed=1)), out, shard_rows=4).materialize()
+    n_first = len(os.listdir(out))
+    assert n_first > 1
+    # different data + coarser layout: all old shards must be gone
+    write_webdataset(rd.from_arrow(_table(6, seed=2)), out, shard_rows=None).materialize()
+    back = read_webdataset(out).to_pandas()
+    assert len(back) == 6
