@@ -2656,6 +2656,25 @@ _PACK_CAPACITY = 512
 _PACK_PART_SPAN = 128
 
 
+def q_doc_normalize(sf_dir: str):
+    """Unicode NFC normalization gate (standard pretraining cleanup:
+    byte-level dups that are canonically equal must normalize to one
+    form before hashing).  Streaming ``text_ops.nfc_normalize_batch``
+    — NOT pyarrow's ``utf8_normalize``, whose NFC emits decomposed
+    output (see the kernel docstring); DuckDB's ``nfc_normalize`` is
+    the oracle, and the non-ASCII semantics are pinned by pytest since
+    this fixture is pure ASCII."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return docs.map_batches(text_ops.nfc_normalize_batch, batch_format="pyarrow")
+
+
+SQL_DOC_NORMALIZE = """
+SELECT doc_id, nfc_normalize(text) AS text_nfc,
+       (nfc_normalize(text) <> text) AS changed
+FROM documents
+"""
+
+
 def q_doc_chunks(sf_dir: str):
     """Context-length sharding: each document's whitespace tokens cut
     into consecutive 32-token windows (last window ragged), rebuilt as
@@ -2952,6 +2971,42 @@ FROM read_parquet('{_staged("embed_lsh_cands")}') c
 JOIN embeddings ea ON ea.vec_id = c.a
 JOIN embeddings eb ON eb.vec_id = c.b
 WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * 5 >= 2
+"""
+
+
+def q_embed_dedup_clusters(sf_dir: str):
+    """Embedding-cosine near-dup CLUSTERS — the assignment-level dedup
+    for the embedding modality (completes the triple: text SimHash,
+    image SimHash/pHash, embedding cosine all emit (id, cluster_id,
+    is_representative)).  Exact cosine ≥ 2/5 pairs union-found into
+    components via the shared pairs→assignment tail
+    (stages.cluster.assign_clusters).  The oracle is fully independent:
+    DuckDB recomputes the pairs from the raw ``embeddings`` view and
+    re-runs connected components as a recursive CTE."""
+    from ..stages.cluster import assign_clusters
+
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = cosine_dup_pairs(vecs, 2, 5)
+    return assign_clusters(vecs, pairs, id_col="vec_id")
+
+
+SQL_EMBED_DEDUP_CLUSTERS = """
+WITH RECURSIVE
+p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) * 5 >= 2
+),
+e AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b AS u, a AS v FROM p),
+cc(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.v, cc.label FROM cc JOIN e ON cc.node = e.u
+),
+lab AS (SELECT node AS vec_id, MIN(label) AS cluster_id FROM cc GROUP BY node)
+SELECT vec_id, cluster_id, (vec_id = cluster_id) AS is_representative
+FROM lab
 """
 
 
@@ -3746,9 +3801,11 @@ def ray_queries() -> dict:
         "doc_curation_pipeline": q_doc_curation_pipeline,
         "doc_lang_pred": q_doc_lang_pred,
         "doc_rolling_fp": q_doc_rolling_fp,
+        "doc_normalize": q_doc_normalize,
         "doc_chunks": q_doc_chunks,
         "doc_pack": q_doc_pack,
         "doc_shuffle_rank": q_doc_shuffle_rank,
+        "embed_dedup_clusters": q_embed_dedup_clusters,
         "embed_topk": q_embed_topk,
         "embed_quantize": q_embed_quantize,
         "embed_quantized_topk": q_embed_quantized_topk,
@@ -3828,9 +3885,11 @@ def oracle_sqls() -> dict:
         "doc_lang_pred": SQL_DOC_LANG_PRED,
         "doc_langid_score": SQL_DOC_LANGID_SCORE,
         "doc_rolling_fp": SQL_DOC_ROLLING_FP,
+        "doc_normalize": SQL_DOC_NORMALIZE,
         "doc_chunks": SQL_DOC_CHUNKS,
         "doc_pack": SQL_DOC_PACK,
         "doc_shuffle_rank": SQL_DOC_SHUFFLE_RANK,
+        "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,
         # staged-parquet oracles (see the "oracle staging" section):
         "doc_simhash_sigs": SQL_DOC_SIMHASH_SIGS,
         "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,

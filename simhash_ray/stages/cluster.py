@@ -424,3 +424,110 @@ def attach_int_labels(ids: np.ndarray, label_df) -> np.ndarray:
         hit = nodes[pos] == ids
         cluster[hit] = labels[pos[hit]]
     return cluster
+
+
+def assign_clusters(
+    ids_ds,
+    pairs,
+    id_col: str = "doc_id",
+    n_parts: int = 64,
+    broadcast_limit: int = 2_000_000,
+):
+    """(id, cluster_id, is_representative) from a VERIFIED near-dup
+    pair table — the shared pairs→assignment tail every dedup modality
+    ends with (MinHash, embedding-cosine; the flagship pipelines have
+    their own fused variants).
+
+    Scale shape: the verified pair set is tiny relative to the corpus,
+    so below ``broadcast_limit`` pairs collect once, union-find runs on
+    the driver and labels attach via one broadcast map — zero extra
+    shuffles.  Above it (force with ``broadcast_limit=0``;
+    equivalence-tested via the MinHash twin) the distributed
+    min-label-propagation rounds take over on zero-padded string wire
+    ids (lexicographic min == numeric min), and labels attach via a
+    hash ``Dataset.join`` sized to the session.  ``ids_ds`` must carry
+    every corpus id exactly once (project upstream).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    pairs = pairs.materialize()
+    ids_ds = ids_ds.select_columns([id_col])
+
+    if pairs.count() <= broadcast_limit:
+        edge_df = pairs.to_pandas()[["a", "b"]]
+        label_df = unionfind_driver(edge_df)
+        lm_ref = ray.put(label_df)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            cluster = attach_int_labels(ids, ray.get(lm_ref))
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "cluster_id": pa.array(cluster, type=pa.int64()),
+                    "is_representative": pa.array(ids == cluster),
+                }
+            )
+
+        return ids_ds.map_batches(attach, batch_format="pyarrow")
+
+    # cluster-scale path: distributed CC over wire-string edges
+    pad = 20
+
+    def _check_wire(ids_np: np.ndarray) -> None:
+        if ids_np.size and ids_np.min() < 0:
+            raise ValueError(
+                f"{id_col} must be non-negative for the distributed "
+                "regime's zero-padded wire format; got min="
+                f"{ids_np.min()}"
+            )
+
+    def edges_to_wire(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        _check_wire(a)
+        _check_wire(b)
+        return pa.table(
+            {
+                "a": pa.array(np.char.zfill(a.astype("U"), pad), type=pa.string()),
+                "b": pa.array(np.char.zfill(b.astype("U"), pad), type=pa.string()),
+            }
+        )
+
+    labels = connected_components(
+        pairs.map_batches(edges_to_wire, batch_format="pyarrow"),
+        n_parts=n_parts,
+    )
+    n_join = max(2, min(n_parts, int(ray.cluster_resources().get("CPU", 8)) // 2))
+
+    def ids_to_wire(t: pa.Table) -> pa.Table:
+        ids_np = t[id_col].to_numpy(zero_copy_only=False)
+        _check_wire(ids_np)
+        return pa.table(
+            {"node": pa.array(np.char.zfill(ids_np.astype("U"), pad), pa.string())}
+        )
+
+    joined = ids_ds.map_batches(ids_to_wire, batch_format="pyarrow").join(
+        labels,
+        join_type="left_outer",
+        num_partitions=n_join,
+        on=("node",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # Arrow casts zero-padded decimals directly ("0...0123" -> 123),
+        # including the all-zeros id-0 wire string
+        node = pc.cast(t["node"], pa.int64())
+        cluster = pc.cast(pc.coalesce(t["label"], t["node"]), pa.int64())
+        return pa.table(
+            {
+                id_col: node,
+                "cluster_id": cluster,
+                "is_representative": pc.equal(node, cluster),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -357,3 +357,32 @@ def exact_dedup(
     return ds.groupby(key_col).aggregate(
         Min(id_col, alias_name=id_col), Count(alias_name="n_copies")
     )
+
+
+def nfc_normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Unicode NFC normalization: (id cols…, text_nfc, changed).
+
+    NOT built on ``pc.utf8_normalize``: pyarrow 16.1's kernel emits
+    DECOMPOSED output under ``form="NFC"`` (verified: U+00E9 →
+    U+0065 U+0301), silently disagreeing with DuckDB's
+    ``nfc_normalize`` and Python's ``unicodedata`` — invisible on
+    ASCII corpora.  Instead: a vectorized ``string_is_ascii`` fast
+    path (ASCII is NFC-invariant, the common case for web English)
+    and ``unicodedata.normalize`` only for the non-ASCII rows.
+    """
+    import unicodedata
+
+    txt = batch[text_col].cast(pa.string())
+    is_ascii = pc.string_is_ascii(txt).to_numpy(zero_copy_only=False)
+    if bool(is_ascii.all()):
+        nfc = txt
+    else:
+        vals = txt.to_pylist()
+        for i in np.flatnonzero(~is_ascii):
+            v = vals[i]
+            if v is not None:
+                vals[i] = unicodedata.normalize("NFC", v)
+        nfc = pa.array(vals, type=pa.string())
+    out = batch.drop_columns([text_col])
+    out = out.append_column("text_nfc", nfc)
+    return out.append_column("changed", pc.not_equal(nfc, txt))

@@ -224,3 +224,38 @@ def test_redact_batch_matches_duckdb_on_planted_pii():
     assert got["n_redacted"].tolist() == want["n_redacted"].tolist()
     assert got["redacted"].tolist() == want["redacted"].tolist()
     assert got["n_redacted"].sum() >= 7  # the planted PII was actually hit
+
+
+def test_nfc_normalize_matches_unicodedata():
+    """The doc_normalize kernel must agree with unicodedata AND
+    DuckDB's nfc_normalize on combining marks and ligatures — the
+    ASCII driver fixture can't exercise this (and pyarrow 16.1's own
+    utf8_normalize NFC emits decomposed output, which this kernel
+    deliberately avoids)."""
+    import unicodedata
+
+    import duckdb
+    import pyarrow as pa
+
+    from simhash_ray.stages.text import nfc_normalize_batch
+
+    cases = [
+        "e\u0301cole",   # decomposed: e + combining acute
+        "\u00e9cole",    # precomposed
+        "\ufb01n",       # ligature fi (NFC keeps it; only NFKC folds)
+        "a\u030a",       # a + combining ring
+        "",
+        "ascii only",
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(cases)), type=pa.int64()),
+         "text": pa.array(cases, type=pa.string())}
+    )
+    out = nfc_normalize_batch(batch)
+    got = out["text_nfc"].to_pylist()
+    assert got == [unicodedata.normalize("NFC", c) for c in cases]
+    assert out["changed"].to_pylist() == [True, False, False, True, False, False]
+    con = duckdb.connect()
+    duck = [con.execute("SELECT nfc_normalize(?)", [c]).fetchone()[0]
+            for c in cases]
+    assert got == duck
