@@ -87,8 +87,20 @@ def cmd_dedup(args) -> int:
     from .pipelines import dedup_images as flagship
 
     cfg = _load_cfg(args)
-    images = _read_images(args.table, None if args.survivors else ["image_id", "caption", "phash"])
-    narrow = images.select_columns(["image_id", "caption", "phash"])
+    if getattr(args, "format", "parquet") == "wds":
+        # payload-only corpus: decode + pinned phash on the fly (the
+        # tar shards carry no phash column); the shard is the read's
+        # unit of parallelism
+        from .sources.webdataset import read_webdataset
+        from .stages.multimodal import phash_signatures
+
+        images = read_webdataset(args.table)
+        narrow = phash_signatures(images)
+    else:
+        images = _read_images(
+            args.table, None if args.survivors else ["image_id", "caption", "phash"]
+        )
+        narrow = images.select_columns(["image_id", "caption", "phash"])
     if args.ckpt:
         table_path = args.table if args.table.endswith(".parquet") else None
         result = flagship.dedup_images_checkpointed(
@@ -321,6 +333,11 @@ def main(argv=None) -> int:
     d = sub.add_parser("dedup", help="near-dup detect + cluster an images table")
     d.add_argument("table", help="Parquet file or directory with images.parquet")
     d.add_argument("--out", required=True, help="output directory")
+    d.add_argument(
+        "--format", choices=("parquet", "wds"), default="parquet",
+        help="'wds' reads WebDataset tar shards and computes phash from "
+        "the payload on the fly (shards need the w/h json metadata)",
+    )
     d.add_argument("--ckpt", default=None, help="checkpoint dir (resumable run)")
     d.add_argument(
         "--shards", type=int, default=8,

@@ -89,6 +89,58 @@ class DihedralPhash:
         )
 
 
+class ComputePhash:
+    """Decode each image and emit the pinned 64-bit perceptual hash
+    plus the caption — the on-ramp from payload-only corpora
+    (WebDataset tar shards) into the flagship dedup, which otherwise
+    reads the precomputed ``phash`` column.  The hash is the exact
+    fixture/column hash (``phash_batch_32(gray32_from_rgb(...))``);
+    rows group by decoded shape so each uniform group hashes as one
+    vectorized pass (the DihedralPhash idiom)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import defaultdict
+
+        from ..phash import gray32_from_rgb, phash_batch_32
+
+        n = batch.num_rows
+        ph = np.zeros(n, dtype=np.int64)
+        if n:
+            pixs = decode_image_batch(
+                batch["bytes"].to_pylist(),
+                batch["fmt"].to_pylist(),
+                batch["w"].to_pylist(),
+                batch["h"].to_pylist(),
+            )
+            groups = defaultdict(list)
+            for i, p in enumerate(pixs):
+                groups[p.shape].append(i)
+            for idxs in groups.values():
+                stack = np.stack([pixs[i] for i in idxs])
+                ph[np.asarray(idxs)] = phash_batch_32(gray32_from_rgb(stack))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "caption": batch["caption"],
+                "phash": pa.array(ph, type=pa.int64()),
+            }
+        )
+
+
+def phash_signatures(
+    ds: rd.Dataset, concurrency=(1, 8), batch_size: int = 256
+) -> rd.Dataset:
+    """(image_id, caption, phash) — actor-pool decode + pinned phash
+    over the wide binary column (feeds dedup_images from payload-only
+    sources such as WebDataset shards)."""
+    return ds.map_batches(
+        ComputePhash,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def dihedral_signatures(
     ds: rd.Dataset, concurrency=(1, 8), batch_size: int = 256
 ) -> rd.Dataset:

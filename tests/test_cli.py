@@ -374,3 +374,48 @@ def test_cli_convert_wds_roundtrip(tmp_path):
     assert [hashlib.md5(b).hexdigest() for b in back["bytes"]] == [
         hashlib.md5(b).hexdigest() for b in orig["bytes"]
     ]
+
+
+def test_cli_dedup_wds_matches_parquet(tmp_path):
+    """`dedup --format wds` (payload-only tar shards, phash computed on
+    the fly) must produce the same clustering as the parquet path with
+    its precomputed phash column."""
+    import ray.data as rd
+
+    from simhash_ray.sources.webdataset import write_webdataset
+
+    fdir = write_fixture(
+        default_fixture_dir(FixtureSpec(n_rows=300, seed=13)),
+        FixtureSpec(n_rows=300, seed=13),
+    )
+    wds_dir = tmp_path / "wds"
+    write_webdataset(
+        rd.read_parquet(os.path.join(fdir, "images.parquet")), str(wds_dir),
+        shard_rows=64,
+    ).materialize()
+
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+
+    def run(*cli):
+        res = subprocess.run(
+            [sys.executable, "-m", "simhash_ray", "--num-cpus", "8", *cli],
+            capture_output=True, text=True, timeout=540,
+            cwd="/root/repo", env=env,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    m_wds = run("dedup", str(wds_dir), "--format", "wds",
+                "--out", str(tmp_path / "out_wds"))
+    m_pq = run("dedup", os.path.join(fdir, "images.parquet"),
+               "--out", str(tmp_path / "out_pq"))
+    assert m_wds["n_rows"] == m_pq["n_rows"] == 300
+    assert m_wds["n_clusters_with_dups"] == m_pq["n_clusters_with_dups"]
+    assert m_wds["n_nodes_clustered"] == m_pq["n_nodes_clustered"]
+    a = pq.read_table(str(tmp_path / "out_wds" / "assignment")).to_pandas()
+    b = pq.read_table(str(tmp_path / "out_pq" / "assignment")).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("image_id").reset_index(drop=True),
+        b.sort_values("image_id").reset_index(drop=True),
+    )
