@@ -151,20 +151,32 @@ def cmd_dedup_docs(args) -> int:
     _init_ray(args.num_cpus)
     import ray.data as rd
 
-    from .pipelines.dedup_docs import dedup_documents, dedup_documents_checkpointed
+    from .pipelines.dedup_docs import dedup_documents_checkpointed
 
     cfg = _load_cfg(args)
     docs = rd.read_parquet(args.table, columns=[args.id_col, args.text_col])
+    os.makedirs(args.out, exist_ok=True)
     if args.ckpt:
         assignment = dedup_documents_checkpointed(
             docs, args.ckpt, cfg, text_col=args.text_col, id_col=args.id_col,
             input_fingerprint=args.table,
         ).materialize()
     else:
-        assignment = dedup_documents(
-            docs, cfg, text_col=args.text_col, id_col=args.id_col
+        # encode ONCE: export the signature table (what a later
+        # `ingest --domain docs` folds against) and enter the pipeline
+        # after its encode stage
+        from .pipelines.dedup_docs import dedup_documents_from_sigs
+        from .stages.encode import encode_signatures
+
+        sigs = (
+            encode_signatures(docs, cfg.simhash, text_col=args.text_col)
+            .select_columns([args.id_col, "simhash"])
+            .materialize()
+        )
+        sigs.write_parquet(os.path.join(args.out, "signatures"))
+        assignment = dedup_documents_from_sigs(
+            sigs, cfg, id_col=args.id_col
         ).materialize()
-    os.makedirs(args.out, exist_ok=True)
     assignment.write_parquet(os.path.join(args.out, "assignment"))
     n = assignment.count()
     n_reps = assignment.filter(expr="is_representative == True").count()
@@ -229,7 +241,11 @@ def cmd_ingest(args) -> int:
     _init_ray(args.num_cpus)
     import ray.data as rd
 
-    from .pipelines.dedup_incremental import apply_remap, dedup_images_incremental
+    from .pipelines.dedup_incremental import (
+        apply_remap,
+        dedup_documents_incremental,
+        dedup_images_incremental,
+    )
 
     cfg = _load_cfg(args)
     # the incremental contract requires the SAME banding/encoder config
@@ -247,13 +263,19 @@ def cmd_ingest(args) -> int:
                 file=sys.stderr,
             )
             return 2
-    shard = _read_images(args.shard, ["image_id", "caption", "phash"])
     base_sigs = rd.read_parquet(os.path.join(args.base, "signatures"))
     base_assignment = rd.read_parquet(os.path.join(args.base, "assignment"))
-    res = dedup_images_incremental(shard, base_sigs, base_assignment, cfg)
+    if getattr(args, "domain", "images") == "docs":
+        id_col = "doc_id"
+        shard = rd.read_parquet(args.shard, columns=["doc_id", "text"])
+        res = dedup_documents_incremental(shard, base_sigs, base_assignment, cfg)
+    else:
+        id_col = "image_id"
+        shard = _read_images(args.shard, ["image_id", "caption", "phash"])
+        res = dedup_images_incremental(shard, base_sigs, base_assignment, cfg)
     os.makedirs(args.out, exist_ok=True)
     res.assignment_new.write_parquet(os.path.join(args.out, "assignment_new"))
-    updated = apply_remap(base_assignment, res.remap)
+    updated = apply_remap(base_assignment, res.remap, id_col=id_col)
     updated.union(res.assignment_new).write_parquet(
         os.path.join(args.out, "assignment")
     )
@@ -380,11 +402,17 @@ def main(argv=None) -> int:
         "ingest",
         help="fold a new shard into a deduped corpus (incremental dedup)",
     )
-    ing.add_argument("shard", help="Parquet file/dir of the arriving images")
+    ing.add_argument("shard", help="Parquet file/dir of the arriving rows")
     ing.add_argument(
         "--base", required=True,
         help="directory holding the prior run's signatures/ and assignment/ "
-        "(from `encode` + `dedup`, or a previous `ingest` --out)",
+        "(from `encode` + `dedup` / `dedup-docs`, or a previous "
+        "`ingest` --out)",
+    )
+    ing.add_argument(
+        "--domain", choices=("images", "docs"), default="images",
+        help="'docs' folds a document shard (doc_id/text) against a "
+        "dedup-docs base",
     )
     ing.add_argument("--out", required=True, help="output directory")
     ing.set_defaults(fn=cmd_ingest)

@@ -419,3 +419,48 @@ def test_cli_dedup_wds_matches_parquet(tmp_path):
         a.sort_values("image_id").reset_index(drop=True),
         b.sort_values("image_id").reset_index(drop=True),
     )
+
+
+def test_cli_ingest_docs(tmp_path):
+    """dedup-docs (exports signatures) → ingest --domain docs: the
+    hourly document-shard fold, end-to-end through the CLI."""
+    import pyarrow as pa
+
+    full = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids = full["doc_id"].to_pylist()
+    cut = sorted(ids)[int(len(ids) * 0.8)]
+    base_tbl = full.filter(pa.compute.less(full["doc_id"], cut))
+    shard_tbl = full.filter(pa.compute.greater_equal(full["doc_id"], cut))
+    base_pq = tmp_path / "base.parquet"
+    shard_pq = tmp_path / "shard.parquet"
+    pq.write_table(base_tbl, str(base_pq))
+    pq.write_table(shard_tbl, str(shard_pq))
+
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+
+    def run(*cli):
+        res = subprocess.run(
+            [sys.executable, "-m", "simhash_ray", "--num-cpus", "8", *cli],
+            capture_output=True, text=True, timeout=540,
+            cwd="/root/repo", env=env,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    base_out = tmp_path / "base_out"
+    m1 = run("dedup-docs", str(base_pq), "--out", str(base_out))
+    assert m1["n_rows"] == base_tbl.num_rows
+    assert os.path.isdir(base_out / "signatures")
+
+    ing_out = tmp_path / "ing_out"
+    m2 = run("ingest", str(shard_pq), "--base", str(base_out),
+             "--out", str(ing_out), "--domain", "docs")
+    assert m2["n_shard"] == shard_tbl.num_rows
+    merged = pq.read_table(str(ing_out / "assignment")).to_pandas()
+    assert len(merged) == full.num_rows
+    assert set(merged["doc_id"]) == set(ids)
+    # updated signatures cover the whole corpus, ready as the next base
+    sigs = pq.read_table(str(ing_out / "signatures")).to_pandas()
+    assert len(sigs) == full.num_rows
