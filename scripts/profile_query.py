@@ -18,18 +18,14 @@ import time
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if not args:
-        print(__doc__)
-        return 2
-    name = args[0]
-    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
-    cpus = 32
-    for a in sys.argv[1:]:
-        if a.startswith("--cpus"):
-            cpus = int(a.split("=", 1)[1]) if "=" in a else int(
-                sys.argv[sys.argv.index(a) + 1]
-            )
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("query")
+    p.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    p.add_argument("--cpus", type=int, default=32)
+    ns = p.parse_args()
+    name, sf_dir, cpus = ns.query, ns.sf_dir, ns.cpus
 
     sys.path.insert(0, ".")
     from bench import host_speed

@@ -151,16 +151,20 @@ def cmd_dedup_docs(args) -> int:
     _init_ray(args.num_cpus)
     import ray.data as rd
 
-    from .pipelines.dedup_docs import dedup_documents_checkpointed
+    from .pipelines.dedup_docs import dedup_documents_checkpointed_parts
 
     cfg = _load_cfg(args)
     docs = rd.read_parquet(args.table, columns=[args.id_col, args.text_col])
     os.makedirs(args.out, exist_ok=True)
     if args.ckpt:
-        assignment = dedup_documents_checkpointed(
+        sigs, assignment = dedup_documents_checkpointed_parts(
             docs, args.ckpt, cfg, text_col=args.text_col, id_col=args.id_col,
             input_fingerprint=args.table,
-        ).materialize()
+        )
+        # export the committed signature stage so this run can serve as
+        # an `ingest --domain docs` base, same as the non-ckpt branch
+        sigs.write_parquet(os.path.join(args.out, "signatures"))
+        assignment = assignment.materialize()
     else:
         # encode ONCE: export the signature table (what a later
         # `ingest --domain docs` folds against) and enter the pipeline
@@ -266,9 +270,12 @@ def cmd_ingest(args) -> int:
     base_sigs = rd.read_parquet(os.path.join(args.base, "signatures"))
     base_assignment = rd.read_parquet(os.path.join(args.base, "assignment"))
     if getattr(args, "domain", "images") == "docs":
-        id_col = "doc_id"
-        shard = rd.read_parquet(args.shard, columns=["doc_id", "text"])
-        res = dedup_documents_incremental(shard, base_sigs, base_assignment, cfg)
+        id_col = args.id_col
+        shard = rd.read_parquet(args.shard, columns=[args.id_col, args.text_col])
+        res = dedup_documents_incremental(
+            shard, base_sigs, base_assignment, cfg,
+            text_col=args.text_col, id_col=args.id_col,
+        )
     else:
         id_col = "image_id"
         shard = _read_images(args.shard, ["image_id", "caption", "phash"])
@@ -414,6 +421,10 @@ def main(argv=None) -> int:
         help="'docs' folds a document shard (doc_id/text) against a "
         "dedup-docs base",
     )
+    ing.add_argument("--text-col", default="text",
+                     help="docs domain: text column (match the base run)")
+    ing.add_argument("--id-col", default="doc_id",
+                     help="docs domain: id column (match the base run)")
     ing.add_argument("--out", required=True, help="output directory")
     ing.set_defaults(fn=cmd_ingest)
 

@@ -192,6 +192,26 @@ def dedup_documents_checkpointed(
     (state/manifest.py), so a killed run resumes at the first
     uncommitted stage and a rerun is free.  Kill-and-rerun identity is
     pinned in tests/test_resume.py."""
+    _, assignment = dedup_documents_checkpointed_parts(
+        docs, ckpt_dir, cfg, text_col=text_col, id_col=id_col,
+        concurrency=concurrency, input_fingerprint=input_fingerprint,
+    )
+    return assignment
+
+
+def dedup_documents_checkpointed_parts(
+    docs: rd.Dataset,
+    ckpt_dir: str,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=None,
+    input_fingerprint: str = "",
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """:func:`dedup_documents_checkpointed` returning BOTH committed
+    stages, (signatures, assignment) — callers that must export the
+    signature table for a later incremental ingest (the dedup-docs CLI)
+    read it from here instead of re-encoding."""
     from ..state.manifest import CheckpointedRun
 
     run = CheckpointedRun(ckpt_dir, cfg.config_hash())
@@ -211,4 +231,4 @@ def dedup_documents_checkpointed(
         input_fingerprint,
     )
     run.write_metrics()
-    return assignment
+    return sigs, assignment

@@ -63,30 +63,53 @@ class DihedralPhash:
     group hashes as ONE vectorized (B, 32, 32) orbit pass."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from collections import defaultdict
+        from ..phash import dihedral_phash_batch_32
 
-        from ..phash import dihedral_phash_batch_32, gray32_from_rgb
-
-        n = batch.num_rows
-        dsig = np.zeros(n, dtype=np.int64)
-        if n:
-            pixs = decode_image_batch(
-                batch["bytes"].to_pylist(),
-                batch["fmt"].to_pylist(),
-                batch["w"].to_pylist(),
-                batch["h"].to_pylist(),
-            )
-            groups = defaultdict(list)
-            for i, p in enumerate(pixs):
-                groups[p.shape].append(i)
-            for idxs in groups.values():
-                stack = np.stack([pixs[i] for i in idxs])
-                dsig[np.asarray(idxs)] = dihedral_phash_batch_32(
-                    gray32_from_rgb(stack)
-                )
+        dsig = _hash_decoded_batch(batch, dihedral_phash_batch_32)
         return pa.table(
             {"image_id": batch["image_id"], "dsig": pa.array(dsig, type=pa.int64())}
         )
+
+
+def _hash_decoded_batch(batch: pa.Table, hash_fn) -> np.ndarray:
+    """Decode the batch's payloads and hash every decoded image with
+    ``hash_fn`` ((B, 32, 32) gray stack → int64 array), grouping rows
+    by decoded shape so each uniform group hashes as ONE vectorized
+    pass — the shared body of ComputePhash and DihedralPhash.
+
+    Raises loudly when a raw-format row lacks w/h metadata: 'raw' is
+    the only format whose decode needs stored dims (BMP/PNG parse their
+    headers), and externally-produced WebDataset shards routinely omit
+    the json member."""
+    from collections import defaultdict
+
+    from ..phash import gray32_from_rgb
+
+    n = batch.num_rows
+    out = np.zeros(n, dtype=np.int64)
+    if not n:
+        return out
+    fmts = batch["fmt"].to_pylist()
+    ws = batch["w"].to_pylist()
+    hs = batch["h"].to_pylist()
+    bad = [
+        i for i in range(n)
+        if fmts[i] == "raw" and (ws[i] is None or hs[i] is None)
+    ]
+    if bad:
+        raise ValueError(
+            f"{len(bad)} raw-format samples lack w/h metadata (first: row "
+            f"{bad[0]}); raw payloads cannot be decoded without stored dims "
+            "— re-write the shards with w/h json members"
+        )
+    pixs = decode_image_batch(batch["bytes"].to_pylist(), fmts, ws, hs)
+    groups = defaultdict(list)
+    for i, p in enumerate(pixs):
+        groups[p.shape].append(i)
+    for idxs in groups.values():
+        stack = np.stack([pixs[i] for i in idxs])
+        out[np.asarray(idxs)] = hash_fn(gray32_from_rgb(stack))
+    return out
 
 
 class ComputePhash:
@@ -94,30 +117,12 @@ class ComputePhash:
     plus the caption — the on-ramp from payload-only corpora
     (WebDataset tar shards) into the flagship dedup, which otherwise
     reads the precomputed ``phash`` column.  The hash is the exact
-    fixture/column hash (``phash_batch_32(gray32_from_rgb(...))``);
-    rows group by decoded shape so each uniform group hashes as one
-    vectorized pass (the DihedralPhash idiom)."""
+    fixture/column hash (``phash_batch_32(gray32_from_rgb(...))``)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from collections import defaultdict
+        from ..phash import phash_batch_32
 
-        from ..phash import gray32_from_rgb, phash_batch_32
-
-        n = batch.num_rows
-        ph = np.zeros(n, dtype=np.int64)
-        if n:
-            pixs = decode_image_batch(
-                batch["bytes"].to_pylist(),
-                batch["fmt"].to_pylist(),
-                batch["w"].to_pylist(),
-                batch["h"].to_pylist(),
-            )
-            groups = defaultdict(list)
-            for i, p in enumerate(pixs):
-                groups[p.shape].append(i)
-            for idxs in groups.values():
-                stack = np.stack([pixs[i] for i in idxs])
-                ph[np.asarray(idxs)] = phash_batch_32(gray32_from_rgb(stack))
+        ph = _hash_decoded_batch(batch, phash_batch_32)
         return pa.table(
             {
                 "image_id": batch["image_id"],

@@ -373,7 +373,12 @@ def nfc_normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     import unicodedata
 
     txt = batch[text_col].cast(pa.string())
-    is_ascii = pc.string_is_ascii(txt).to_numpy(zero_copy_only=False)
+    # null text rows: string_is_ascii yields null — treat them as the
+    # fast path (nothing to normalize; text_nfc stays null, changed is
+    # null, matching SQL's nfc_normalize(NULL)/NULL <> NULL)
+    is_ascii = pc.fill_null(pc.string_is_ascii(txt), True).to_numpy(
+        zero_copy_only=False
+    )
     if bool(is_ascii.all()):
         nfc = txt
     else:

@@ -246,6 +246,7 @@ def test_nfc_normalize_matches_unicodedata():
         "a\u030a",       # a + combining ring
         "",
         "ascii only",
+        None,  # null text: text_nfc/changed stay null (SQL semantics)
     ]
     batch = pa.table(
         {"doc_id": pa.array(range(len(cases)), type=pa.int64()),
@@ -253,8 +254,15 @@ def test_nfc_normalize_matches_unicodedata():
     )
     out = nfc_normalize_batch(batch)
     got = out["text_nfc"].to_pylist()
-    assert got == [unicodedata.normalize("NFC", c) for c in cases]
-    assert out["changed"].to_pylist() == [True, False, False, True, False, False]
+    assert got == [
+        unicodedata.normalize("NFC", c) if c is not None else None
+        for c in cases
+    ]
+    assert out["changed"].to_pylist() == [
+        True, False, False, True, False, False, None
+    ]
+    cases = cases[:-1]
+    got = got[:-1]
     con = duckdb.connect()
     duck = [con.execute("SELECT nfc_normalize(?)", [c]).fetchone()[0]
             for c in cases]
