@@ -35,12 +35,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query (same
-    column names; floats rounded identically on both sides).  Entries
-    omitted here (minhash/simhash/lang-id/flagship image pipeline) are
-    probabilistic or operate on the synthesized north-rule fixture —
-    they get the driver's rows-only check and are pytest-gated against
-    planted ground truth instead."""
+    """DuckDB-equivalent SQL for EVERY registered query (same column
+    names; floats rounded identically on both sides).  Operators that
+    are not SQL-expressible end-to-end (keyed hashing, LSH banding,
+    decode) stage their deterministic intermediates to parquet and the
+    oracle re-runs the downstream half (verify / clustering /
+    expansion) from the staged files — see the 'oracle staging' section
+    in simhash_ray/pipelines/queries.py."""
     from simhash_ray.pipelines.queries import oracle_sqls
 
     return oracle_sqls()
