@@ -2801,6 +2801,125 @@ FROM (
 """
 
 
+# paragraph-dedup unit width: 8-token windows (the corpus has no
+# newline structure, so fixed windows stand in for natural paragraphs;
+# stages/paradedup.explode_separator is the separator-mode explode)
+_PD_WINDOW = 8
+
+
+def q_doc_paragraph_dedup(sf_dir: str):
+    """Paragraph-level exact dedup (Dolma/RefinedWeb-style boilerplate
+    removal): every 8-token window that already occurred earlier in the
+    corpus (smaller (doc_id, chunk_idx)) is dropped; each document is
+    rebuilt from its surviving windows in order (empty text if none
+    survive).  One digest-keyed keep-first shuffle with a per-block
+    hot-unit combiner + one doc-keyed reassembly shuffle with sentinel
+    rows instead of a sparse join — see stages/paradedup.py."""
+    from ..stages.paradedup import paragraph_dedup
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return paragraph_dedup(docs, window=_PD_WINDOW)
+
+
+SQL_DOC_PARAGRAPH_DEDUP = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i,
+         array_to_string(
+             t[i * {_PD_WINDOW} + 1 : LEAST((i + 1) * {_PD_WINDOW}, n)],
+             ' ') AS chunk_text
+  FROM toks,
+       LATERAL unnest(generate_series(
+           0, CAST(ceil(n / CAST({_PD_WINDOW} AS DOUBLE)) AS BIGINT) - 1
+       )) AS u(i)
+  WHERE n > 0
+),
+kept AS (
+  SELECT doc_id, i, chunk_text FROM (
+    SELECT doc_id, i, chunk_text,
+           ROW_NUMBER() OVER (PARTITION BY chunk_text
+                              ORDER BY doc_id, i) AS rn
+    FROM chunks
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       COALESCE(string_agg(k.chunk_text, ' ' ORDER BY k.i), '') AS text,
+       COUNT(k.chunk_text) AS n_kept
+FROM documents d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
+def q_doc_quality_prune(sf_dir: str):
+    """Global-percentile data pruning: keep documents whose integer
+    quality score (stopwords-per-mille-of-tokens) clears the corpus
+    p30 — drop the worst ~30% by score.  The threshold comes from the
+    exact distinct-value-histogram quantile (stages/topk), so the cut
+    is bit-identical to SQL's quantile_disc; the lazy scored projection
+    re-executes for the filter pass (two streaming passes, no
+    materialization)."""
+    from ..stages.topk import exact_quantiles
+
+    def scored() -> rd.Dataset:
+        docs = _docs(sf_dir, columns=["doc_id", "text"])
+        out = docs.map_batches(text_ops.token_count_batch, batch_format="pyarrow")
+        out = out.map_batches(
+            text_ops.stopword_count_batch, batch_format="pyarrow"
+        )
+
+        def fin(batch: pa.Table) -> pa.Table:
+            n_tok = batch["n_tokens"].to_numpy(zero_copy_only=False)
+            n_stop = batch["n_stopwords"].to_numpy(zero_copy_only=False)
+            score = (n_stop.astype(np.int64) * 1000) // np.maximum(n_tok, 1)
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_tokens": batch["n_tokens"],
+                    "score": pa.array(score.astype(np.int64)),
+                }
+            )
+
+        return out.map_batches(fin, batch_format="pyarrow")
+
+    thr = int(exact_quantiles(scored(), "score", {"p30": (3, 10)})["p30"][0].as_py())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["score"], pa.scalar(thr)))
+
+    return scored().map_batches(keep, batch_format="pyarrow")
+
+
+SQL_DOC_QUALITY_PRUNE = rf"""
+WITH sw(tok) AS (VALUES {_stopword_any_values_sql()}),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+cnt AS (
+  SELECT t.doc_id, COUNT(*) AS n_stopwords
+  FROM toks t JOIN sw s ON t.tok = s.tok
+  GROUP BY 1
+),
+sc AS (
+  SELECT d.doc_id,
+         CASE WHEN trim(d.text) = '' THEN 0
+              ELSE len(string_split_regex(trim(d.text), '\s+')) END AS n_tokens,
+         COALESCE(c.n_stopwords, 0) * 1000 //
+             GREATEST(CASE WHEN trim(d.text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(d.text), '\s+'))
+                      END, 1) AS score
+  FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+),
+thr AS (SELECT quantile_disc(score, 0.30) AS t FROM sc)
+SELECT doc_id, n_tokens, score FROM sc, thr WHERE score >= thr.t
+"""
+
+
 # --------------------------------------------------------------------------
 # embeddings
 
@@ -3325,6 +3444,29 @@ FROM read_parquet('{_staged("images_sig_base")}') b LEFT JOIN s USING (image_id)
 """
 
 
+def q_images_exact_dedup(sf_dir: str):
+    """Exact byte-payload image dedup (the cheap pass BEFORE any
+    near-dup LSH): rows with identical image bytes collapse to the
+    min image_id (stages/collapse.dedup_exact_bytes — bytes hashed in
+    place, only 32-byte digests shuffle).  The oracle receives the
+    staged (image_id, bytes) base and independently partitions by the
+    raw BLOB — any injective digest induces the same partitions, so
+    the member→rep mappings must agree exactly."""
+    from ..stages.collapse import dedup_exact_bytes
+
+    images = read_images_fixture(sf_dir, columns=["image_id", "bytes"])
+    _stage(images, "images_exact_base")
+    return dedup_exact_bytes(images)
+
+
+SQL_IMAGES_EXACT_DEDUP = f"""
+SELECT image_id,
+       MIN(image_id) OVER (PARTITION BY bytes) AS rep_id,
+       (image_id = MIN(image_id) OVER (PARTITION BY bytes)) AS is_rep
+FROM read_parquet('{_staged("images_exact_base")}')
+"""
+
+
 def q_images_dedup(sf_dir: str):
     """The flagship image+caption dedup assignment, SQL-oracle-checked
     via staging (the image twin of :func:`q_doc_simhash_dedup`, round-3
@@ -3805,6 +3947,8 @@ def ray_queries() -> dict:
         "doc_chunks": q_doc_chunks,
         "doc_pack": q_doc_pack,
         "doc_shuffle_rank": q_doc_shuffle_rank,
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
+        "doc_quality_prune": q_doc_quality_prune,
         "embed_dedup_clusters": q_embed_dedup_clusters,
         "embed_topk": q_embed_topk,
         "embed_quantize": q_embed_quantize,
@@ -3826,6 +3970,7 @@ def ray_queries() -> dict:
         "images_stats": q_images_stats,
         "images_survivor_invariant": q_images_survivor_invariant,
         "images_wds_roundtrip": q_images_wds_roundtrip,
+        "images_exact_dedup": q_images_exact_dedup,
     }
 
 
@@ -3889,6 +4034,8 @@ def oracle_sqls() -> dict:
         "doc_chunks": SQL_DOC_CHUNKS,
         "doc_pack": SQL_DOC_PACK,
         "doc_shuffle_rank": SQL_DOC_SHUFFLE_RANK,
+        "doc_paragraph_dedup": SQL_DOC_PARAGRAPH_DEDUP,
+        "doc_quality_prune": SQL_DOC_QUALITY_PRUNE,
         "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,
         # staged-parquet oracles (see the "oracle staging" section):
         "doc_simhash_sigs": SQL_DOC_SIMHASH_SIGS,
@@ -3912,4 +4059,5 @@ def oracle_sqls() -> dict:
         "images_survivor_invariant": SQL_IMAGES_SURVIVOR_INVARIANT,
         "images_stats": SQL_IMAGES_STATS,
         "images_wds_roundtrip": SQL_IMAGES_WDS_ROUNDTRIP,
+        "images_exact_dedup": SQL_IMAGES_EXACT_DEDUP,
     }

@@ -67,3 +67,82 @@ def collapse_exact(sig_ds: rd.Dataset, n_parts: int = 64) -> rd.Dataset:
         .groupby("part")
         .map_groups(_collapse_group, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact byte-payload dedup (the step BEFORE any near-dup pass)
+
+
+def _bytes_rep_group(group: pa.Table, id_col: str) -> pa.Table:
+    """Per-partition min-id election over identical digests: sort by
+    (digest code, id), run-detect, broadcast each run's first id."""
+    dig = group["digest"]
+    dig = dig.combine_chunks() if isinstance(dig, pa.ChunkedArray) else dig
+    codes = dig.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    ids = np.asarray(group[id_col].to_numpy(zero_copy_only=False), dtype=object)
+    order = np.lexsort((ids, codes))
+    ids_s, codes_s = ids[order], codes[order]
+    n = len(ids_s)
+    new_run = np.ones(n, dtype=bool)
+    new_run[1:] = codes_s[1:] != codes_s[:-1]
+    run_id = np.cumsum(new_run) - 1
+    rep = ids_s[new_run][run_id]
+    return pa.table(
+        {
+            id_col: pa.array(ids_s, type=pa.string()),
+            "rep_id": pa.array(rep, type=pa.string()),
+            "is_rep": pa.array(new_run),
+        }
+    )
+
+
+def dedup_exact_bytes(
+    ds: rd.Dataset,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Exact byte-payload dedup: rows with identical ``bytes_col``
+    content collapse to the lexicographically smallest id.  Output:
+    (id, rep_id, is_rep) — the member→rep mapping; filter ``is_rep``
+    for survivors.
+
+    Scale shape: the payload is hashed IN PLACE by a streaming
+    ``map_batches`` (sha256 per row — the hash is the hot cost and
+    runs in C releasing the GIL; the image bytes themselves never
+    enter a shuffle), then only (id, 32-byte digest) rows move through
+    one coarse-partition groupby keyed on the digest prefix — the
+    narrow-shuffle discipline of the flagship (bytes move zero times,
+    signatures once).
+    """
+    import hashlib
+
+    from .base import map_groups_typed
+
+    def digest(batch: pa.Table) -> pa.Table:
+        col = batch[bytes_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        digs = [hashlib.sha256(b).digest() for b in col.to_pylist()]
+        part = np.array(
+            [int.from_bytes(d[:4], "big") % n_parts for d in digs],
+            dtype=np.int32,
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "digest": pa.array(digs, type=pa.binary()),
+                "part": pa.array(part),
+            }
+        )
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.string()),
+            "rep_id": pa.array([], type=pa.string()),
+            "is_rep": pa.array([], type=pa.bool_()),
+        }
+    )
+    hashed = ds.map_batches(digest, batch_format="pyarrow")
+    return map_groups_typed(
+        hashed, "part", lambda g: _bytes_rep_group(g, id_col), empty
+    )
