@@ -340,6 +340,31 @@ def _run_bench() -> dict:
             n_images / timings["e2e_dedup_dihedral"], 1
         )
 
+        # paragraph-level exact dedup over the caption corpus at full
+        # bench scale (the Dolma-style boilerplate pass): explode →
+        # keep-first shuffle → sentinel reassembly, 400k rows
+        def run_para_dedup():
+            from simhash_ray.stages.paradedup import paragraph_dedup
+
+            def to_doc(t: _pa.Table) -> _pa.Table:
+                import pyarrow.compute as _pc
+
+                ids = _pc.cast(
+                    _pc.replace_substring(t["image_id"], "img", ""), _pa.int64()
+                )
+                return _pa.table({"doc_id": ids, "text": t["caption"]})
+
+            docs = read_images(columns=["image_id", "caption"]).map_batches(
+                to_doc, batch_format="pyarrow"
+            )
+            return paragraph_dedup(docs, window=8).count()
+
+        n_para = timed("caption_paragraph_dedup", run_para_dedup)
+        assert n_para == n_images, (n_para, n_images)
+        timings["para_dedup_docs_per_sec"] = round(
+            n_images / timings["caption_paragraph_dedup"], 1
+        )
+
     result = {
         "metric": "e2e_dedup_seconds",
         "value": timings["e2e_dedup"],
