@@ -212,7 +212,10 @@ def explode_separator(
     def fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return empty
-        lists = pc.split_pattern(_as_array(batch[text_col]), sep)
+        # null-safe: null text behaves as '' (one empty unit), matching
+        # SQL COALESCE(text, '') split semantics
+        text = pc.fill_null(_as_array(batch[text_col]), "")
+        lists = pc.split_pattern(text, sep)
         flat = pc.list_flatten(lists)
         counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
         row_rep = np.repeat(np.arange(len(counts)), counts)
