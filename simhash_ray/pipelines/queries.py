@@ -2855,6 +2855,52 @@ GROUP BY d.doc_id
 """
 
 
+def q_doc_paragraph_dedup_unique(sf_dir: str):
+    """Paragraph dedup under the CONSERVATIVE rule (keep="none"):
+    any 8-token window occurring more than once in the corpus is
+    boilerplate and is dropped from EVERY document, first occurrence
+    included.  Same shuffle shape as doc_paragraph_dedup — the
+    per-block combiner carries a multiplicity partial so the global
+    count is exact despite pre-collapsing."""
+    from ..stages.paradedup import paragraph_dedup
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return paragraph_dedup(docs, window=_PD_WINDOW, keep="none")
+
+
+SQL_DOC_PARAGRAPH_DEDUP_UNIQUE = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i,
+         array_to_string(
+             t[i * {_PD_WINDOW} + 1 : LEAST((i + 1) * {_PD_WINDOW}, n)],
+             ' ') AS chunk_text
+  FROM toks,
+       LATERAL unnest(generate_series(
+           0, CAST(ceil(n / CAST({_PD_WINDOW} AS DOUBLE)) AS BIGINT) - 1
+       )) AS u(i)
+  WHERE n > 0
+),
+kept AS (
+  SELECT doc_id, i, chunk_text FROM (
+    SELECT doc_id, i, chunk_text,
+           COUNT(*) OVER (PARTITION BY chunk_text) AS c
+    FROM chunks
+  ) WHERE c = 1
+)
+SELECT d.doc_id,
+       COALESCE(string_agg(k.chunk_text, ' ' ORDER BY k.i), '') AS text,
+       COUNT(k.chunk_text) AS n_kept
+FROM documents d LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
 def q_doc_quality_prune(sf_dir: str):
     """Global-percentile data pruning: keep documents whose integer
     quality score (stopwords-per-mille-of-tokens) clears the corpus
@@ -3948,6 +3994,7 @@ def ray_queries() -> dict:
         "doc_pack": q_doc_pack,
         "doc_shuffle_rank": q_doc_shuffle_rank,
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
+        "doc_paragraph_dedup_unique": q_doc_paragraph_dedup_unique,
         "doc_quality_prune": q_doc_quality_prune,
         "embed_dedup_clusters": q_embed_dedup_clusters,
         "embed_topk": q_embed_topk,
@@ -4035,6 +4082,7 @@ def oracle_sqls() -> dict:
         "doc_pack": SQL_DOC_PACK,
         "doc_shuffle_rank": SQL_DOC_SHUFFLE_RANK,
         "doc_paragraph_dedup": SQL_DOC_PARAGRAPH_DEDUP,
+        "doc_paragraph_dedup_unique": SQL_DOC_PARAGRAPH_DEDUP_UNIQUE,
         "doc_quality_prune": SQL_DOC_QUALITY_PRUNE,
         "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,
         # staged-parquet oracles (see the "oracle staging" section):

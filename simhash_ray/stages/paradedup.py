@@ -55,11 +55,16 @@ def _keep_first_kernel(
     t: pa.Table, id_col: str, ord_col: str, unit_col: str
 ) -> pa.Table:
     """Keep, per distinct unit text, the row with the smallest
-    ``(id, ord)``.  Vectorized: dictionary-encode the unit column
-    (C-speed string hashing), lexsort rows by (id, ord), and take the
-    first occurrence of each code in that order (``np.unique``'s
-    return_index is exactly first-occurrence)."""
+    ``(id, ord)``, carrying the summed occurrence count in ``cnt``
+    (input rows without a ``cnt`` column count 1 each — so folding
+    pre-combined blocks preserves global multiplicity).  Vectorized:
+    dictionary-encode the unit column (C-speed string hashing),
+    lexsort rows by (id, ord), and take the first occurrence of each
+    code in that order (``np.unique``'s return_index is exactly
+    first-occurrence)."""
     if t.num_rows == 0:
+        if "cnt" not in t.column_names:
+            t = t.append_column("cnt", pa.array([], type=pa.int64()))
         return t
     codes = (
         _as_array(t[unit_col]).dictionary_encode().indices.to_numpy(
@@ -68,9 +73,19 @@ def _keep_first_kernel(
     )
     ids = t[id_col].to_numpy(zero_copy_only=False)
     ords = t[ord_col].to_numpy(zero_copy_only=False)
+    if "cnt" in t.column_names:
+        cnt_in = t["cnt"].to_numpy(zero_copy_only=False)
+        t = t.drop_columns(["cnt"])
+    else:
+        cnt_in = np.ones(len(ids), dtype=np.int64)
+    sums = np.bincount(codes, weights=cnt_in).astype(np.int64)
     order = np.lexsort((ords, ids))
-    first = np.unique(codes[order], return_index=True)[1]
-    return t.take(pa.array(np.sort(order[first])))
+    # np.unique returns sorted unique codes + first-occurrence index,
+    # elementwise aligned — so sums[u] is each kept row's multiplicity
+    u, first = np.unique(codes[order], return_index=True)
+    keep_order = np.argsort(order[first])  # restore original row order
+    kept = t.take(pa.array(order[first][keep_order]))
+    return kept.append_column("cnt", pa.array(sums[u][keep_order]))
 
 
 def dedup_units_keep_first(
@@ -79,16 +94,23 @@ def dedup_units_keep_first(
     ord_col: str = "chunk_idx",
     unit_col: str = "chunk_text",
     n_parts: int = 64,
+    keep: str = "first",
 ) -> rd.Dataset:
-    """Global keep-first over exploded units: a unit row survives iff
-    its ``(id, ord)`` is the corpus minimum among rows with identical
-    unit text.  Output columns = input columns (minus nothing), one
-    row per surviving occurrence.
+    """Global dedup over exploded units.  ``keep="first"`` (RefinedWeb
+    /Dolma rule): a unit row survives iff its ``(id, ord)`` is the
+    corpus minimum among rows with identical unit text.
+    ``keep="none"`` (conservative boilerplate rule): a unit survives
+    only if its text occurs exactly once in the whole corpus — repeats
+    are dropped EVERYWHERE, first occurrence included.  Output: the
+    (id, ord, unit) projection, one row per surviving occurrence.
 
     One groupby shuffle on a hash partition of the unit text; the
     per-batch combiner bounds any hot unit to one row per input block
-    before the shuffle.
+    before the shuffle (it carries a ``cnt`` partial so ``keep="none"``
+    still sees exact global multiplicity).
     """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
     cols = [id_col, ord_col, unit_col]
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -109,9 +131,12 @@ def dedup_units_keep_first(
     )
 
     def group_fn(g: pa.Table) -> pa.Table:
-        return _keep_first_kernel(g, id_col, ord_col, unit_col).drop_columns(
-            ["part"]
+        out = _keep_first_kernel(
+            g.drop_columns(["part"]), id_col, ord_col, unit_col
         )
+        if keep == "none":
+            out = out.filter(pc.equal(out["cnt"], pa.scalar(1)))
+        return out.drop_columns(["cnt"])
 
     keyed = units.map_batches(prep, batch_format="pyarrow")
     return map_groups_typed(keyed, "part", group_fn, empty)
@@ -240,13 +265,16 @@ def paragraph_dedup(
     sep: str | None = None,
     window: int | None = None,
     n_parts: int = 64,
+    keep: str = "first",
 ) -> rd.Dataset:
     """End-to-end paragraph dedup over (id, text) documents.
 
     Exactly one of ``sep`` (natural paragraphs, rejoined with the same
     separator) or ``window`` (fixed token windows, rejoined with a
     single space — for corpora without separator structure) selects
-    the unit policy.  Output: (id, text, n_kept), one row per input
+    the unit policy; ``keep`` selects the dedup rule (``"first"`` =
+    keep first occurrence, ``"none"`` = drop every repeated unit
+    everywhere).  Output: (id, text, n_kept), one row per input
     document, text = surviving units in original order.
     """
     if (sep is None) == (window is None):
@@ -260,7 +288,7 @@ def paragraph_dedup(
         units = chunk_tokens(docs, window, id_col, text_col)
         join_sep = " "
     survivors = dedup_units_keep_first(
-        units, id_col, "chunk_idx", "chunk_text", n_parts
+        units, id_col, "chunk_idx", "chunk_text", n_parts, keep
     )
     ids = docs.select_columns([id_col])
     return reassemble_docs(

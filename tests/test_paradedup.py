@@ -103,6 +103,41 @@ def test_separator_mode_matches_naive():
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
 
 
+def _naive_window_none(df, window, sep=" "):
+    from collections import Counter
+
+    counts = Counter()
+    for text in df["text"]:
+        toks = text.split()
+        for i in range(0, len(toks), window):
+            counts[" ".join(toks[i : i + window])] += 1
+    rows = []
+    for doc_id, text in sorted(zip(df["doc_id"], df["text"])):
+        toks = text.split()
+        kept = [
+            " ".join(toks[i : i + window])
+            for i in range(0, len(toks), window)
+            if counts[" ".join(toks[i : i + window])] == 1
+        ]
+        rows.append((doc_id, sep.join(kept), len(kept)))
+    return pd.DataFrame(rows, columns=["doc_id", "text", "n_kept"])
+
+
+def test_keep_none_matches_naive():
+    rng = np.random.default_rng(29)
+    df = _doc_df(rng, 250)
+    out = _run(
+        paragraph_dedup(rd.from_pandas(df).repartition(9), window=5, keep="none")
+    )
+    want = (
+        _naive_window_none(df, 5).sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    # the conservative rule keeps strictly no more than keep-first
+    first = _run(paragraph_dedup(rd.from_pandas(df).repartition(9), window=5))
+    assert (out["n_kept"] <= first["n_kept"]).all()
+
+
 def test_keep_first_survivor_set():
     # duplicates within one doc AND across docs; min (id, ord) survives
     units = pd.DataFrame(
