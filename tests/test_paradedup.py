@@ -169,6 +169,15 @@ def test_explode_separator_empty_text_yields_one_empty_unit():
     }
 
 
+def test_all_empty_docs_survive_as_empty_rows():
+    df = pd.DataFrame(
+        {"doc_id": np.arange(5, dtype=np.int64), "text": [""] * 5}
+    )
+    out = _run(paragraph_dedup(rd.from_pandas(df).repartition(3), window=4))
+    assert out["doc_id"].tolist() == list(range(5))
+    assert (out["text"] == "").all() and (out["n_kept"] == 0).all()
+
+
 def test_dedup_exact_bytes_matches_naive():
     rng = np.random.default_rng(23)
     payloads = [rng.bytes(rng.integers(1, 200)) for _ in range(40)]
