@@ -196,6 +196,40 @@ def cmd_dedup_docs(args) -> int:
     return 0
 
 
+def cmd_paradedup(args) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.paradedup import paragraph_dedup
+
+    if (args.sep is None) == (args.window is None):
+        print("pass exactly one of --sep or --window", file=sys.stderr)
+        return 2
+    docs = rd.read_parquet(args.table, columns=[args.id_col, args.text_col])
+    out = paragraph_dedup(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        sep=args.sep,
+        window=args.window,
+        keep=args.keep,
+    ).materialize()
+    os.makedirs(args.out, exist_ok=True)
+    out.write_parquet(os.path.join(args.out, "documents"))
+    n = out.count()
+    n_units_kept = int(out.sum("n_kept") or 0)
+    metrics = {
+        "n_docs": n,
+        "n_units_kept": n_units_kept,
+        "keep": args.keep,
+        "unit": f"sep={args.sep!r}" if args.sep is not None else f"window={args.window}",
+    }
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics))
+    return 0
+
+
 def cmd_curate(args) -> int:
     """Full curation pass over a raw document table (lang gate →
     quality gate → tokenset dedup → split → decontamination); with
@@ -404,6 +438,25 @@ def main(argv=None) -> int:
     cu.add_argument("--langs", default=None, help="comma-separated whitelist")
     cu.add_argument("--window", type=int, default=8, help="decontam window")
     cu.set_defaults(fn=cmd_curate)
+
+    pdp = sub.add_parser(
+        "paradedup",
+        help="paragraph-level exact dedup: drop repeated units, rebuild docs",
+    )
+    pdp.add_argument("table", help="Parquet file/dir with id + text columns")
+    pdp.add_argument("--out", required=True, help="output directory")
+    pdp.add_argument("--text-col", default="text")
+    pdp.add_argument("--id-col", default="doc_id")
+    pdp.add_argument("--sep", default=None, help="paragraph separator (literal)")
+    pdp.add_argument(
+        "--window", type=int, default=None,
+        help="fixed token-window unit size (corpora without separators)",
+    )
+    pdp.add_argument(
+        "--keep", choices=("first", "none"), default="first",
+        help="first = keep first occurrence; none = drop all repeats",
+    )
+    pdp.set_defaults(fn=cmd_paradedup)
 
     ing = sub.add_parser(
         "ingest",

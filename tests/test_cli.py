@@ -184,6 +184,39 @@ def test_cli_dedup_docs_smoke(tmp_path):
     assert m["n_representatives"] + m["n_duplicates_removed"] == 500
 
 
+def test_cli_paradedup_smoke(tmp_path):
+    out = tmp_path / "out"
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "simhash_ray", "--num-cpus", "8",
+            "paradedup", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out), "--window", "8",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    t = pq.read_table(str(out / "documents"))
+    assert t.num_rows == 500
+    assert {"doc_id", "text", "n_kept"} <= set(t.column_names)
+    m = json.loads((out / "metrics.json").read_text())
+    assert m["n_docs"] == 500 and m["n_units_kept"] > 0
+    # mutually exclusive unit flags are rejected loudly
+    bad = subprocess.run(
+        [
+            sys.executable, "-m", "simhash_ray", "paradedup",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(tmp_path / "bad"),
+        ],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert bad.returncode == 2
+
+
 def test_cli_ingest_smoke(tmp_path):
     """encode + dedup over a base, then `ingest` a shard: the merged
     assignment must equal a full-batch CLI dedup over base ∪ shard."""
