@@ -1,0 +1,351 @@
+"""Tiered cascade dedup: exact bytes → phash LSH → caption SimHash.
+
+The web-scale cost-discipline pattern the flagship's joint two-space
+pass deliberately does NOT express: run the CHEAPEST dedup tier first
+and let every later (more expensive) tier see only the survivors of
+the previous one.  At 10^12 rows the exact-bytes tier typically drops
+10-30% of the corpus for the price of one streaming sha256 pass and a
+digest-only shuffle, so the LSH band expansion — the widest shuffle in
+the pipeline — runs over a strictly smaller signature table, and the
+caption tier smaller still.
+
+Semantics (differ from the flagship's joint clustering on purpose):
+each tier clusters ONLY within its own space over its own input set,
+elects the min-id member as keeper, and drops the rest.  A row's
+``tier`` records where IT was dropped; its final ``cluster_id`` is the
+ultimate surviving keeper, found by chasing the (strictly
+id-decreasing, hence acyclic) member→keeper chain across tiers.
+
+Reference parity: the per-tier machinery is the flagship's
+(stages/collapse, stages/lsh, stages/cluster — see
+pipelines/dedup_images.py for the Haskell reference citations); this
+module only adds the tier composition.
+
+Shuffle inventory (scale notes):
+  1. exact tier        — sha256 in place; (id, 32 B digest) rows shuffle
+                         once; image bytes move ZERO times.
+  2. per sig tier      — the flagship's collapse + band groupby + CC
+                         rounds, but over the PRUNED survivor set.
+  3. survivor filter   — broadcast of the dropped-id set when small
+                         (the typical case: dups ≪ corpus), hash join
+                         on survivor ids otherwise.
+  4. composition       — joins move only (member, keeper) pairs of
+                         DROPPED rows: bounded by the dup count, never
+                         the corpus size.
+
+The caller owns ``ray.init`` (driver contract, __ray_entry__.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..config import DEFAULT_CONFIG, DedupConfig
+from ..stages.collapse import collapse_exact, dedup_exact_bytes
+from ..stages.lsh import IMAGE_SPACE, TEXT_SPACE
+from .dedup_images import (
+    BROADCAST_LIMIT,
+    attach_clusters,
+    dup_edges,
+    signatures,
+)
+
+# tier name → (LSH space tag, signature column, cfg attribute)
+SIG_TIERS = {
+    "phash": (IMAGE_SPACE, "phash", "image_lsh"),
+    "caption": (TEXT_SPACE, "simhash", "text_lsh"),
+}
+DEFAULT_TIERS = ("exact", "phash", "caption")
+
+
+@dataclass
+class CascadeResult:
+    # (image_id, cluster_id, tier) for EVERY input row; tier ∈
+    # {"exact", "phash", "caption", "survivor"}
+    assignment: rd.Dataset
+    # per-tier member→keeper maps, in tier order (materialized)
+    tier_maps: list = field(default_factory=list)  # [(tier, Dataset), ...]
+    # rows dropped at each tier (same order)
+    tier_drops: dict = field(default_factory=dict)
+    # the signature table the sig tiers ran over (None if no sig tier
+    # ran); covers tier-input survivors at the time of the first sig
+    # tier — oracle staging reuses it
+    signatures: rd.Dataset | None = None
+
+
+def _n_join() -> int:
+    # chained-join sessions starve aggregator actors above CPU//4
+    # partitions (measured; see BASELINE.md join-deadlock note)
+    return int(min(8, max(2, ray.cluster_resources().get("CPU", 8) // 4)))
+
+
+def _drop_rows(
+    ds: rd.Dataset, dropped: rd.Dataset, n_dropped: int, limit: int
+) -> rd.Dataset:
+    """Filter ``ds`` down to rows whose image_id is NOT in ``dropped``.
+
+    Broadcast anti-filter below ``limit`` dropped ids (the wide rows
+    never shuffle); above it a left join against the dropped map +
+    null-keeper filter (anti-join) takes over."""
+    if n_dropped == 0:
+        return ds
+    if n_dropped <= limit:
+        dup_df = dropped.select_columns(["image_id"]).to_pandas()
+        dup_ref = ray.put(pa.array(dup_df["image_id"], type=pa.string()))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            dups = ray.get(dup_ref)
+            mask = pc.invert(
+                pc.is_in(batch["image_id"].cast(pa.string()), value_set=dups)
+            )
+            return batch.filter(mask)
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+    joined = ds.join(
+        dropped.select_columns(["image_id", "keeper_id"]),
+        join_type="left_outer",
+        num_partitions=_n_join(),
+        on=("image_id",),
+        aggregator_ray_remote_args={"num_cpus": 0.5},
+    )
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["keeper_id"])).drop_columns(["keeper_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def _remap_keeper(
+    m: rd.Dataset, f: rd.Dataset, n_f: int, limit: int
+) -> rd.Dataset:
+    """Rewrite ``m.keeper_id`` through the later-tier map ``f``: a
+    keeper that was itself dropped later resolves to ITS final keeper
+    (chains are id-decreasing, so one pass per tier suffices)."""
+    if n_f <= limit:
+        f_df = f.select_columns(["image_id", "keeper_id"]).to_pandas()
+        map_ref = ray.put(
+            pd.Series(
+                f_df["keeper_id"].to_numpy(), index=f_df["image_id"].to_numpy()
+            )
+        )
+
+        def remap(batch: pa.Table) -> pa.Table:
+            lut = ray.get(map_ref)
+            keep = pd.Series(batch["keeper_id"].to_numpy(zero_copy_only=False))
+            resolved = keep.map(lut).fillna(keep)
+            return pa.table(
+                {
+                    "image_id": batch["image_id"],
+                    "keeper_id": pa.array(resolved.to_numpy(), type=pa.string()),
+                    "tier": batch["tier"],
+                }
+            )
+
+        return m.map_batches(remap, batch_format="pyarrow")
+    f_r = f.select_columns(["image_id", "keeper_id"]).map_batches(
+        lambda t: t.rename_columns(["keeper_id", "final_keeper"]),
+        batch_format="pyarrow",
+    )
+    joined = m.join(
+        f_r,
+        join_type="left_outer",
+        num_partitions=_n_join(),
+        on=("keeper_id",),
+        aggregator_ray_remote_args={"num_cpus": 0.5},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "keeper_id": pc.coalesce(
+                    batch["final_keeper"].cast(pa.string()),
+                    batch["keeper_id"].cast(pa.string()),
+                ),
+                "tier": batch["tier"],
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _attach_final(
+    ids: rd.Dataset, f: rd.Dataset | None, n_f: int, limit: int
+) -> rd.Dataset:
+    """(image_id) × composed map → (image_id, cluster_id, tier);
+    unmatched rows are their own cluster with tier='survivor'."""
+    if f is None or n_f == 0:
+        return ids.map_batches(
+            lambda t: pa.table(
+                {
+                    "image_id": t["image_id"],
+                    "cluster_id": t["image_id"].cast(pa.string()),
+                    "tier": pa.array(["survivor"] * len(t), type=pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    if n_f <= limit:
+        f_df = f.to_pandas()
+        idx = f_df["image_id"].to_numpy()
+        keep_ref = ray.put(pd.Series(f_df["keeper_id"].to_numpy(), index=idx))
+        tier_ref = ray.put(pd.Series(f_df["tier"].to_numpy(), index=idx))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            ids_s = pd.Series(batch["image_id"].to_numpy(zero_copy_only=False))
+            cluster = ids_s.map(ray.get(keep_ref)).fillna(ids_s)
+            tier = ids_s.map(ray.get(tier_ref)).fillna("survivor")
+            return pa.table(
+                {
+                    "image_id": batch["image_id"],
+                    "cluster_id": pa.array(cluster.to_numpy(), type=pa.string()),
+                    "tier": pa.array(tier.to_numpy(), type=pa.string()),
+                }
+            )
+
+        return ids.map_batches(attach, batch_format="pyarrow")
+    joined = ids.join(
+        f,
+        join_type="left_outer",
+        num_partitions=_n_join(),
+        on=("image_id",),
+        aggregator_ray_remote_args={"num_cpus": 0.5},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sid = batch["image_id"].cast(pa.string())
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "cluster_id": pc.coalesce(batch["keeper_id"].cast(pa.string()), sid),
+                "tier": pc.coalesce(
+                    batch["tier"].cast(pa.string()), pa.scalar("survivor")
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _with_tier(m: rd.Dataset, tier: str) -> rd.Dataset:
+    return m.map_batches(
+        lambda t: t.append_column(
+            "tier", pa.array([tier] * len(t), type=pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_images_cascade(
+    images: rd.Dataset,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    tiers: tuple = DEFAULT_TIERS,
+    concurrency=None,
+    n_parts: int = 64,
+    broadcast_limit: int | None = None,
+    precomputed_sigs: rd.Dataset | None = None,
+) -> CascadeResult:
+    """Run the dedup tiers in order, each over the previous tier's
+    survivors, and compose the per-tier member→keeper maps into one
+    global assignment ``(image_id, cluster_id, tier)``.
+
+    ``precomputed_sigs`` (image_id, simhash, phash, covering at least
+    every row alive at the first sig tier) skips the encode pass —
+    signatures are per-row deterministic, so an all-rows table is
+    semantically identical (oracle staging uses this).
+    """
+    limit = BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    unknown = [t for t in tiers if t != "exact" and t not in SIG_TIERS]
+    if unknown:
+        raise ValueError(f"unknown cascade tiers {unknown}; valid: "
+                         f"('exact', {', '.join(repr(k) for k in SIG_TIERS)})")
+
+    current: rd.Dataset | None = images  # wide rows, alive set
+    sigs: rd.Dataset | None = None  # narrow (id, simhash, phash), alive set
+    sigs_out: rd.Dataset | None = None
+    tier_maps: list = []
+    tier_drops: dict = {}
+
+    for tier_idx, tier in enumerate(tiers):
+        if tier == "exact":
+            m = dedup_exact_bytes(current, n_parts=n_parts).materialize()
+            dropped = m.filter(expr="is_rep == False").map_batches(
+                lambda t: t.select(["image_id", "rep_id"]).rename_columns(
+                    ["image_id", "keeper_id"]
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            space, col, cfg_attr = SIG_TIERS[tier]
+            if sigs is None:
+                if precomputed_sigs is not None:
+                    sigs = precomputed_sigs
+                    # restrict to the alive set (ids dropped by earlier
+                    # tiers must not re-enter)
+                    for _, prev in tier_maps:
+                        sigs = _drop_rows(sigs, prev, prev.count(), limit)
+                else:
+                    sigs = signatures(
+                        current.select_columns(["image_id", "caption", "phash"]),
+                        cfg,
+                        concurrency=concurrency,
+                    )
+                sigs = sigs.materialize()
+                sigs_out = sigs
+            collapsed = collapse_exact(sigs, n_parts).materialize()
+            edges = dup_edges(
+                collapsed, cfg, n_parts,
+                spaces=[(space, col, getattr(cfg, cfg_attr))],
+            )
+            assignment, _, _ = attach_clusters(
+                collapsed, edges, cfg, n_parts,
+                broadcast_limit=limit, compute_n_clusters=False,
+            )
+            dropped = assignment.filter(
+                expr="is_representative == False"
+            ).map_batches(
+                lambda t: t.select(["image_id", "cluster_id"]).rename_columns(
+                    ["image_id", "keeper_id"]
+                ),
+                batch_format="pyarrow",
+            )
+        dropped = dropped.materialize()
+        n_dropped = dropped.count()
+        tier_maps.append((tier, dropped))
+        tier_drops[tier] = n_dropped
+        # prune the alive set for the NEXT tier (skip after the last)
+        if tier_idx + 1 < len(tiers) and n_dropped:
+            if sigs is not None:
+                sigs = _drop_rows(sigs, dropped, n_dropped, limit).materialize()
+            else:
+                current = _drop_rows(current, dropped, n_dropped, limit)
+
+    # ---- compose maps, last tier backwards -------------------------------
+    final: rd.Dataset | None = None
+    n_final = 0
+    for tier, m in reversed(tier_maps):
+        n_m = tier_drops[tier]
+        if n_m == 0:
+            continue
+        m_t = _with_tier(m, tier)
+        if final is None:
+            final = m_t
+        else:
+            final = _remap_keeper(m_t, final, n_final, limit).union(final)
+        n_final += n_m
+        final = final.materialize()
+
+    ids = images.select_columns(["image_id"])
+    assignment = _attach_final(ids, final, n_final, limit)
+    return CascadeResult(
+        assignment=assignment,
+        tier_maps=tier_maps,
+        tier_drops=tier_drops,
+        signatures=sigs_out,
+    )

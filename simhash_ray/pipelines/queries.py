@@ -3513,6 +3513,89 @@ FROM read_parquet('{_staged("images_exact_base")}')
 """
 
 
+def q_images_dedup_cascade(sf_dir: str):
+    """Tiered cascade dedup (pipelines/cascade.py): exact bytes →
+    phash-LSH → caption-SimHash, every tier over the previous tier's
+    survivors, min-id keepers, cross-tier keeper-chain composition.
+    Output: (image_id, cluster_id, tier) for EVERY input row.
+
+    Oracle scheme (same independence as ``images_dedup``): only the
+    raw (image_id, bytes) base and the all-rows signature table are
+    staged — signatures are per-row deterministic and their encode
+    semantics are independently oracle-green via ``images_signatures``
+    — and DuckDB recomputes the ENTIRE cascade from them by a
+    different algorithm: window-partition by raw BLOB for the exact
+    tier, all-pairs τ-ball edges + recursive-CTE connected components
+    per signature tier (valid because both banding configs
+    pigeonhole-guarantee recall 1.0 within their τ), then the
+    three-step keeper-chain composition + tier attribution in plain
+    joins.  Cross-checks tier pruning, per-tier clustering AND the
+    composition end-to-end."""
+    from .cascade import dedup_images_cascade
+
+    fdir = fixture_dir_for_sf(sf_dir)
+    images = read_table(
+        fdir, "images", columns=["image_id", "bytes", "caption", "phash"]
+    )
+    sigs_all = flagship.signatures(
+        images.select_columns(["image_id", "caption", "phash"]),
+        DEFAULT_CONFIG,
+        concurrency=(1, 4),
+    ).materialize()
+    _stage(images.select_columns(["image_id", "bytes"]), "images_cascade_base")
+    _stage(sigs_all, "images_cascade_sigs")
+    res = dedup_images_cascade(
+        images, DEFAULT_CONFIG, concurrency=(1, 4), precomputed_sigs=sigs_all
+    )
+    return res.assignment
+
+
+SQL_IMAGES_DEDUP_CASCADE = f"""
+WITH RECURSIVE
+b AS (SELECT image_id, bytes FROM read_parquet('{_staged("images_cascade_base")}')),
+sg AS (SELECT image_id, simhash, phash FROM read_parquet('{_staged("images_cascade_sigs")}')),
+k1 AS (SELECT image_id, MIN(image_id) OVER (PARTITION BY bytes) AS keeper FROM b),
+s1 AS (SELECT sg.image_id, sg.simhash, sg.phash
+       FROM sg JOIN k1 ON sg.image_id = k1.image_id AND sg.image_id = k1.keeper),
+e2 AS (
+  SELECT a.image_id AS u, c.image_id AS v
+  FROM s1 a JOIN s1 c ON a.image_id <> c.image_id
+  WHERE bit_count(xor(a.phash, c.phash)) <= {DEFAULT_CONFIG.image_lsh.hamming_tau}
+),
+cc2(node, label) AS (
+  SELECT image_id, image_id FROM s1
+  UNION
+  SELECT e2.v, cc2.label FROM cc2 JOIN e2 ON cc2.node = e2.u
+),
+k2 AS (SELECT node AS image_id, MIN(label) AS keeper FROM cc2 GROUP BY node),
+s2 AS (SELECT s1.* FROM s1 JOIN k2 ON s1.image_id = k2.image_id AND k2.keeper = s1.image_id),
+e3 AS (
+  SELECT a.image_id AS u, c.image_id AS v
+  FROM s2 a JOIN s2 c ON a.image_id <> c.image_id
+  WHERE bit_count(xor(a.simhash, c.simhash)) <= {DEFAULT_CONFIG.text_lsh.hamming_tau}
+),
+cc3(node, label) AS (
+  SELECT image_id, image_id FROM s2
+  UNION
+  SELECT e3.v, cc3.label FROM cc3 JOIN e3 ON cc3.node = e3.u
+),
+k3 AS (SELECT node AS image_id, MIN(label) AS keeper FROM cc3 GROUP BY node),
+chain AS (
+  SELECT k1.image_id, k1.keeper AS c1, k2.keeper AS c2, k3.keeper AS c3
+  FROM k1
+  JOIN k2 ON k1.keeper = k2.image_id
+  JOIN k3 ON k2.keeper = k3.image_id
+)
+SELECT image_id,
+       c3 AS cluster_id,
+       CASE WHEN image_id <> c1 THEN 'exact'
+            WHEN image_id <> c2 THEN 'phash'
+            WHEN image_id <> c3 THEN 'caption'
+            ELSE 'survivor' END AS tier
+FROM chain
+"""
+
+
 def q_images_dedup(sf_dir: str):
     """The flagship image+caption dedup assignment, SQL-oracle-checked
     via staging (the image twin of :func:`q_doc_simhash_dedup`, round-3
@@ -4018,6 +4101,7 @@ def ray_queries() -> dict:
         "images_survivor_invariant": q_images_survivor_invariant,
         "images_wds_roundtrip": q_images_wds_roundtrip,
         "images_exact_dedup": q_images_exact_dedup,
+        "images_dedup_cascade": q_images_dedup_cascade,
     }
 
 
@@ -4108,4 +4192,5 @@ def oracle_sqls() -> dict:
         "images_stats": SQL_IMAGES_STATS,
         "images_wds_roundtrip": SQL_IMAGES_WDS_ROUNDTRIP,
         "images_exact_dedup": SQL_IMAGES_EXACT_DEDUP,
+        "images_dedup_cascade": SQL_IMAGES_DEDUP_CASCADE,
     }
