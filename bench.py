@@ -365,6 +365,27 @@ def _run_bench() -> dict:
             n_images / timings["caption_paragraph_dedup"], 1
         )
 
+        # tiered cascade (exact bytes → phash LSH → caption SimHash):
+        # the tier-pruned alternative to the joint two-space headline.
+        # Includes the full sha256 pass over the byte payloads — the
+        # cost the exact tier pays to shrink every later shuffle.
+        def run_cascade():
+            from simhash_ray.pipelines.cascade import dedup_images_cascade
+
+            images = read_images(
+                columns=["image_id", "bytes", "caption", "phash"]
+            )
+            res = dedup_images_cascade(images, DEFAULT_CONFIG)
+            n = res.assignment.count()
+            timings["cascade_tier_drops"] = res.tier_drops
+            return n
+
+        n_casc = timed("e2e_dedup_cascade", run_cascade)
+        assert n_casc == n_images, (n_casc, n_images)
+        timings["cascade_images_per_sec"] = round(
+            n_images / timings["e2e_dedup_cascade"], 1
+        )
+
     result = {
         "metric": "e2e_dedup_seconds",
         "value": timings["e2e_dedup"],

@@ -87,6 +87,53 @@ def cmd_dedup(args) -> int:
     from .pipelines import dedup_images as flagship
 
     cfg = _load_cfg(args)
+    if getattr(args, "cascade", False):
+        if args.ckpt or getattr(args, "format", "parquet") == "wds":
+            print("--cascade does not combine with --ckpt or --format wds",
+                  file=sys.stderr)
+            return 2
+        from .pipelines.cascade import dedup_images_cascade
+
+        images = _read_images(args.table, ["image_id", "bytes", "caption", "phash"])
+        res = dedup_images_cascade(images, cfg)
+        os.makedirs(args.out, exist_ok=True)
+        assignment = res.assignment.materialize()
+        assignment.write_parquet(os.path.join(args.out, "assignment"))
+        metrics = {
+            "n_rows": assignment.count(),
+            "tier_drops": res.tier_drops,
+            "config_hash": cfg.config_hash(),
+        }
+        if args.survivors:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import ray as _ray
+
+            dropped = assignment.filter(expr="tier != 'survivor'")
+            metrics["n_survivors"] = metrics["n_rows"] - dropped.count()
+            dup_ref = _ray.put(
+                pa.array(
+                    dropped.select_columns(["image_id"]).to_pandas()["image_id"],
+                    type=pa.string(),
+                )
+            )
+
+            def keep(batch: "pa.Table") -> "pa.Table":
+                mask = pc.invert(
+                    pc.is_in(
+                        batch["image_id"].cast(pa.string()),
+                        value_set=_ray.get(dup_ref),
+                    )
+                )
+                return batch.filter(mask)
+
+            images.map_batches(keep, batch_format="pyarrow").write_parquet(
+                os.path.join(args.out, "survivors")
+            )
+        with open(os.path.join(args.out, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        print(json.dumps(metrics))
+        return 0
     if getattr(args, "format", "parquet") == "wds":
         # payload-only corpus: decode + pinned phash on the fly (the
         # tar shards carry no phash column); the shard is the read's
@@ -410,6 +457,12 @@ def main(argv=None) -> int:
     d.add_argument(
         "--survivors", action="store_true",
         help="also write the deduplicated (representatives-only) table",
+    )
+    d.add_argument(
+        "--cascade", action="store_true",
+        help="tiered cascade instead of the joint two-space pass: exact "
+        "bytes -> phash LSH -> caption SimHash, each tier pruning the "
+        "next (assignment gains a 'tier' column; needs a bytes column)",
     )
     d.set_defaults(fn=cmd_dedup)
 

@@ -44,6 +44,39 @@ def test_cli_dedup_smoke(tmp_path):
     assert "bytes" in sdf.columns  # survivors carry the wide columns
 
 
+def test_cli_dedup_cascade_smoke(tmp_path):
+    fdir = write_fixture(
+        default_fixture_dir(FixtureSpec(n_rows=300, seed=13)),
+        FixtureSpec(n_rows=300, seed=13),
+    )
+    out = tmp_path / "out"
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "simhash_ray", "--num-cpus", "8",
+            "dedup", os.path.join(fdir, "images.parquet"),
+            "--out", str(out), "--survivors", "--cascade",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        cwd="/root/repo",
+        env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    metrics = json.loads(res.stdout.strip().splitlines()[-1])
+    assert metrics["n_rows"] == 300
+    assert metrics["tier_drops"]["exact"] >= 1  # fixture plants exact dups
+    adf = pq.read_table(str(out / "assignment")).to_pandas()
+    assert len(adf) == 300 and adf["image_id"].is_unique
+    assert set(adf["tier"]) <= {"exact", "phash", "caption", "survivor"}
+    sdf = pq.read_table(str(out / "survivors")).to_pandas()
+    assert len(sdf) == metrics["n_survivors"]
+    assert len(sdf) == int((adf["tier"] == "survivor").sum())
+    assert "bytes" in sdf.columns
+
+
 def test_cli_config_sidecar(tmp_path):
     """--config loads a YAML sidecar with a non-default τ (the
     reference's <model>.opts.yml surface, V2.hs:41-62); the sidecar's
