@@ -283,7 +283,8 @@ def dedup_images_cascade(
             )
         else:
             space, col, cfg_attr = SIG_TIERS[tier]
-            if sigs is None:
+            first_sig_tier = sigs is None
+            if first_sig_tier:
                 if precomputed_sigs is not None:
                     sigs = precomputed_sigs
                     # restrict to the alive set (ids dropped by earlier
@@ -298,7 +299,27 @@ def dedup_images_cascade(
                     )
                 sigs = sigs.materialize()
                 sigs_out = sigs
-            collapsed = collapse_exact(sigs, n_parts).materialize()
+            if first_sig_tier:
+                collapsed = collapse_exact(sigs, n_parts).materialize()
+            else:
+                # after any sig tier, survivors have pairwise-distinct
+                # (simhash, phash): an identical pair is Hamming 0 in
+                # the previous tier's space, so at most one member of
+                # each identical-sig group is still alive — the
+                # collapse groupby shuffle would be a no-op; build its
+                # output shape directly (everyone their own rep)
+                collapsed = sigs.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "image_id": t["image_id"],
+                            "rep_id": t["image_id"].cast(pa.string()),
+                            "simhash": t["simhash"],
+                            "phash": t["phash"],
+                            "is_rep": pa.array([True] * len(t)),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ).materialize()
             edges = dup_edges(
                 collapsed, cfg, n_parts,
                 spaces=[(space, col, getattr(cfg, cfg_attr))],
