@@ -86,10 +86,27 @@ def _n_join() -> int:
     return int(min(8, max(2, ray.cluster_resources().get("CPU", 8) // 4)))
 
 
+def _indexer_lookup(values: np.ndarray, lut: pd.Series, default: np.ndarray):
+    """Exact hash-based lookup: ``lut[values]`` with ``default`` for
+    misses.  ``Index.get_indexer`` keeps int64 ids exact (a pandas
+    ``.map`` would widen missing hits to float64 and lose precision
+    above 2**53) and works for string ids identically."""
+    out = np.asarray(default, dtype=object).copy()
+    if len(lut):
+        pos = lut.index.get_indexer(pd.Index(values))
+        hit = pos >= 0
+        out[hit] = lut.to_numpy()[pos[hit]]
+    return out
+
+
 def _drop_rows(
-    ds: rd.Dataset, dropped: rd.Dataset, n_dropped: int, limit: int
+    ds: rd.Dataset,
+    dropped: rd.Dataset,
+    n_dropped: int,
+    limit: int,
+    id_col: str = "image_id",
 ) -> rd.Dataset:
-    """Filter ``ds`` down to rows whose image_id is NOT in ``dropped``.
+    """Filter ``ds`` down to rows whose id is NOT in ``dropped``.
 
     Broadcast anti-filter below ``limit`` dropped ids (the wide rows
     never shuffle); above it a left join against the dropped map +
@@ -97,22 +114,22 @@ def _drop_rows(
     if n_dropped == 0:
         return ds
     if n_dropped <= limit:
-        dup_df = dropped.select_columns(["image_id"]).to_pandas()
-        dup_ref = ray.put(pa.array(dup_df["image_id"], type=pa.string()))
+        dup_df = dropped.select_columns([id_col]).to_pandas()
+        dup_ref = ray.put(pa.array(dup_df[id_col]))
 
         def keep(batch: pa.Table) -> pa.Table:
             dups = ray.get(dup_ref)
             mask = pc.invert(
-                pc.is_in(batch["image_id"].cast(pa.string()), value_set=dups)
+                pc.is_in(batch[id_col].cast(dups.type), value_set=dups)
             )
             return batch.filter(mask)
 
         return ds.map_batches(keep, batch_format="pyarrow")
     joined = ds.join(
-        dropped.select_columns(["image_id", "keeper_id"]),
+        dropped.select_columns([id_col, "keeper_id"]),
         join_type="left_outer",
         num_partitions=_n_join(),
-        on=("image_id",),
+        on=(id_col,),
         aggregator_ray_remote_args={"num_cpus": 0.5},
     )
     return joined.map_batches(
@@ -122,33 +139,32 @@ def _drop_rows(
 
 
 def _remap_keeper(
-    m: rd.Dataset, f: rd.Dataset, n_f: int, limit: int
+    m: rd.Dataset, f: rd.Dataset, n_f: int, limit: int, id_col: str = "image_id"
 ) -> rd.Dataset:
     """Rewrite ``m.keeper_id`` through the later-tier map ``f``: a
     keeper that was itself dropped later resolves to ITS final keeper
     (chains are id-decreasing, so one pass per tier suffices)."""
     if n_f <= limit:
-        f_df = f.select_columns(["image_id", "keeper_id"]).to_pandas()
+        f_df = f.select_columns([id_col, "keeper_id"]).to_pandas()
         map_ref = ray.put(
             pd.Series(
-                f_df["keeper_id"].to_numpy(), index=f_df["image_id"].to_numpy()
+                f_df["keeper_id"].to_numpy(), index=f_df[id_col].to_numpy()
             )
         )
 
         def remap(batch: pa.Table) -> pa.Table:
-            lut = ray.get(map_ref)
-            keep = pd.Series(batch["keeper_id"].to_numpy(zero_copy_only=False))
-            resolved = keep.map(lut).fillna(keep)
+            keep = batch["keeper_id"].to_numpy(zero_copy_only=False)
+            resolved = _indexer_lookup(keep, ray.get(map_ref), keep)
             return pa.table(
                 {
-                    "image_id": batch["image_id"],
-                    "keeper_id": pa.array(resolved.to_numpy(), type=pa.string()),
+                    id_col: batch[id_col],
+                    "keeper_id": pa.array(resolved, type=batch["keeper_id"].type),
                     "tier": batch["tier"],
                 }
             )
 
         return m.map_batches(remap, batch_format="pyarrow")
-    f_r = f.select_columns(["image_id", "keeper_id"]).map_batches(
+    f_r = f.select_columns([id_col, "keeper_id"]).map_batches(
         lambda t: t.rename_columns(["keeper_id", "final_keeper"]),
         batch_format="pyarrow",
     )
@@ -161,12 +177,12 @@ def _remap_keeper(
     )
 
     def finish(batch: pa.Table) -> pa.Table:
+        keeper = batch["keeper_id"]
         return pa.table(
             {
-                "image_id": batch["image_id"],
+                id_col: batch[id_col],
                 "keeper_id": pc.coalesce(
-                    batch["final_keeper"].cast(pa.string()),
-                    batch["keeper_id"].cast(pa.string()),
+                    batch["final_keeper"].cast(keeper.type), keeper
                 ),
                 "tier": batch["tier"],
             }
@@ -176,16 +192,22 @@ def _remap_keeper(
 
 
 def _attach_final(
-    ids: rd.Dataset, f: rd.Dataset | None, n_f: int, limit: int
+    ids: rd.Dataset,
+    f: rd.Dataset | None,
+    n_f: int,
+    limit: int,
+    id_col: str = "image_id",
 ) -> rd.Dataset:
-    """(image_id) × composed map → (image_id, cluster_id, tier);
-    unmatched rows are their own cluster with tier='survivor'."""
+    """(id) × composed map → (id, cluster_id, tier); unmatched rows
+    are their own cluster with tier='survivor'."""
     if f is None or n_f == 0:
         return ids.map_batches(
             lambda t: pa.table(
                 {
-                    "image_id": t["image_id"],
-                    "cluster_id": t["image_id"].cast(pa.string()),
+                    id_col: t[id_col],
+                    "cluster_id": t[id_col].combine_chunks()
+                    if isinstance(t[id_col], pa.ChunkedArray)
+                    else t[id_col],
                     "tier": pa.array(["survivor"] * len(t), type=pa.string()),
                 }
             ),
@@ -193,19 +215,21 @@ def _attach_final(
         )
     if n_f <= limit:
         f_df = f.to_pandas()
-        idx = f_df["image_id"].to_numpy()
+        idx = f_df[id_col].to_numpy()
         keep_ref = ray.put(pd.Series(f_df["keeper_id"].to_numpy(), index=idx))
         tier_ref = ray.put(pd.Series(f_df["tier"].to_numpy(), index=idx))
 
         def attach(batch: pa.Table) -> pa.Table:
-            ids_s = pd.Series(batch["image_id"].to_numpy(zero_copy_only=False))
-            cluster = ids_s.map(ray.get(keep_ref)).fillna(ids_s)
-            tier = ids_s.map(ray.get(tier_ref)).fillna("survivor")
+            vals = batch[id_col].to_numpy(zero_copy_only=False)
+            cluster = _indexer_lookup(vals, ray.get(keep_ref), vals)
+            tier = _indexer_lookup(
+                vals, ray.get(tier_ref), np.full(len(vals), "survivor", object)
+            )
             return pa.table(
                 {
-                    "image_id": batch["image_id"],
-                    "cluster_id": pa.array(cluster.to_numpy(), type=pa.string()),
-                    "tier": pa.array(tier.to_numpy(), type=pa.string()),
+                    id_col: batch[id_col],
+                    "cluster_id": pa.array(cluster, type=batch[id_col].type),
+                    "tier": pa.array(tier, type=pa.string()),
                 }
             )
 
@@ -214,16 +238,17 @@ def _attach_final(
         f,
         join_type="left_outer",
         num_partitions=_n_join(),
-        on=("image_id",),
+        on=(id_col,),
         aggregator_ray_remote_args={"num_cpus": 0.5},
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        sid = batch["image_id"].cast(pa.string())
+        sid = batch[id_col]
+        sid = sid.combine_chunks() if isinstance(sid, pa.ChunkedArray) else sid
         return pa.table(
             {
-                "image_id": batch["image_id"],
-                "cluster_id": pc.coalesce(batch["keeper_id"].cast(pa.string()), sid),
+                id_col: sid,
+                "cluster_id": pc.coalesce(batch["keeper_id"].cast(sid.type), sid),
                 "tier": pc.coalesce(
                     batch["tier"].cast(pa.string()), pa.scalar("survivor")
                 ),
@@ -369,4 +394,89 @@ def dedup_images_cascade(
         tier_maps=tier_maps,
         tier_drops=tier_drops,
         signatures=sigs_out,
+    )
+
+
+def dedup_docs_cascade(
+    docs: rd.Dataset,
+    theta: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 2,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    concurrency=(1, 8),
+    n_parts: int = 64,
+    broadcast_limit: int | None = None,
+    pairs: rd.Dataset | None = None,
+) -> CascadeResult:
+    """Text-domain tiered cascade: exact text → MinHash-LSH (estimated
+    Jaccard ≥ θ), the document twin of :func:`dedup_images_cascade`.
+
+    The exact tier pays one streaming sha256 pass + a digest-only
+    shuffle to drop every byte-identical document, so the MinHash tier
+    — shingling, 64 permutations, band expansion, the wide shuffle —
+    runs over distinct texts only.  On web crawls exact duplicates are
+    the DOMINANT dup class (mirrors, boilerplate pages), so the
+    pruning typically pays for itself many times over.
+
+    Output ``assignment``: (id_col, cluster_id, tier) for every input
+    row, tier ∈ {'exact', 'minhash', 'survivor'}; cluster_id is the
+    final surviving keeper (exact keepers that the MinHash tier then
+    merged resolve through the keeper chain).  ``pairs`` short-circuits
+    the MinHash encode when the caller already holds the verified pair
+    table FOR THE TIER-1 SURVIVOR SET (oracle staging uses this).
+    """
+    from ..stages.minhash import minhash_dedup
+
+    limit = BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    narrow = docs.select_columns([id_col, text_col])
+
+    m1 = dedup_exact_bytes(
+        narrow, id_col=id_col, bytes_col=text_col, n_parts=n_parts,
+        id_type=pa.int64(),
+    ).materialize()
+    dropped1 = m1.filter(expr="is_rep == False").map_batches(
+        lambda t: t.select([id_col, "rep_id"]).rename_columns(
+            [id_col, "keeper_id"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n1 = dropped1.count()
+
+    survivors1 = _drop_rows(narrow, dropped1, n1, limit, id_col)
+    a2 = minhash_dedup(
+        survivors1, theta, text_col, id_col, shingle_k, n_perm, n_bands,
+        concurrency, n_parts, broadcast_limit=limit, pairs=pairs,
+    )
+    dropped2 = a2.filter(expr="is_representative == False").map_batches(
+        lambda t: t.select([id_col, "cluster_id"]).rename_columns(
+            [id_col, "keeper_id"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n2 = dropped2.count()
+
+    tier_maps = [("exact", dropped1), ("minhash", dropped2)]
+    tier_drops = {"exact": n1, "minhash": n2}
+
+    final = None
+    n_final = 0
+    if n2:
+        final = _with_tier(dropped2, "minhash").materialize()
+        n_final = n2
+    if n1:
+        m1_t = _with_tier(dropped1, "exact")
+        if final is None:
+            final = m1_t.materialize()
+        else:
+            final = _remap_keeper(m1_t, final, n_final, limit, id_col).union(
+                final
+            ).materialize()
+        n_final += n1
+
+    ids = docs.select_columns([id_col])
+    assignment = _attach_final(ids, final, n_final, limit, id_col)
+    return CascadeResult(
+        assignment=assignment, tier_maps=tier_maps, tier_drops=tier_drops
     )

@@ -2291,6 +2291,104 @@ FROM lab
 """
 
 
+def q_doc_dedup_cascade(sf_dir: str):
+    """Text-domain tiered cascade (pipelines/cascade.py): exact text →
+    MinHash-LSH near-dup clustering over the exact survivors, min-id
+    keepers, keeper-chain composition.  Output: (doc_id, cluster_id,
+    tier) for every document, tier ∈ {'exact', 'minhash', 'survivor'}.
+
+    Oracle scheme: the exact tier is recomputed by DuckDB straight
+    from ``documents`` (window partition by text); for the MinHash
+    tier the unpacked survivor signature table and the deduped
+    candidate set are staged (keyed splitmix permutations are not
+    SQL-expressible; candidate recall is pytest-pinned) and DuckDB
+    re-runs the verify (signature-agreement ≥ θ), the recursive-CTE
+    connected components over the survivor set, AND the cross-tier
+    keeper-chain composition + tier attribution."""
+    from ..stages.base import map_groups_typed
+    from ..stages.minhash import (
+        _EMPTY_PAIRS,
+        _dedupe_pairs,
+        _sig_matrix,
+        make_band_expander,
+        make_pair_generator,
+        minhash_signatures,
+    )
+    from .cascade import _drop_rows, dedup_docs_cascade
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    res = dedup_docs_cascade(docs, concurrency=(1, 4))
+    assignment = res.assignment.materialize()
+
+    # staging: re-derive the tier-2 inputs from the cascade's own
+    # exact-tier map (deterministic — identical to what tier 2 saw)
+    _, dropped1 = res.tier_maps[0]
+    survivors = _drop_rows(
+        docs, dropped1, res.tier_drops["exact"], 2_000_000, "doc_id"
+    )
+    sig_ds = minhash_signatures(
+        survivors, shingle_k=2, concurrency=(1, 4)
+    ).materialize()
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        mat = _sig_matrix(batch["sig"], 64)
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, 64), type=pa.int64()),
+                "perm": pa.array(np.tile(np.arange(64), n), type=pa.int32()),
+                "minval": pa.array(mat.reshape(-1), type=pa.uint64()),
+            }
+        )
+
+    _stage(sig_ds.map_batches(unpack, batch_format="pyarrow"), "cascade_doc_sigs")
+    bands = sig_ds.map_batches(make_band_expander(64, 16, 64), batch_format="pyarrow")
+    cands = _dedupe_pairs(
+        map_groups_typed(bands, "part", make_pair_generator(512, 64), _EMPTY_PAIRS)
+    )
+    _stage(
+        cands.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow"),
+        "cascade_doc_cands",
+    )
+    return assignment
+
+
+SQL_DOC_DEDUP_CASCADE = f"""
+WITH RECURSIVE
+k1 AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keeper FROM documents),
+s1 AS (SELECT doc_id FROM k1 WHERE doc_id = keeper),
+sig AS (SELECT doc_id, perm, minval FROM read_parquet('{_staged("cascade_doc_sigs")}')),
+cand AS (SELECT a, b FROM read_parquet('{_staged("cascade_doc_cands")}')),
+est AS (
+  SELECT c.a, c.b,
+         SUM(CASE WHEN sa.minval = sb.minval THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b AND sb.perm = sa.perm
+  GROUP BY c.a, c.b
+),
+p AS (SELECT a, b FROM est WHERE est_jaccard >= 0.7),
+e AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b AS u, a AS v FROM p),
+cc(node, label) AS (
+  SELECT doc_id, doc_id FROM s1
+  UNION
+  SELECT e.v, cc.label FROM cc JOIN e ON cc.node = e.u
+),
+k2 AS (SELECT node AS doc_id, MIN(label) AS keeper FROM cc GROUP BY node),
+chain AS (
+  SELECT k1.doc_id, k1.keeper AS c1, k2.keeper AS c2
+  FROM k1 JOIN k2 ON k1.keeper = k2.doc_id
+)
+SELECT doc_id,
+       c2 AS cluster_id,
+       CASE WHEN doc_id <> c1 THEN 'exact'
+            WHEN doc_id <> c2 THEN 'minhash'
+            ELSE 'survivor' END AS tier
+FROM chain
+"""
+
+
 def q_doc_simhash_sigs(sf_dir: str):
     """64-bit SimHash signatures of documents, SQL-oracle-checked via
     staging: token/shingle hashing is keyed blake2b + splitmix (no
@@ -4102,6 +4200,7 @@ def ray_queries() -> dict:
         "images_wds_roundtrip": q_images_wds_roundtrip,
         "images_exact_dedup": q_images_exact_dedup,
         "images_dedup_cascade": q_images_dedup_cascade,
+        "doc_dedup_cascade": q_doc_dedup_cascade,
     }
 
 
@@ -4193,4 +4292,5 @@ def oracle_sqls() -> dict:
         "images_wds_roundtrip": SQL_IMAGES_WDS_ROUNDTRIP,
         "images_exact_dedup": SQL_IMAGES_EXACT_DEDUP,
         "images_dedup_cascade": SQL_IMAGES_DEDUP_CASCADE,
+        "doc_dedup_cascade": SQL_DOC_DEDUP_CASCADE,
     }

@@ -456,7 +456,22 @@ def assign_clusters(
     pairs = pairs.materialize()
     ids_ds = ids_ds.select_columns([id_col])
 
-    if pairs.count() <= broadcast_limit:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        # no verified edges: everyone is their own representative
+        # (an all-empty Dataset loses its schema, so neither regime's
+        # generic path below can run — and neither is needed)
+        return ids_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t[id_col],
+                    "cluster_id": t[id_col].cast(pa.int64()),
+                    "is_representative": pa.array([True] * len(t)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    if n_pairs <= broadcast_limit:
         edge_df = pairs.to_pandas()[["a", "b"]]
         label_df = unionfind_driver(edge_df)
         lm_ref = ray.put(label_df)

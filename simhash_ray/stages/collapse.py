@@ -73,9 +73,11 @@ def collapse_exact(sig_ds: rd.Dataset, n_parts: int = 64) -> rd.Dataset:
 # exact byte-payload dedup (the step BEFORE any near-dup pass)
 
 
-def _bytes_rep_group(group: pa.Table, id_col: str) -> pa.Table:
+def _bytes_rep_group(group: pa.Table, id_col: str, id_type=None) -> pa.Table:
     """Per-partition min-id election over identical digests: sort by
-    (digest code, id), run-detect, broadcast each run's first id."""
+    (digest code, id), run-detect, broadcast each run's first id.
+    The id column keeps its input arrow type (string image ids and
+    int64 doc ids both flow through)."""
     dig = group["digest"]
     dig = dig.combine_chunks() if isinstance(dig, pa.ChunkedArray) else dig
     codes = dig.dictionary_encode().indices.to_numpy(zero_copy_only=False)
@@ -87,10 +89,11 @@ def _bytes_rep_group(group: pa.Table, id_col: str) -> pa.Table:
     new_run[1:] = codes_s[1:] != codes_s[:-1]
     run_id = np.cumsum(new_run) - 1
     rep = ids_s[new_run][run_id]
+    id_type = id_type if id_type is not None else group[id_col].type
     return pa.table(
         {
-            id_col: pa.array(ids_s, type=pa.string()),
-            "rep_id": pa.array(rep, type=pa.string()),
+            id_col: pa.array(ids_s, type=id_type),
+            "rep_id": pa.array(rep, type=id_type),
             "is_rep": pa.array(new_run),
         }
     )
@@ -101,6 +104,7 @@ def dedup_exact_bytes(
     id_col: str = "image_id",
     bytes_col: str = "bytes",
     n_parts: int = 64,
+    id_type: pa.DataType | None = None,
 ) -> rd.Dataset:
     """Exact byte-payload dedup: rows with identical ``bytes_col``
     content collapse to the lexicographically smallest id.  Output:
@@ -122,7 +126,15 @@ def dedup_exact_bytes(
     def digest(batch: pa.Table) -> pa.Table:
         col = batch[bytes_col]
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        digs = [hashlib.sha256(b).digest() for b in col.to_pylist()]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            col = col.cast(pa.large_binary())  # text payloads hash as UTF-8
+        # tag-prefix so a null payload gets its own digest group (SQL
+        # PARTITION BY groups NULLs together) and no real payload can
+        # collide with the sentinel
+        digs = [
+            hashlib.sha256(b"\x00" if b is None else b"\x01" + b).digest()
+            for b in col.to_pylist()
+        ]
         part = np.array(
             [int.from_bytes(d[:4], "big") % n_parts for d in digs],
             dtype=np.int32,
@@ -135,14 +147,15 @@ def dedup_exact_bytes(
             }
         )
 
+    id_type = id_type if id_type is not None else pa.string()
     empty = pa.table(
         {
-            id_col: pa.array([], type=pa.string()),
-            "rep_id": pa.array([], type=pa.string()),
+            id_col: pa.array([], type=id_type),
+            "rep_id": pa.array([], type=id_type),
             "is_rep": pa.array([], type=pa.bool_()),
         }
     )
     hashed = ds.map_batches(digest, batch_format="pyarrow")
     return map_groups_typed(
-        hashed, "part", lambda g: _bytes_rep_group(g, id_col), empty
+        hashed, "part", lambda g: _bytes_rep_group(g, id_col, id_type), empty
     )

@@ -224,6 +224,108 @@ def test_fixture_recall():
     assert all(by_tier[i] == "exact" for i in exact_ids)
 
 
+# ---------------------------------------------------------------------------
+# document cascade: exact text → MinHash-LSH
+
+
+def _doc_table():
+    # near-dup family (ids 1, 2): one word swapped, Jaccard(2-shingles)
+    # well above θ=0.7; id 3 is an exact copy of id 2 (chain: 3 drops at
+    # the exact tier onto 2, 2 drops at the minhash tier onto 1);
+    # ids 4/5 exact pair; 6..15 unique filler so band buckets exist
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "quiet river bank every single morning")
+    near = ("the quick brown fox jumps over the lazy cat near the "
+            "quiet river bank every single morning")
+    texts = {
+        1: base,
+        2: near,
+        3: near,
+        4: "completely different content about distributed shuffles",
+        5: "completely different content about distributed shuffles",
+    }
+    for i in range(6, 16):
+        texts[i] = f"unique filler document number {i} with its own words " \
+                   f"alpha{i} beta{i} gamma{i} delta{i}"
+    ids = sorted(texts)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([texts[i] for i in ids], type=pa.string()),
+        }
+    )
+
+
+def test_doc_cascade_chain_and_tiers():
+    from simhash_ray.pipelines.cascade import dedup_docs_cascade
+    from simhash_ray.stages.minhash import minhash_dedup
+
+    tbl = _doc_table()
+    docs = rd.from_arrow(tbl)
+    res = dedup_docs_cascade(docs, n_parts=8)
+    adf = res.assignment.to_pandas().sort_values("doc_id", ignore_index=True)
+    got = {r.doc_id: (r.cluster_id, r.tier) for r in adf.itertuples()}
+
+    # reference composition: exact partition in pandas, then the
+    # library's own minhash clustering over the exact survivors
+    # (minhash semantics are pinned elsewhere; this test pins the
+    # TIER COMPOSITION around it)
+    df = tbl.to_pandas()
+    k1 = df.groupby("text")["doc_id"].transform("min")
+    surv = df[df["doc_id"] == k1]
+    a2 = minhash_dedup(
+        rd.from_arrow(pa.Table.from_pandas(surv, preserve_index=False)),
+        n_parts=8,
+    ).to_pandas()
+    k2 = dict(zip(a2["doc_id"], a2["cluster_id"]))
+    expected = {}
+    for doc_id, c1 in zip(df["doc_id"], k1):
+        c2 = k2[c1]
+        tier = ("exact" if doc_id != c1
+                else "minhash" if doc_id != c2 else "survivor")
+        expected[doc_id] = (c2, tier)
+    assert got == expected
+    # the corpus pins the chain explicitly
+    assert got[3] == (1, "exact")
+    assert got[2] == (1, "minhash")
+    assert got[5] == (4, "exact")
+    assert got[1] == (1, "survivor")
+    assert res.tier_drops["exact"] == 2
+
+
+def test_doc_cascade_join_path():
+    # a populated corpus: Ray 2.49 hash joins crash on sparse sides
+    # (empty partitions), so the forced-join regime needs enough rows
+    from simhash_ray.pipelines.cascade import dedup_docs_cascade
+
+    rng = np.random.default_rng(11)
+    words = [f"tok{i}" for i in range(200)]
+    texts, ids = [], []
+    for i in range(300):
+        ids.append(i)
+        body = " ".join(rng.choice(words, size=15))
+        texts.append(body)
+        if i % 7 == 0:  # plant exact dups
+            ids.append(1000 + i)
+            texts.append(body)
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    bc = dedup_docs_cascade(docs, n_parts=8).assignment.to_pandas()
+    jn = dedup_docs_cascade(
+        docs, n_parts=2, broadcast_limit=0
+    ).assignment.to_pandas()
+    pd.testing.assert_frame_equal(
+        bc.sort_values("doc_id", ignore_index=True),
+        jn.sort_values("doc_id", ignore_index=True),
+    )
+
+
 def test_all_unique_corpus():
     rows = [r for r in _rows() if r["image_id"] in
             {"img00000009", "img00000010"}]
