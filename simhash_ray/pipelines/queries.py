@@ -2177,12 +2177,16 @@ GROUP BY 1
 """
 
 
-def _minhash_staged_pairs(sf_dir: str, sig_name: str, cand_name: str):
+def _minhash_staged_pairs(
+    sf_dir: str, sig_name: str, cand_name: str, encoder: str = "classic"
+):
     """Shared staging decomposition for the MinHash queries: identical
     composition/parameters to minhash_dup_pairs(theta=0.7, shingle_k=2,
     n_perm=64, n_bands=16), decomposed so the UNPACKED signature table
     (doc_id, perm, minval) and the deduped candidate set land in
-    per-query staged parquet; returns (docs, verified_pairs)."""
+    per-query staged parquet; returns (docs, verified_pairs).
+    ``encoder="oph"`` swaps in the one-permutation-hashing signature
+    producer (stages/oph.py) — downstream is byte-identical."""
     from ..stages.base import map_groups_typed
     from ..stages.minhash import (
         _EMPTY_PAIRS,
@@ -2193,9 +2197,11 @@ def _minhash_staged_pairs(sf_dir: str, sig_name: str, cand_name: str):
         make_pair_generator,
         minhash_signatures,
     )
+    from ..stages.oph import oph_signatures
 
+    sig_fn = oph_signatures if encoder == "oph" else minhash_signatures
     docs = _docs(sf_dir, columns=["doc_id", "text"])
-    sig_ds = minhash_signatures(docs, shingle_k=2, concurrency=(1, 4)).materialize()
+    sig_ds = sig_fn(docs, shingle_k=2, concurrency=(1, 4)).materialize()
 
     def unpack(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -2236,6 +2242,37 @@ def q_doc_minhash_pairs(sf_dir: str):
 SQL_DOC_MINHASH_PAIRS = f"""
 WITH sig AS (SELECT doc_id, perm, minval FROM read_parquet('{_staged("minhash_sigs")}')),
 cand AS (SELECT a, b FROM read_parquet('{_staged("minhash_cands")}')),
+est AS (
+  SELECT c.a, c.b,
+         SUM(CASE WHEN sa.minval = sb.minval THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b AND sb.perm = sa.perm
+  GROUP BY c.a, c.b
+)
+SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.7
+"""
+
+
+def q_doc_minhash_oph_pairs(sf_dir: str):
+    """One-permutation-hashing near-dup pairs — the encode scale path
+    (ONE hash pass + per-bin minima + rotation densification instead of
+    n_perm splitmix passes; stages/oph.py cites the published scheme).
+    Oracle-checked exactly like doc_minhash_pairs: the unpacked OPH
+    signature table and the deduped candidate set are staged, DuckDB
+    independently re-runs the verify (signature-agreement ≥ θ).  The
+    densified-bin estimator's fidelity vs true Jaccard and the batch
+    encoder's bit-parity with a per-row reference are pytest-pinned
+    (tests/test_oph.py)."""
+    _, verified = _minhash_staged_pairs(
+        sf_dir, "minhash_oph_sigs", "minhash_oph_cands", encoder="oph"
+    )
+    return verified
+
+
+SQL_DOC_MINHASH_OPH_PAIRS = f"""
+WITH sig AS (SELECT doc_id, perm, minval FROM read_parquet('{_staged("minhash_oph_sigs")}')),
+cand AS (SELECT a, b FROM read_parquet('{_staged("minhash_oph_cands")}')),
 est AS (
   SELECT c.a, c.b,
          SUM(CASE WHEN sa.minval = sb.minval THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
@@ -4162,6 +4199,7 @@ def ray_queries() -> dict:
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_cap_per_source": q_doc_cap_per_source,
         "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_minhash_oph_pairs": q_doc_minhash_oph_pairs,
         "doc_minhash_dedup": q_doc_minhash_dedup,
         "doc_simhash_sigs": q_doc_simhash_sigs,
         "doc_simhash_dedup": q_doc_simhash_dedup,
@@ -4271,6 +4309,7 @@ def oracle_sqls() -> dict:
         # staged-parquet oracles (see the "oracle staging" section):
         "doc_simhash_sigs": SQL_DOC_SIMHASH_SIGS,
         "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
+        "doc_minhash_oph_pairs": SQL_DOC_MINHASH_OPH_PAIRS,
         "doc_minhash_dedup": SQL_DOC_MINHASH_DEDUP,
         "embed_dup_pairs_lsh": SQL_EMBED_DUP_PAIRS_LSH,
         "embed_kmeans": SQL_EMBED_KMEANS,
