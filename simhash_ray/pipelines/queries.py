@@ -3310,6 +3310,66 @@ FROM lab
 """
 
 
+def q_embed_pq_topk(sf_dir: str):
+    """Product-quantization ANN (stages/pq.py): 64-dim vectors → m=8
+    uint8 codes from ks=16 integer codebooks per subspace; top-5 by the
+    asymmetric (ADC) dequantized inner product.  Oracle-checked via
+    staged CODEBOOKS ONLY — DuckDB independently re-derives the int8
+    quantization (the pinned round-half-up rule), every code (exact
+    integer L2 argmin, lowest-code ties), the ADC scores (exact integer
+    dot × two float64 scales) and the final ranking from the embeddings
+    view.  The Lloyd codebook fit is the one estimated artifact (not
+    SQL-expressible; deterministic and layout-invariant by pytest)."""
+    from ..stages.pq import codebooks_table, fit_pq_codebooks, pq_topk
+
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    books = fit_pq_codebooks(vecs, m=8, ks=16)
+    _stage(rd.from_arrow(codebooks_table(books)), "pq_codebooks")
+    return pq_topk(vecs, query_ids=list(range(10)), k=5, books=books)
+
+
+# m=8 subspaces × dsub=8 dims; DuckDB lists are 1-based → qv[sub*8+dim+1]
+SQL_EMBED_PQ_TOPK = f"""
+WITH {_SQL_QUANTIZE_CTE},
+cb AS (SELECT sub, code, dim, val FROM read_parquet('{_staged("pq_codebooks")}')),
+dists AS (
+  SELECT v.vec_id, cb.sub, cb.code,
+         SUM((v.qv[cb.sub*8 + cb.dim + 1] - cb.val)
+             * (v.qv[cb.sub*8 + cb.dim + 1] - cb.val)) AS dist
+  FROM qq v CROSS JOIN cb
+  GROUP BY v.vec_id, cb.sub, cb.code
+),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist, code) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, qv AS qa, scale AS sa FROM qq WHERE vec_id < 10),
+dots AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id, ANY_VALUE(q.sa) AS sa,
+         ANY_VALUE(v.scale) AS sv,
+         SUM(q.qa[cb.sub*8 + cb.dim + 1] * cb.val) AS dot
+  FROM q
+  CROSS JOIN qq v
+  JOIN codes co ON co.vec_id = v.vec_id
+  JOIN cb ON cb.sub = co.sub AND cb.code = co.code
+  WHERE v.vec_id <> q.query_id
+  GROUP BY q.query_id, v.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY (CAST(dot AS DOUBLE) * sa) * sv DESC,
+                                     neighbor_id) AS rank
+  FROM dots
+)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+"""
+
+
 def q_embed_kmeans(sf_dir: str):
     """Distributed spherical k-means assignment (stages/kmeans.py),
     SQL-oracle-checked via staging: the Lloyd fit itself is iterative
@@ -4219,6 +4279,7 @@ def ray_queries() -> dict:
         "embed_topk": q_embed_topk,
         "embed_quantize": q_embed_quantize,
         "embed_quantized_topk": q_embed_quantized_topk,
+        "embed_pq_topk": q_embed_pq_topk,
         "embed_label_stats": q_embed_label_stats,
         "embed_dup_pairs": q_embed_dup_pairs,
         "embed_kmeans": q_embed_kmeans,
@@ -4293,6 +4354,7 @@ def oracle_sqls() -> dict:
         "embed_topk": SQL_EMBED_TOPK,
         "embed_quantize": SQL_EMBED_QUANTIZE,
         "embed_quantized_topk": SQL_EMBED_QUANTIZED_TOPK,
+        "embed_pq_topk": SQL_EMBED_PQ_TOPK,
         "embed_label_stats": SQL_EMBED_LABEL_STATS,
         "embed_dup_pairs": SQL_EMBED_DUP_PAIRS,
         "doc_lang_pred": SQL_DOC_LANG_PRED,
