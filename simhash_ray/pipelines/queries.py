@@ -2990,6 +2990,57 @@ GROUP BY d.doc_id
 """
 
 
+def q_doc_within_dedup(sf_dir: str):
+    """WITHIN-document repeated-window removal (RefinedWeb-style "drop
+    duplicated lines inside each document"): a 2-token window repeated
+    earlier in the SAME doc is dropped, the doc rebuilt from surviving
+    windows in order.  Decision is row-local ⇒ ONE streaming
+    map_batches, zero shuffles at any scale (stages/paradedup.
+    within_doc_dedup); window=2 because the synthetic corpus has no
+    in-doc repeats at wider units."""
+    from ..stages.paradedup import within_doc_dedup
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return within_doc_dedup(docs, window=2)
+
+
+SQL_DOC_WITHIN_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i,
+         array_to_string(t[i * 2 + 1 : LEAST((i + 1) * 2, n)], ' ')
+             AS chunk_text
+  FROM toks,
+       LATERAL unnest(generate_series(
+           0, CAST(ceil(n / CAST(2 AS DOUBLE)) AS BIGINT) - 1
+       )) AS u(i)
+  WHERE n > 0
+),
+kept AS (
+  SELECT doc_id, i, chunk_text FROM (
+    SELECT doc_id, i, chunk_text,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, chunk_text
+                              ORDER BY i) AS rn
+    FROM chunks
+  ) WHERE rn = 1
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n_all FROM chunks GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(string_agg(k.chunk_text, ' ' ORDER BY k.i), '') AS text,
+       COUNT(k.chunk_text) AS n_kept,
+       COALESCE(ANY_VALUE(c.n_all), 0) - COUNT(k.chunk_text) AS n_dropped
+FROM documents d
+LEFT JOIN kept k USING (doc_id)
+LEFT JOIN cnt c USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
 def q_doc_paragraph_dedup_unique(sf_dir: str):
     """Paragraph dedup under the CONSERVATIVE rule (keep="none"):
     any 8-token window occurring more than once in the corpus is
@@ -4273,6 +4324,7 @@ def ray_queries() -> dict:
         "doc_pack": q_doc_pack,
         "doc_shuffle_rank": q_doc_shuffle_rank,
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
+        "doc_within_dedup": q_doc_within_dedup,
         "doc_paragraph_dedup_unique": q_doc_paragraph_dedup_unique,
         "doc_quality_prune": q_doc_quality_prune,
         "embed_dedup_clusters": q_embed_dedup_clusters,
@@ -4365,6 +4417,7 @@ def oracle_sqls() -> dict:
         "doc_pack": SQL_DOC_PACK,
         "doc_shuffle_rank": SQL_DOC_SHUFFLE_RANK,
         "doc_paragraph_dedup": SQL_DOC_PARAGRAPH_DEDUP,
+        "doc_within_dedup": SQL_DOC_WITHIN_DEDUP,
         "doc_paragraph_dedup_unique": SQL_DOC_PARAGRAPH_DEDUP_UNIQUE,
         "doc_quality_prune": SQL_DOC_QUALITY_PRUNE,
         "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,

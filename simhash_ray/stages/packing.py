@@ -69,6 +69,29 @@ def _chunk_empty(id_col: str) -> pa.Table:
     )
 
 
+def chunk_arrays(ft, window: int):
+    """Shared window-chunking kernel over a non-empty flat-token view:
+    → (row_rep, chunk_idx, (starts, ends), chunk_text).  The chunk
+    slices tile the flat token array exactly (consecutive rows are
+    contiguous, empty rows contribute no gap), so one re-offset
+    ListArray + ``pc.binary_join`` builds every chunk string with no
+    per-row Python.  Consumers: :func:`chunk_tokens` and
+    paradedup.within_doc_dedup."""
+    counts = ft.counts
+    n_chunks = -(-counts // window)  # ceil; 0-token rows -> 0 chunks
+    row_rep = np.repeat(np.arange(ft.n), n_chunks)
+    cum_chunks = np.cumsum(n_chunks)
+    total_chunks = int(cum_chunks[-1])
+    chunk_idx = np.arange(total_chunks) - np.repeat(cum_chunks - n_chunks, n_chunks)
+    row_starts = np.cumsum(counts) - counts
+    starts = row_starts[row_rep] + chunk_idx * window
+    ends = np.minimum(starts + window, (row_starts + counts)[row_rep])
+    offsets = np.append(starts, len(ft.flat)).astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offsets), ft.flat)
+    chunk_text = pc.binary_join(lists, " ")
+    return row_rep, chunk_idx, (starts, ends), chunk_text
+
+
 def chunk_tokens(
     ds: rd.Dataset,
     window: int,
@@ -94,20 +117,8 @@ def chunk_tokens(
         ft = tokens_flat(batch[text_col], lower=False)
         if ft.n == 0 or len(ft.flat) == 0:
             return empty
-        counts = ft.counts
-        n_chunks = -(-counts // window)  # ceil; 0-token rows -> 0 chunks
-        row_rep = np.repeat(np.arange(ft.n), n_chunks)
-        cum_chunks = np.cumsum(n_chunks)
-        total_chunks = int(cum_chunks[-1])
-        chunk_idx = np.arange(total_chunks) - np.repeat(
-            cum_chunks - n_chunks, n_chunks
-        )
-        row_starts = np.cumsum(counts) - counts
-        starts = row_starts[row_rep] + chunk_idx * window
-        ends = np.minimum(starts + window, (row_starts + counts)[row_rep])
-        offsets = np.append(starts, len(ft.flat)).astype(np.int32)
-        lists = pa.ListArray.from_arrays(pa.array(offsets), ft.flat)
-        chunk_text = pc.binary_join(lists, " ")
+        row_rep, chunk_idx, lengths, chunk_text = chunk_arrays(ft, window)
+        starts, ends = lengths  # kept as (starts, ends) for n_chunk_tokens
         ids = batch[id_col].to_numpy(zero_copy_only=False)[row_rep]
         return pa.table(
             {

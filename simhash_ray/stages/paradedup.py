@@ -294,3 +294,95 @@ def paragraph_dedup(
     return reassemble_docs(
         survivors, ids, id_col, "chunk_idx", "chunk_text", join_sep, n_parts
     )
+
+
+def within_doc_dedup(
+    docs: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str | None = None,
+    window: int | None = None,
+) -> rd.Dataset:
+    """WITHIN-document repeated-unit removal (the RefinedWeb /
+    Dolma-style "drop duplicated lines inside each document" pass):
+    a unit that already occurred EARLIER IN THE SAME DOCUMENT is
+    dropped; the document is rebuilt from its surviving units in order.
+    Cross-document repeats are untouched — that's
+    :func:`paragraph_dedup`'s job.
+
+    Because the decision is local to a row, this is ONE streaming
+    ``map_batches`` — no shuffle at any scale (contrast the corpus-wide
+    variant's two coarse shuffles).  Unit policy mirrors
+    :func:`paragraph_dedup`: ``sep`` splits on a literal separator
+    (rejoined with it), ``window`` uses fixed token windows (rejoined
+    with a single space).  Dedup compares exact unit STRINGS (pandas
+    hash-table ``duplicated`` — no hash-collision exposure).
+
+    Output: (id, text, n_kept, n_dropped), one row per input document.
+    """
+    if (sep is None) == (window is None):
+        raise ValueError("pass exactly one of sep= or window=")
+    join_sep = sep if sep is not None else " "
+
+    def empty() -> pa.Table:
+        return pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+                "n_kept": pa.array([], type=pa.int64()),
+                "n_dropped": pa.array([], type=pa.int64()),
+            }
+        )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        n = batch.num_rows
+        if n == 0:
+            return empty()
+        if sep is not None:
+            text = pc.fill_null(_as_array(batch[text_col]), "")
+            lists = pc.split_pattern(text, sep)
+            flat = pc.list_flatten(lists)
+            counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+            row_rep = np.repeat(np.arange(n), counts)
+        else:
+            from ..functions.tokenize import tokens_flat
+            from .packing import chunk_arrays
+
+            ft = tokens_flat(batch[text_col], lower=False)
+            if len(ft.flat) == 0:
+                ids = batch[id_col].cast(pa.int64())
+                zero = pa.array(np.zeros(n, dtype=np.int64))
+                return pa.table(
+                    {
+                        id_col: ids,
+                        "text": pa.array([""] * n, type=pa.string()),
+                        "n_kept": zero,
+                        "n_dropped": zero,
+                    }
+                )
+            row_rep, _, _, flat = chunk_arrays(ft, window)
+        # exact-string keep-first within each row (value hash table, C)
+        keep = ~pd.DataFrame(
+            {"r": row_rep, "t": flat.to_pandas()}
+        ).duplicated().to_numpy()
+        kept_counts = np.bincount(row_rep[keep], minlength=n)
+        all_counts = np.bincount(row_rep, minlength=n)
+        offsets = np.append(0, np.cumsum(kept_counts)).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), flat.filter(pa.array(keep))),
+            join_sep,
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "text": joined,
+                "n_kept": pa.array(kept_counts.astype(np.int64)),
+                "n_dropped": pa.array((all_counts - kept_counts).astype(np.int64)),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow"
+    )

@@ -11,6 +11,7 @@ from simhash_ray.stages.paradedup import (
     dedup_units_keep_first,
     explode_separator,
     paragraph_dedup,
+    within_doc_dedup,
 )
 
 
@@ -204,3 +205,54 @@ def test_dedup_exact_bytes_matches_naive():
     want["is_rep"] = want["image_id"] == want["rep_id"]
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
     assert out["is_rep"].sum() == len({b for b in blobs})
+
+
+def _naive_within(text, sep=None, window=None):
+    if sep is not None:
+        units = (text or "").split(sep)
+    else:
+        toks = (text or "").split()
+        units = [
+            " ".join(toks[i : i + window]) for i in range(0, len(toks), window)
+        ]
+    seen, kept = set(), []
+    for u in units:
+        if u not in seen:
+            seen.add(u)
+            kept.append(u)
+    join = sep if sep is not None else " "
+    return join.join(kept), len(kept), len(units) - len(kept)
+
+
+def test_within_doc_dedup_matches_naive_both_modes():
+    rng = np.random.default_rng(31)
+    words = np.array(["aa", "bb", "cc", "dd"], dtype=object)
+    texts = [
+        " ".join(rng.choice(words, rng.integers(0, 14))) for _ in range(300)
+    ]
+    texts += ["", None, "aa", "aa aa aa aa", "aa bb\naa bb\ncc"]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    for kw in ({"sep": "\n"}, {"window": 2}, {"window": 3}):
+        out = (
+            within_doc_dedup(rd.from_pandas(df).repartition(7), **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for i, t in enumerate(texts):
+            wt, wk, wd = _naive_within(t, **kw)
+            assert out.loc[i, "text"] == wt, (kw, i, t)
+            assert out.loc[i, "n_kept"] == wk
+            assert out.loc[i, "n_dropped"] == wd
+
+
+def test_within_doc_dedup_rejects_bad_args():
+    import pytest
+
+    df = pd.DataFrame({"doc_id": [0], "text": ["x"]})
+    with pytest.raises(ValueError):
+        within_doc_dedup(rd.from_pandas(df))
+    with pytest.raises(ValueError):
+        within_doc_dedup(rd.from_pandas(df), sep="\n", window=2)
