@@ -386,6 +386,44 @@ def _run_bench() -> dict:
             n_images / timings["e2e_dedup_cascade"], 1
         )
 
+        # MinHash encode throughput, classic 64-perm vs one-permutation
+        # hashing (stages/oph.py) over the caption corpus — the pair of
+        # numbers that backs the OPH scale-path claim (same tokenizer,
+        # same wire format; only the sketch differs)
+        def _captions():
+            def to_doc(t: _pa.Table) -> _pa.Table:
+                import pyarrow.compute as _pc
+
+                ids = _pc.cast(
+                    _pc.replace_substring(t["image_id"], "img", ""), _pa.int64()
+                )
+                return _pa.table({"doc_id": ids, "text": t["caption"]})
+
+            return read_images(columns=["image_id", "caption"]).map_batches(
+                to_doc, batch_format="pyarrow"
+            )
+
+        def run_minhash_encode():
+            from simhash_ray.stages.minhash import minhash_signatures
+
+            return minhash_signatures(_captions(), concurrency=(1, 16)).count()
+
+        def run_oph_encode():
+            from simhash_ray.stages.oph import oph_signatures
+
+            return oph_signatures(_captions(), concurrency=(1, 16)).count()
+
+        n_enc = timed("minhash_encode_classic", run_minhash_encode)
+        assert n_enc == n_images, (n_enc, n_images)
+        n_enc = timed("minhash_encode_oph", run_oph_encode)
+        assert n_enc == n_images, (n_enc, n_images)
+        timings["minhash_encode_classic_docs_per_sec"] = round(
+            n_images / timings["minhash_encode_classic"], 1
+        )
+        timings["minhash_encode_oph_docs_per_sec"] = round(
+            n_images / timings["minhash_encode_oph"], 1
+        )
+
     result = {
         "metric": "e2e_dedup_seconds",
         "value": timings["e2e_dedup"],
