@@ -247,20 +247,29 @@ def cmd_paradedup(args) -> int:
     _init_ray(args.num_cpus)
     import ray.data as rd
 
-    from .stages.paradedup import paragraph_dedup
+    from .stages.paradedup import paragraph_dedup, within_doc_dedup
 
     if (args.sep is None) == (args.window is None):
         print("pass exactly one of --sep or --window", file=sys.stderr)
         return 2
     docs = rd.read_parquet(args.table, columns=[args.id_col, args.text_col])
-    out = paragraph_dedup(
-        docs,
-        id_col=args.id_col,
-        text_col=args.text_col,
-        sep=args.sep,
-        window=args.window,
-        keep=args.keep,
-    ).materialize()
+    if args.within_doc:
+        out = within_doc_dedup(
+            docs,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            sep=args.sep,
+            window=args.window,
+        ).materialize()
+    else:
+        out = paragraph_dedup(
+            docs,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            sep=args.sep,
+            window=args.window,
+            keep=args.keep,
+        ).materialize()
     os.makedirs(args.out, exist_ok=True)
     out.write_parquet(os.path.join(args.out, "documents"))
     n = out.count()
@@ -268,7 +277,7 @@ def cmd_paradedup(args) -> int:
     metrics = {
         "n_docs": n,
         "n_units_kept": n_units_kept,
-        "keep": args.keep,
+        "keep": "within-doc-first" if args.within_doc else args.keep,
         "unit": f"sep={args.sep!r}" if args.sep is not None else f"window={args.window}",
     }
     with open(os.path.join(args.out, "metrics.json"), "w") as f:
@@ -508,6 +517,11 @@ def main(argv=None) -> int:
     pdp.add_argument(
         "--keep", choices=("first", "none"), default="first",
         help="first = keep first occurrence; none = drop all repeats",
+    )
+    pdp.add_argument(
+        "--within-doc", action="store_true",
+        help="dedup units only WITHIN each document (zero-shuffle "
+        "streaming pass); cross-document repeats are untouched",
     )
     pdp.set_defaults(fn=cmd_paradedup)
 

@@ -530,3 +530,26 @@ def test_cli_ingest_docs(tmp_path):
     # updated signatures cover the whole corpus, ready as the next base
     sigs = pq.read_table(str(ing_out / "signatures")).to_pandas()
     assert len(sigs) == full.num_rows
+
+
+def test_cli_paradedup_within_doc(tmp_path):
+    out = tmp_path / "out"
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "simhash_ray", "--num-cpus", "8",
+            "paradedup", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out), "--window", "2", "--within-doc",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    t = pq.read_table(str(out / "documents"))
+    assert t.num_rows == 500
+    assert {"doc_id", "text", "n_kept", "n_dropped"} <= set(t.column_names)
+    m = json.loads((out / "metrics.json").read_text())
+    assert m["n_docs"] == 500 and m["keep"] == "within-doc-first"
