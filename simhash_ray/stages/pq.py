@@ -87,6 +87,8 @@ def fit_pq_codebooks(
 
         ds = hash_sample(ds, sample_limit, total, id_col=id_col).limit(sample_limit)
     rows = ds.take_all()
+    if not rows:
+        raise ValueError("cannot fit PQ codebooks on an empty vector table")
     rows.sort(key=lambda r: r[id_col])
     mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     q, _ = quantize_mat(mat)
@@ -220,10 +222,9 @@ def pq_topk(
             return _EMPTY_TOPK_PARTIAL
         qi, qlut, qsc = ray.get(ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        codes = np.frombuffer(
-            batch["codes"].combine_chunks().buffers()[1], dtype=np.uint8
-        )
-        off = batch["codes"].combine_chunks().offset * m
+        col = batch["codes"].combine_chunks()
+        codes = np.frombuffer(col.buffers()[1], dtype=np.uint8)
+        off = col.offset * m
         codes = codes[off : off + batch.num_rows * m].reshape(-1, m).astype(np.int64)
         vs = batch["scale"].to_numpy(zero_copy_only=False)
         # dots[q, v] = Σ_s lut[q, s, codes[v, s]] — gather then sum

@@ -147,3 +147,14 @@ def test_signatures_schema(ray_session):
 def test_rejects_non_power_of_two():
     with pytest.raises(ValueError):
         OPHEncoder(n_perm=48)
+
+
+def test_other_n_perm_matches_reference():
+    # guards the top-bits bin shift for n_perm != 64
+    df = _random_corpus(n=50, seed=17)
+    for n_perm in (16, 128):
+        got = _encode(df, n_perm=n_perm)
+        sh = _shingle_hashes(pa.array(df["text"], type=pa.string()), 2)
+        for i in (0, 7, 20, len(sh) - 1):
+            want = _oph_sig_row(sh[i], n_perm)
+            assert (got[i] == want).all(), (n_perm, i)

@@ -110,3 +110,30 @@ def test_dim_not_divisible_raises(ray_session):
     )
     with pytest.raises(ValueError):
         fit_pq_codebooks(rd.from_pandas(df), m=8, ks=4)
+
+
+def test_fit_with_few_distinct_subvectors(ray_session):
+    # fewer distinct subvectors than ks: codebook pads cyclically,
+    # duplicate centroids never win an argmin (lowest-code ties)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(6, dtype=np.int64),
+            "embedding": list(
+                np.tile(np.arange(64, dtype=np.float32), (6, 1))
+                * np.array([1, 1, 2, 2, 3, 3], dtype=np.float32)[:, None]
+            ),
+        }
+    )
+    ds = rd.from_pandas(df)
+    books = fit_pq_codebooks(ds, m=8, ks=16)
+    codes = pq_encode(ds, books).to_pandas().sort_values("vec_id")
+    got = np.stack([np.frombuffer(c, dtype=np.uint8) for c in codes["codes"]])
+    # identical (post-quantization) vectors get identical codes
+    assert (got[0] == got[1]).all()
+
+
+def test_fit_empty_table_raises(ray_session):
+    t = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                  "embedding": pa.array([], type=pa.list_(pa.float32()))})
+    with pytest.raises(ValueError):
+        fit_pq_codebooks(rd.from_arrow(t))
