@@ -3041,6 +3041,74 @@ GROUP BY d.doc_id
 """
 
 
+_SPAN_WINDOW = 8
+
+
+def q_doc_span_dedup(sf_dir: str):
+    """CROSS-document duplicated-span removal (Lee et al. ExactSubstr
+    semantics in windowed form): every 8-token SLIDING window occurring
+    ≥ 2 times anywhere in the corpus keeps only its lexicographically
+    first (doc_id, pos) occurrence; other occurrences' token intervals
+    are cut (union of overlapping windows) and each doc rebuilt from
+    the survivors.  Alignment-robust where doc_paragraph_dedup's
+    disjoint chunks are phase-sensitive.  Two-pass exact design — u64
+    hash candidate counting, string-verified removal on candidates
+    only (stages/substring.remove_duplicate_spans); the oracle is
+    fully independent (no staging): DuckDB re-derives windows, keeper
+    election, interval union and the rebuild from the documents view."""
+    from ..stages.substring import remove_duplicate_spans
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return remove_duplicate_spans(docs, window=_SPAN_WINDOW)
+
+
+SQL_DOC_SPAN_DEDUP = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[i + 1 : i + {_SPAN_WINDOW}], ' ') AS win
+  FROM toks,
+       LATERAL unnest(generate_series(0, n - {_SPAN_WINDOW})) AS u(i)
+  WHERE n >= {_SPAN_WINDOW}
+),
+marked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+  FROM occ
+),
+rem AS (
+  SELECT DISTINCT doc_id, pos + j AS tix
+  FROM marked,
+       LATERAL unnest(generate_series(0, {_SPAN_WINDOW} - 1)) AS v(j)
+  WHERE rn > 1
+),
+tok_rows AS (
+  SELECT doc_id, i - 1 AS tix, t[i] AS tok
+  FROM toks, LATERAL unnest(generate_series(1, n)) AS w(i)
+  WHERE n > 0
+),
+kept AS (
+  SELECT tr.doc_id, tr.tix, tr.tok
+  FROM tok_rows tr
+  LEFT JOIN rem r ON tr.doc_id = r.doc_id AND tr.tix = r.tix
+  WHERE r.tix IS NULL
+)
+SELECT d.doc_id,
+       COALESCE(string_agg(k.tok, ' ' ORDER BY k.tix), '') AS text,
+       COUNT(k.tok) AS n_kept,
+       COALESCE(ANY_VALUE(tk.n), 0) - COUNT(k.tok) AS n_removed
+FROM documents d
+LEFT JOIN toks tk USING (doc_id)
+LEFT JOIN kept k USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
 def q_doc_paragraph_dedup_unique(sf_dir: str):
     """Paragraph dedup under the CONSERVATIVE rule (keep="none"):
     any 8-token window occurring more than once in the corpus is
@@ -4325,6 +4393,7 @@ def ray_queries() -> dict:
         "doc_shuffle_rank": q_doc_shuffle_rank,
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "doc_within_dedup": q_doc_within_dedup,
+        "doc_span_dedup": q_doc_span_dedup,
         "doc_paragraph_dedup_unique": q_doc_paragraph_dedup_unique,
         "doc_quality_prune": q_doc_quality_prune,
         "embed_dedup_clusters": q_embed_dedup_clusters,
@@ -4418,6 +4487,7 @@ def oracle_sqls() -> dict:
         "doc_shuffle_rank": SQL_DOC_SHUFFLE_RANK,
         "doc_paragraph_dedup": SQL_DOC_PARAGRAPH_DEDUP,
         "doc_within_dedup": SQL_DOC_WITHIN_DEDUP,
+        "doc_span_dedup": SQL_DOC_SPAN_DEDUP,
         "doc_paragraph_dedup_unique": SQL_DOC_PARAGRAPH_DEDUP_UNIQUE,
         "doc_quality_prune": SQL_DOC_QUALITY_PRUNE,
         "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,

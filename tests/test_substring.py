@@ -82,3 +82,136 @@ def test_hot_window_df_guard_matches_oracle():
     assert canon(out) == canon(oracle)
     assert set(zip(out["a"], out["b"])) == {(300, 301)}
     assert out["n_shared"].tolist() == [3]
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans (cross-doc sliding-window span REMOVAL)
+
+
+def _naive_span_removal(rows, w):
+    """Direct implementation of the declared semantics: every w-token
+    window occurring >= 2 times keeps only its min-(doc, pos)
+    occurrence; other occurrences' [pos, pos+w) intervals are cut."""
+    from collections import defaultdict
+
+    toks = {d: (t or "").split() for d, t in rows}
+    groups = defaultdict(list)
+    for d in sorted(toks):
+        tk = toks[d]
+        for p in range(len(tk) - w + 1):
+            groups[" ".join(tk[p : p + w])].append((d, p))
+    removed = defaultdict(set)
+    for lst in groups.values():
+        if len(lst) >= 2:
+            lst.sort()
+            for d, p in lst[1:]:
+                removed[d].update(range(p, p + w))
+    return {
+        d: (
+            " ".join(t for i, t in enumerate(tk) if i not in removed[d]),
+            len(tk) - len(removed[d]),
+            len(removed[d]),
+        )
+        for d, tk in toks.items()
+    }
+
+
+@pytest.fixture(scope="module")
+def span_corpus():
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"s{i:02d}" for i in range(40)]
+    shared = " ".join(rng.choice(vocab) for _ in range(20))
+    rows = []
+    for d in range(60):
+        if d % 4 == 0:
+            # plant the shared run at a RANDOM offset (alignment-robust
+            # case disjoint chunking misses)
+            pre = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 13)))
+            post = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 13)))
+            rows.append((d, f"{pre} {shared} {post}".strip()))
+        else:
+            rows.append(
+                (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+            )
+    rows += [(100, ""), (101, None), (102, "  x   y  "), (103, shared)]
+    return rows
+
+
+def test_span_removal_matches_naive(span_corpus):
+    from simhash_ray.stages.substring import remove_duplicate_spans
+
+    rows = span_corpus
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": [d for d, _ in rows], "text": [t for _, t in rows]})
+    ).repartition(7)
+    out = (
+        remove_duplicate_spans(ds, window=8, n_parts=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    ref = _naive_span_removal(rows, 8)
+    assert len(out) == len(rows)
+    for d, (txt, nk, nr) in ref.items():
+        r = out.loc[d]
+        assert (r["text"], r["n_kept"], r["n_removed"]) == (txt, nk, nr), d
+    # the planted copies actually lost their spans (operator is not a no-op)
+    assert (out["n_removed"] > 0).sum() >= 14
+
+
+def test_span_removal_paths_and_layout_equivalent(span_corpus):
+    """broadcast / forced-join / forced-Bloom paths and a different
+    block layout all produce identical output."""
+    from simhash_ray.stages.substring import remove_duplicate_spans
+
+    rows = span_corpus
+    df = pd.DataFrame(
+        {"doc_id": [d for d, _ in rows], "text": [t for _, t in rows]}
+    )
+    base = (
+        remove_duplicate_spans(rd.from_pandas(df).repartition(7), window=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for kw in ({"removal_limit": 0}, {"candidate_limit": 0}):
+        alt = (
+            remove_duplicate_spans(
+                rd.from_pandas(df).repartition(7), window=8, **kw
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert alt.equals(base), kw
+    relaid = (
+        remove_duplicate_spans(rd.from_pandas(df).repartition(23), window=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert relaid.equals(base)
+
+
+def test_span_removal_no_duplicates_is_identity_modulo_whitespace():
+    from simhash_ray.stages.substring import remove_duplicate_spans
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                " ".join(f"u{d}t{i}" for i in range(12)) for d in range(5)
+            ],
+        }
+    )
+    out = (
+        remove_duplicate_spans(rd.from_pandas(df), window=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out["n_removed"] == 0).all()
+    assert list(out["text"]) == list(df["text"])
+    assert list(out["n_kept"]) == [12] * 5
