@@ -424,6 +424,22 @@ def _run_bench() -> dict:
             n_images / timings["minhash_encode_oph"], 1
         )
 
+        # cross-doc duplicated-span removal over the caption corpus
+        # (Lee et al. ExactSubstr in sliding-window form): narrow
+        # u64-hash candidate pass → string-verified interval cut →
+        # streaming rebuild.  The fixture's exact/near-dup caption
+        # classes make the candidate set realistic, not degenerate.
+        def run_span_dedup():
+            from simhash_ray.stages.substring import remove_duplicate_spans
+
+            return remove_duplicate_spans(_captions(), window=8).count()
+
+        n_span = timed("caption_span_dedup", run_span_dedup)
+        assert n_span == n_images, (n_span, n_images)
+        timings["span_dedup_docs_per_sec"] = round(
+            n_images / timings["caption_span_dedup"], 1
+        )
+
     result = {
         "metric": "e2e_dedup_seconds",
         "value": timings["e2e_dedup"],
