@@ -3041,6 +3041,34 @@ GROUP BY d.doc_id
 """
 
 
+_EDITDIST_MAX = 16
+
+
+def q_doc_editdist_pairs(sf_dir: str):
+    """Fuzzy near-dup pairs verified by EXACT character Levenshtein
+    distance (RefinedWeb-style "≤ d edits" rule): MinHash-LSH
+    candidates (the recall-bearing prefix shared with
+    doc_minhash_pairs) → capped-DP edit-distance ≤ 16 verify in text
+    space.  The candidate set is staged; DuckDB re-joins the texts and
+    re-verifies every pair with its own levenshtein() — precision is
+    independently checked, recall is the banding's (documented)."""
+    from ..stages.minhash import editdist_verify, minhash_candidate_pairs
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    cands = minhash_candidate_pairs(docs, shingle_k=2).materialize()
+    _stage(cands.select_columns(["a", "b"]), "doc_editdist_cands")
+    return editdist_verify(cands, docs, max_dist=_EDITDIST_MAX)
+
+
+SQL_DOC_EDITDIST_PAIRS = f"""
+SELECT c.a, c.b, CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+FROM read_parquet('{_staged("doc_editdist_cands")}') c
+JOIN documents da ON da.doc_id = c.a
+JOIN documents db ON db.doc_id = c.b
+WHERE levenshtein(da.text, db.text) <= {_EDITDIST_MAX}
+"""
+
+
 _SPAN_WINDOW = 8
 
 
@@ -4394,6 +4422,7 @@ def ray_queries() -> dict:
         "doc_paragraph_dedup": q_doc_paragraph_dedup,
         "doc_within_dedup": q_doc_within_dedup,
         "doc_span_dedup": q_doc_span_dedup,
+        "doc_editdist_pairs": q_doc_editdist_pairs,
         "doc_paragraph_dedup_unique": q_doc_paragraph_dedup_unique,
         "doc_quality_prune": q_doc_quality_prune,
         "embed_dedup_clusters": q_embed_dedup_clusters,
@@ -4488,6 +4517,7 @@ def oracle_sqls() -> dict:
         "doc_paragraph_dedup": SQL_DOC_PARAGRAPH_DEDUP,
         "doc_within_dedup": SQL_DOC_WITHIN_DEDUP,
         "doc_span_dedup": SQL_DOC_SPAN_DEDUP,
+        "doc_editdist_pairs": SQL_DOC_EDITDIST_PAIRS,
         "doc_paragraph_dedup_unique": SQL_DOC_PARAGRAPH_DEDUP_UNIQUE,
         "doc_quality_prune": SQL_DOC_QUALITY_PRUNE,
         "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,

@@ -516,6 +516,49 @@ def minhash_signatures(
     )
 
 
+def _banded_candidate_pairs(
+    sig_ds: rd.Dataset,
+    n_perm: int,
+    n_bands: int,
+    n_parts: int,
+    pair_full_threshold: int,
+) -> rd.Dataset:
+    """Deduped (a, b, star) LSH candidate pairs from a signature
+    table: band expand → one bucket groupby → pair dedupe groupby."""
+    from .base import map_groups_typed
+
+    bands = sig_ds.map_batches(
+        make_band_expander(n_perm, n_bands, n_parts), batch_format="pyarrow"
+    )
+    pairs = map_groups_typed(
+        bands, "part", make_pair_generator(pair_full_threshold, n_parts), _EMPTY_PAIRS
+    )
+    return _dedupe_pairs(pairs)
+
+
+def minhash_candidate_pairs(
+    docs: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 2,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    concurrency=(1, 8),
+    n_parts: int = 64,
+    pair_full_threshold: int = 512,
+) -> rd.Dataset:
+    """Deduped (a, b, star) MinHash-LSH candidate pairs WITHOUT any
+    verify — the recall-bearing prefix shared by the Jaccard-estimate
+    verify (:func:`minhash_dup_pairs`) and the exact edit-distance
+    verify (:func:`editdist_dup_pairs`)."""
+    sig_ds = minhash_signatures(
+        docs, text_col, id_col, shingle_k, n_perm, concurrency
+    ).materialize()
+    return _banded_candidate_pairs(
+        sig_ds, n_perm, n_bands, n_parts, pair_full_threshold
+    )
+
+
 def minhash_dup_pairs(
     docs: rd.Dataset,
     theta: float = 0.7,
@@ -537,15 +580,9 @@ def minhash_dup_pairs(
     sig_ds = minhash_signatures(
         docs, text_col, id_col, shingle_k, n_perm, concurrency
     ).materialize()
-    from .base import map_groups_typed
-
-    bands = sig_ds.map_batches(
-        make_band_expander(n_perm, n_bands, n_parts), batch_format="pyarrow"
+    pairs = _banded_candidate_pairs(
+        sig_ds, n_perm, n_bands, n_parts, pair_full_threshold
     )
-    pairs = map_groups_typed(
-        bands, "part", make_pair_generator(pair_full_threshold, n_parts), _EMPTY_PAIRS
-    )
-    pairs = _dedupe_pairs(pairs)
     if sig_ds.count() <= limit:
         return _verify_broadcast(pairs, sig_ds, theta, n_perm)
     return _verify_join(pairs, sig_ds, theta, n_perm, n_parts)
@@ -672,4 +709,156 @@ def minhash_dedup(
         )
     return assign_clusters(
         docs, pairs, id_col=id_col, n_parts=n_parts, broadcast_limit=limit
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact edit-distance verify (RefinedWeb-style fuzzy near-dup pairs)
+#
+# The Jaccard-estimate verify above scores candidates in SIGNATURE
+# space; this alternative verifies them in TEXT space with the exact
+# character-level Levenshtein distance — the semantics a "≤ d edits"
+# near-dup rule wants and the one DuckDB's levenshtein() replays for
+# the oracle.  Same recall-bearing prefix (minhash_candidate_pairs);
+# only the verify differs.  Texts attach to the narrow pair table by
+# ray.put broadcast below EDITDIST_BROADCAST_LIMIT docs and by two
+# hash Dataset.joins above it; the DP kernel is row-vectorized numpy
+# (O(len_a · len_b) worst case) with a band early-exit at cap+1, and
+# pairs whose length gap alone exceeds the cap never run the DP.
+
+EDITDIST_BROADCAST_LIMIT = 2_000_000  # docs (id + text) via ray.put
+
+
+def levenshtein_capped(a: str, b: str, cap: int) -> int:
+    """Exact unit-cost Levenshtein distance, except any value > cap is
+    reported as cap + 1 (band early-exit — callers only threshold)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    if a == b:
+        return 0
+    if la == 0 or lb == 0:
+        return max(la, lb) if max(la, lb) <= cap else cap + 1
+    bv = np.array(list(b))
+    ar = np.arange(lb + 1, dtype=np.int32)
+    prev = ar.copy()
+    for i, ch in enumerate(a):
+        sub = prev[:-1] + (bv != ch)
+        cur = np.empty(lb + 1, dtype=np.int32)
+        cur[0] = i + 1
+        cur[1:] = np.minimum(prev[1:] + 1, sub)
+        # left-to-right insertion chain: cur[j] = min_k<=j cur[k]+(j-k)
+        cur = ar + np.minimum.accumulate(cur - ar)
+        if cur.min() > cap:
+            return cap + 1
+        prev = cur
+    return int(prev[-1]) if prev[-1] <= cap else cap + 1
+
+
+def editdist_verify(
+    pairs: rd.Dataset,
+    docs: rd.Dataset,
+    max_dist: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_parts: int = 64,
+    broadcast_limit: int | None = None,
+) -> rd.Dataset:
+    """(a, b, dist) for candidate pairs whose texts are within
+    ``max_dist`` unit edits.  Pairs with a null text on either side are
+    dropped (the SQL oracle's ``levenshtein(NULL, …)`` is NULL and
+    fails the threshold — semantics pinned equal)."""
+    limit = EDITDIST_BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    narrow = docs.select_columns([id_col, text_col])
+    n_docs = narrow.count()
+
+    def verify_arrays(a, b, ta, tb):
+        keep_a, keep_b, dist = [], [], []
+        for i in range(len(a)):
+            x, y = ta[i], tb[i]
+            if x is None or y is None:
+                continue
+            d = levenshtein_capped(x, y, max_dist)
+            if d <= max_dist:
+                keep_a.append(a[i])
+                keep_b.append(b[i])
+                dist.append(d)
+        return pa.table(
+            {
+                "a": pa.array(np.asarray(keep_a, dtype=np.int64)),
+                "b": pa.array(np.asarray(keep_b, dtype=np.int64)),
+                "dist": pa.array(np.asarray(dist, dtype=np.int64)),
+            }
+        )
+
+    if n_docs <= limit:
+        pdf = narrow.to_pandas()
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        texts = pdf[text_col].to_numpy(dtype=object)[order]
+        ref = ray.put((ids, texts))
+
+        def fn(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            s_ids, s_txt = ray.get(ref)
+            ta = s_txt[np.searchsorted(s_ids, a)]
+            tb = s_txt[np.searchsorted(s_ids, b)]
+            return verify_arrays(a, b, ta, tb)
+
+        return pairs.select_columns(["a", "b"]).map_batches(
+            fn, batch_format="pyarrow"
+        )
+
+    jn = int(min(n_parts, max(2, ray.cluster_resources().get("CPU", 8) // 2)))
+
+    def _as(side: str, tcol: str):
+        # arrow-level rename (Dataset.rename_columns chokes on
+        # pandas-backed blocks; batch_format="pyarrow" normalizes)
+        def f(t: pa.Table) -> pa.Table:
+            return t.select([id_col, text_col]).rename_columns([side, tcol])
+
+        return narrow.map_batches(f, batch_format="pyarrow")
+
+    ta_ds = _as("a", "__ta")
+    tb_ds = _as("b", "__tb")
+    joined = (
+        pairs.select_columns(["a", "b"])
+        .join(ta_ds, join_type="inner", num_partitions=jn, on=("a",),
+              aggregator_ray_remote_args={"num_cpus": 0.5})
+        .join(tb_ds, join_type="inner", num_partitions=jn, on=("b",),
+              aggregator_ray_remote_args={"num_cpus": 0.5})
+    )
+
+    def fn_joined(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        ta = batch["__ta"].to_numpy(zero_copy_only=False)
+        tb = batch["__tb"].to_numpy(zero_copy_only=False)
+        return verify_arrays(a, b, ta, tb)
+
+    return joined.map_batches(fn_joined, batch_format="pyarrow")
+
+
+def editdist_dup_pairs(
+    docs: rd.Dataset,
+    max_dist: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 2,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    concurrency=(1, 8),
+    n_parts: int = 64,
+    broadcast_limit: int | None = None,
+) -> rd.Dataset:
+    """MinHash-LSH candidates → exact Levenshtein ≤ max_dist verify.
+    Recall is the banding's (a pair must share one band bucket);
+    precision is exact."""
+    cands = minhash_candidate_pairs(
+        docs, text_col, id_col, shingle_k, n_perm, n_bands, concurrency, n_parts
+    )
+    return editdist_verify(
+        cands, docs, max_dist, text_col, id_col, n_parts, broadcast_limit
     )

@@ -596,3 +596,81 @@ def test_minhash_dedup_clusters_match_pairs_both_paths(corpus, ray_session):
     reps = a[a["is_representative"]]
     assert (reps["doc_id"] == reps["cluster_id"]).all()
     assert set(a["cluster_id"]) == set(reps["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# exact edit-distance verify (editdist_dup_pairs)
+
+
+def test_levenshtein_capped_matches_reference_dp():
+    import random
+
+    from simhash_ray.stages.minhash import levenshtein_capped
+
+    def ref(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            m[i][0] = i
+        for j in range(len(b) + 1):
+            m[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(
+                    m[i - 1][j] + 1,
+                    m[i][j - 1] + 1,
+                    m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return m[len(a)][len(b)]
+
+    rng = random.Random(11)
+    alpha = "abcé 字"
+    for _ in range(2000):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 10)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 10)))
+        cap = rng.randint(0, 8)
+        r = ref(a, b)
+        want = r if r <= cap else cap + 1
+        assert levenshtein_capped(a, b, cap) == want, (a, b, cap)
+
+
+def test_editdist_pairs_planted_and_paths_equal():
+    import random
+
+    from simhash_ray.stages.minhash import editdist_dup_pairs
+
+    rng = random.Random(5)
+    vocab = [f"e{i:03d}" for i in range(400)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(30)) for _ in range(120)
+    ]
+    planted = {}
+    for i in range(20):
+        # one-token substitution: char edit distance <= 8 (4-char
+        # token + space boundary slack), far under unrelated texts
+        toks = texts[i].split()
+        j = rng.randrange(len(toks))
+        old = toks[j]
+        toks[j] = rng.choice(vocab)
+        texts.append(" ".join(toks))
+        planted[(i, 120 + i)] = len(old)  # bound, not exact
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    ds = rd.from_pandas(df).repartition(6)
+    out = editdist_dup_pairs(ds, max_dist=8, shingle_k=2).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    assert set(planted) <= got, set(planted) - got
+    # every reported distance is the true distance and within the cap
+    assert (out["dist"] <= 8).all()
+    from simhash_ray.stages.minhash import levenshtein_capped
+
+    txt = dict(zip(df["doc_id"], df["text"]))
+    for a, b, d in out[["a", "b", "dist"]].itertuples(index=False):
+        assert levenshtein_capped(txt[a], txt[b], 10**6) == d
+    # forced join path == broadcast path
+    out2 = editdist_dup_pairs(
+        rd.from_pandas(df).repartition(6), max_dist=8, shingle_k=2,
+        broadcast_limit=0,
+    ).to_pandas()
+    key = lambda t: sorted(map(tuple, t[["a", "b", "dist"]].to_numpy()))
+    assert key(out2) == key(out)
