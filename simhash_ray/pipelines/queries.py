@@ -3041,6 +3041,50 @@ GROUP BY d.doc_id
 """
 
 
+_REBAL_WEIGHTS = {"en": 3, "de": 1, "es": 1, "fr": 1}
+
+
+def q_doc_lang_rebalance(sf_dir: str):
+    """Language-mixture rebalancing: deterministically down-sample so
+    the kept corpus's expected lang proportions are en:de:es:fr =
+    3:1:1:1 (zh and any other lang dropped — whitelist semantics).
+    The bottleneck lang is kept whole; every other target lang keeps
+    the exact integer-rational rate (w_g·count_b)/(w_b·count_g) via
+    the u32(md5(doc_id)) Bernoulli — partition- and rerun-invariant.
+    Fully independent oracle: DuckDB re-derives counts, the bottleneck
+    election and every rate from the documents view."""
+    from ..stages.sample import rebalance_to_proportions
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang"])
+    return rebalance_to_proportions(docs, "lang", _REBAL_WEIGHTS)
+
+
+SQL_DOC_LANG_REBALANCE = """
+WITH w(lang, wt) AS (VALUES ('en', 3), ('de', 1), ('es', 1), ('fr', 1)),
+cnt AS (
+  SELECT d.lang, COUNT(*) AS c, ANY_VALUE(w.wt) AS wt
+  FROM documents d JOIN w ON d.lang = w.lang
+  GROUP BY d.lang
+),
+b AS (
+  SELECT c AS bc, wt AS bw
+  FROM cnt ORDER BY CAST(c AS DOUBLE) / wt, lang LIMIT 1
+),
+r AS (
+  SELECT cnt.lang,
+         LEAST(cnt.wt * b.bc, b.bw * cnt.c) AS num,
+         b.bw * cnt.c AS den
+  FROM cnt, b
+)
+SELECT d.doc_id, d.lang
+FROM documents d
+JOIN r ON d.lang = r.lang
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        * r.den
+      < r.num * 4294967296
+"""
+
+
 _EDITDIST_MAX = 16
 
 
@@ -4423,6 +4467,7 @@ def ray_queries() -> dict:
         "doc_within_dedup": q_doc_within_dedup,
         "doc_span_dedup": q_doc_span_dedup,
         "doc_editdist_pairs": q_doc_editdist_pairs,
+        "doc_lang_rebalance": q_doc_lang_rebalance,
         "doc_paragraph_dedup_unique": q_doc_paragraph_dedup_unique,
         "doc_quality_prune": q_doc_quality_prune,
         "embed_dedup_clusters": q_embed_dedup_clusters,
@@ -4518,6 +4563,7 @@ def oracle_sqls() -> dict:
         "doc_within_dedup": SQL_DOC_WITHIN_DEDUP,
         "doc_span_dedup": SQL_DOC_SPAN_DEDUP,
         "doc_editdist_pairs": SQL_DOC_EDITDIST_PAIRS,
+        "doc_lang_rebalance": SQL_DOC_LANG_REBALANCE,
         "doc_paragraph_dedup_unique": SQL_DOC_PARAGRAPH_DEDUP_UNIQUE,
         "doc_quality_prune": SQL_DOC_QUALITY_PRUNE,
         "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,

@@ -112,3 +112,64 @@ def cap_per_group(
     keyed = ds.map_batches(add_key, batch_format="pyarrow")
     out = topk_per_group(keyed, group_col, "_cap_key", k=n, tie_col=id_col)
     return out.drop_columns(["_cap_key"])
+
+
+def rebalance_to_proportions(
+    ds: rd.Dataset,
+    group_col: str,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Deterministically DOWN-sample so the kept rows' expected group
+    proportions match ``weights`` (language / source rebalancing, the
+    mixture-reweighting step of corpus curation).
+
+    The bottleneck group b (min count/weight; double division, ties by
+    group name — the SQL oracle orders identically) is kept whole and
+    every other target group g is kept at the exact integer rational
+    rate (w_g·count_b) / (w_b·count_g) ≤ 1, via the same
+    u32(md5(id))·den < num·2^32 Bernoulli as every sampler here — so
+    the decision is partition- and rerun-invariant.  Groups NOT in
+    ``weights`` (including null) are dropped — this operator is a
+    whitelist + reweighting, mirroring SQL's ``group IN (...)``.
+
+    One bounded-cardinality count groupby (same stance as
+    stages/topk.exact_quantiles: the group column is a dimension, not
+    free text) + one streaming filter pass; no full-table shuffle."""
+    import logging
+
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for g, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for {g!r} must be positive, got {w}")
+    from ray.data.aggregate import Count
+
+    cdf = ds.groupby(group_col).aggregate(Count(alias_name="c")).to_pandas()
+    counts = {
+        g: int(c)
+        for g, c in zip(cdf[group_col], cdf["c"])
+        if g in weights
+    }
+    absent = sorted(set(weights) - set(counts))
+    if absent:
+        logging.getLogger(__name__).warning(
+            "rebalance_to_proportions: target group(s) %s have no rows; "
+            "the achievable rebalanced corpus is empty",
+            absent,
+        )
+        return ds.limit(0)
+    b = min(counts, key=lambda g: (counts[g] / weights[g], g))
+    bc, bw = counts[b], weights[b]
+    rates: dict[str, tuple[int, int]] = {}
+    for g, c in counts.items():
+        num, den = weights[g] * bc, bw * c
+        if num > den:  # only from float near-ties; clamp to keep-all
+            num = den
+        if max(num, den) >= _TWO32:
+            raise ValueError(
+                f"rate {num}/{den} for group {g!r} overflows the exact "
+                "u32 Bernoulli compare; scale weights down"
+            )
+        rates[g] = (num, den)
+    return stratified_sample(ds, group_col, rates, default=(0, 1), id_col=id_col)

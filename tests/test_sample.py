@@ -76,3 +76,48 @@ def test_stratified_null_groups_sampled_at_default():
     # en/de fully dropped; fr and ALL null rows kept at default 1/1
     assert len(out) == 200
     assert out["lang"].isna().sum() == 100
+
+
+def test_rebalance_to_proportions():
+    from simhash_ray.stages.sample import rebalance_to_proportions
+
+    rng = np.random.default_rng(9)
+    langs = np.array(
+        ["en"] * 6000 + ["de"] * 1500 + ["fr"] * 900 + ["zh"] * 800
+    )
+    rng.shuffle(langs)
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(langs), dtype=np.int64), "lang": langs}
+    )
+    weights = {"en": 4, "de": 1, "fr": 1}
+    out = (
+        rebalance_to_proportions(rd.from_pandas(df).repartition(5), "lang", weights)
+        .to_pandas()
+    )
+    # whitelist: zh dropped entirely
+    assert set(out["lang"]) <= set(weights)
+    got = out["lang"].value_counts()
+    # bottleneck en (6000/4=1500 vs de 1500/1, fr 900/1 → fr? no:
+    # fr 900/1=900 is the min) → fr kept whole, expected counts
+    # en = 4*900 = 3600, de = 900
+    assert got["fr"] == 900
+    for g, exp in (("en", 3600), ("de", 900)):
+        assert abs(got[g] - exp) < 4 * np.sqrt(exp), (g, got[g], exp)
+    # partition invariance: identical kept id set under another layout
+    out2 = (
+        rebalance_to_proportions(rd.from_pandas(df).repartition(17), "lang", weights)
+        .to_pandas()
+    )
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_rebalance_absent_target_group_yields_empty():
+    from simhash_ray.stages.sample import rebalance_to_proportions
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(10, dtype=np.int64), "lang": ["en"] * 10}
+    )
+    out = rebalance_to_proportions(
+        rd.from_pandas(df), "lang", {"en": 1, "xx": 1}
+    ).to_pandas()
+    assert len(out) == 0
