@@ -3703,6 +3703,70 @@ def q_embed_lsh_topk(sf_dir: str):
 SQL_EMBED_LSH_TOPK = _topk_rerank_sql("embed_lsh_cands_topk", 5)
 
 
+def q_embed_ann_recall(sf_dir: str):
+    """ANN QUALITY measurement as a first-class query: recall@5 of the
+    IVF probe plan (2 of 8 centroid lists probed — deliberately fewer
+    than q_embed_ivf_topk's 3, so the measured recall is allowed to be
+    < 1) against the exact brute-force top-5.  The approx result is
+    staged; DuckDB independently re-derives the EXACT top-5 from the
+    embeddings view (same score-desc/id-asc tie-break as
+    SQL_EMBED_TOPK) and recomputes every per-query hit count — so the
+    recall number itself is oracle-checked, not self-reported."""
+    import pandas as _pd
+
+    from ..stages.ann import (
+        _bucketed_scan_topk,
+        _ivf_probe_plan,
+        brute_force_topk,
+    )
+
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    assigned, ref = _ivf_probe_plan(
+        vecs, query_ids=list(range(10)), n_centroids=8, n_probe=2
+    )
+    approx = _bucketed_scan_topk(
+        assigned.materialize(), ref, 5, "vec_id", "embedding", "cent"
+    ).materialize()
+    _stage(approx, "embed_ann_recall_approx")
+    exact = brute_force_topk(vecs, query_ids=list(range(10)), k=5).to_pandas()
+    ap = approx.to_pandas()
+    ap_sets = ap.groupby("query_id")["neighbor_id"].agg(set).to_dict()
+    rows = []
+    for qid, grp in exact.groupby("query_id"):
+        hits = len(set(grp["neighbor_id"]) & ap_sets.get(qid, set()))
+        rows.append((qid, hits, hits / 5.0))
+    return _pd.DataFrame(rows, columns=["query_id", "n_hit", "recall"])
+
+
+SQL_EMBED_ANN_RECALL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]) AS score
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM s
+  ) WHERE rank <= 5
+),
+ap AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM read_parquet('{_staged("embed_ann_recall_approx")}')
+)
+SELECT ex.query_id,
+       COUNT(ap.neighbor_id) AS n_hit,
+       COUNT(ap.neighbor_id) / 5.0 AS recall
+FROM ex
+LEFT JOIN ap ON ex.query_id = ap.query_id
+            AND ex.neighbor_id = ap.neighbor_id
+GROUP BY ex.query_id
+"""
+
+
 def q_doc_langid_score(sf_dir: str):
     """Accuracy scoring pass, the analogue of the reference's valid
     count + score (A1/A2: /root/reference/src/Htm/Model.hs:58-69,
@@ -4482,6 +4546,7 @@ def ray_queries() -> dict:
         "embed_dup_pairs_lsh": q_embed_dup_pairs_lsh,
         "embed_lsh_topk": q_embed_lsh_topk,
         "embed_ivf_topk": q_embed_ivf_topk,
+        "embed_ann_recall": q_embed_ann_recall,
         "doc_langid_score": q_doc_langid_score,
         "images_signatures": q_images_signatures,
         "images_dedup": q_images_dedup,
@@ -4577,6 +4642,7 @@ def oracle_sqls() -> dict:
         "embed_semdedup": SQL_EMBED_SEMDEDUP,
         "embed_lsh_topk": SQL_EMBED_LSH_TOPK,
         "embed_ivf_topk": SQL_EMBED_IVF_TOPK,
+        "embed_ann_recall": SQL_EMBED_ANN_RECALL,
         "images_signatures": SQL_IMAGES_SIGNATURES,
         "images_embed_dedup": SQL_IMAGES_EMBED_DEDUP,
         "images_dedup_truth": SQL_IMAGES_DEDUP_TRUTH,

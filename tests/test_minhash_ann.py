@@ -674,3 +674,43 @@ def test_editdist_pairs_planted_and_paths_equal():
     ).to_pandas()
     key = lambda t: sorted(map(tuple, t[["a", "b", "dist"]].to_numpy()))
     assert key(out2) == key(out)
+
+
+def test_ivf_recall_monotone_in_probes_and_exact_at_full_probe():
+    """recall@5 vs brute force: probing MORE centroid lists never hurts,
+    and probing ALL lists makes IVF exact (recall 1.0 per query)."""
+    from simhash_ray.stages.ann import (
+        _bucketed_scan_topk,
+        _ivf_probe_plan,
+        brute_force_topk,
+    )
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(300, dtype=np.int64),
+            "embedding": list(vecs),
+        }
+    )
+    ds = rd.from_pandas(df)
+    exact = brute_force_topk(ds, query_ids=list(range(6)), k=5).to_pandas()
+    ex_sets = exact.groupby("query_id")["neighbor_id"].agg(set).to_dict()
+
+    def recall(n_probe: int) -> float:
+        assigned, ref = _ivf_probe_plan(
+            rd.from_pandas(df), query_ids=list(range(6)),
+            n_centroids=6, n_probe=n_probe,
+        )
+        ap = _bucketed_scan_topk(
+            assigned.materialize(), ref, 5, "vec_id", "embedding", "cent"
+        ).to_pandas()
+        ap_sets = ap.groupby("query_id")["neighbor_id"].agg(set).to_dict()
+        hits = sum(
+            len(ex_sets[q] & ap_sets.get(q, set())) for q in ex_sets
+        )
+        return hits / (5 * len(ex_sets))
+
+    r1, r3, r6 = recall(1), recall(3), recall(6)
+    assert r1 <= r3 + 1e-9 and r3 <= r6 + 1e-9, (r1, r3, r6)
+    assert r6 == 1.0
