@@ -3041,6 +3041,95 @@ GROUP BY d.doc_id
 """
 
 
+def q_doc_dedup_report(sf_dir: str):
+    """Dedup ANALYTICS over the text-flagship assignment: per-language
+    document count, duplicate count (non-representatives) and dup
+    rate — the report a curation run ships next to its output.  One
+    session-sized hash join (assignment ↔ (doc_id, lang), both narrow)
+    + per-block partial counts through a tiny lang groupby.  The
+    assignment is staged; DuckDB re-joins the documents view and
+    re-derives every aggregate independently."""
+    from ..stages.encode import encode_signatures
+    from .dedup_docs import dedup_documents_from_sigs
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    sigs = (
+        encode_signatures(
+            docs, DEFAULT_CONFIG.simhash, text_col="text", concurrency=(1, 4)
+        )
+        .select_columns(["doc_id", "simhash"])
+        .materialize()
+    )
+    assign = dedup_documents_from_sigs(sigs, DEFAULT_CONFIG).materialize()
+    _stage(
+        assign.map_batches(
+            lambda t: t.select(["doc_id", "is_representative"]),
+            batch_format="pyarrow",
+        ),
+        "doc_dedup_report_assign",
+    )
+    import ray as _ray
+
+    jn = int(max(2, _ray.cluster_resources().get("CPU", 8) // 2))
+    lang = docs.select_columns(["doc_id", "lang"])
+    joined = assign.join(
+        lang,
+        join_type="inner",
+        num_partitions=jn,
+        on=("doc_id",),
+        aggregator_ray_remote_args={"num_cpus": 0.5},
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        df = _pd.DataFrame(
+            {
+                "lang": t["lang"].to_numpy(zero_copy_only=False),
+                "dup": ~t["is_representative"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("dup", "size"), n_dups=("dup", "sum")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], type=pa.string()),
+                "n_docs": pa.array(g["n_docs"].astype(np.int64)),
+                "n_dups": pa.array(g["n_dups"].astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_dups", alias_name="n_dups"))
+    )
+
+    def rate(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        du = t["n_dups"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("dup_rate", pa.array(du / nd))
+
+    return out.map_batches(rate, batch_format="pyarrow")
+
+
+SQL_DOC_DEDUP_REPORT = f"""
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN a.is_representative THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_dups,
+       SUM(CASE WHEN a.is_representative THEN 0 ELSE 1 END)
+           / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM read_parquet('{_staged("doc_dedup_report_assign")}') a
+JOIN documents d ON d.doc_id = a.doc_id
+GROUP BY d.lang
+"""
+
+
 _REBAL_WEIGHTS = {"en": 3, "de": 1, "es": 1, "fr": 1}
 
 
@@ -4532,6 +4621,7 @@ def ray_queries() -> dict:
         "doc_span_dedup": q_doc_span_dedup,
         "doc_editdist_pairs": q_doc_editdist_pairs,
         "doc_lang_rebalance": q_doc_lang_rebalance,
+        "doc_dedup_report": q_doc_dedup_report,
         "doc_paragraph_dedup_unique": q_doc_paragraph_dedup_unique,
         "doc_quality_prune": q_doc_quality_prune,
         "embed_dedup_clusters": q_embed_dedup_clusters,
@@ -4629,6 +4719,7 @@ def oracle_sqls() -> dict:
         "doc_span_dedup": SQL_DOC_SPAN_DEDUP,
         "doc_editdist_pairs": SQL_DOC_EDITDIST_PAIRS,
         "doc_lang_rebalance": SQL_DOC_LANG_REBALANCE,
+        "doc_dedup_report": SQL_DOC_DEDUP_REPORT,
         "doc_paragraph_dedup_unique": SQL_DOC_PARAGRAPH_DEDUP_UNIQUE,
         "doc_quality_prune": SQL_DOC_QUALITY_PRUNE,
         "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,
