@@ -249,6 +249,35 @@ def cmd_paradedup(args) -> int:
 
     from .stages.paradedup import paragraph_dedup, within_doc_dedup
 
+    if args.spans:
+        if args.sep is not None or args.within_doc:
+            print("--spans uses sliding token windows; it is exclusive "
+                  "with --sep and --within-doc", file=sys.stderr)
+            return 2
+        from .stages.substring import remove_duplicate_spans
+
+        docs = rd.read_parquet(
+            args.table, columns=[args.id_col, args.text_col]
+        )
+        out = remove_duplicate_spans(
+            docs,
+            window=args.window if args.window is not None else 8,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        ).materialize()
+        os.makedirs(args.out, exist_ok=True)
+        out.write_parquet(os.path.join(args.out, "documents"))
+        metrics = {
+            "n_docs": out.count(),
+            "n_tokens_kept": int(out.sum("n_kept") or 0),
+            "n_tokens_removed": int(out.sum("n_removed") or 0),
+            "unit": f"sliding-window={args.window or 8}",
+            "keep": "cross-doc-first-span",
+        }
+        with open(os.path.join(args.out, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        print(json.dumps(metrics))
+        return 0
     if (args.sep is None) == (args.window is None):
         print("pass exactly one of --sep or --window", file=sys.stderr)
         return 2
@@ -522,6 +551,12 @@ def main(argv=None) -> int:
         "--within-doc", action="store_true",
         help="dedup units only WITHIN each document (zero-shuffle "
         "streaming pass); cross-document repeats are untouched",
+    )
+    pdp.add_argument(
+        "--spans", action="store_true",
+        help="cross-document duplicated-SPAN removal (sliding "
+        "--window token windows, alignment-robust; keeps the first "
+        "occurrence corpus-wide and cuts the rest)",
     )
     pdp.set_defaults(fn=cmd_paradedup)
 

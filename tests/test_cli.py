@@ -553,3 +553,37 @@ def test_cli_paradedup_within_doc(tmp_path):
     assert {"doc_id", "text", "n_kept", "n_dropped"} <= set(t.column_names)
     m = json.loads((out / "metrics.json").read_text())
     assert m["n_docs"] == 500 and m["keep"] == "within-doc-first"
+
+
+def test_cli_paradedup_spans(tmp_path):
+    out = tmp_path / "out"
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "simhash_ray", "--num-cpus", "8",
+            "paradedup", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out), "--window", "8", "--spans",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    t = pq.read_table(str(out / "documents"))
+    assert t.num_rows == 500
+    assert {"doc_id", "text", "n_kept", "n_removed"} <= set(t.column_names)
+    m = json.loads((out / "metrics.json").read_text())
+    assert m["n_docs"] == 500 and m["keep"] == "cross-doc-first-span"
+    assert m["n_tokens_kept"] > 0
+    # --spans is exclusive with --sep / --within-doc
+    bad = subprocess.run(
+        [
+            sys.executable, "-m", "simhash_ray", "paradedup",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(tmp_path / "bad"), "--sep", "x", "--spans",
+        ],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert bad.returncode == 2
