@@ -3041,6 +3041,32 @@ GROUP BY d.doc_id
 """
 
 
+def q_events_window_dedup(sf_dir: str):
+    """Event-stream dedup: drop an event when the previous event of the
+    same (user_id, event_type) is ≤ 1 hour older (collapse duplicate
+    telemetry firings; LAG semantics with (ts, event_id) tie-break).
+    One keyed coarse groupby, single numpy pass per partition.  Fully
+    independent oracle (DuckDB LAG window)."""
+    from ..stages.window import window_dedup
+
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    return window_dedup(ev, window_s=3600)
+
+
+SQL_EVENTS_WINDOW_DEDUP = """
+SELECT event_id, user_id, event_type, ts
+FROM (
+  SELECT event_id, user_id, event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS pts
+  FROM events
+)
+WHERE pts IS NULL OR epoch_us(ts) - epoch_us(pts) > CAST(3600 AS BIGINT) * 1000000
+"""
+
+
 def q_doc_dedup_report(sf_dir: str):
     """Dedup ANALYTICS over the text-flagship assignment: per-language
     document count, duplicate count (non-representatives) and dup
@@ -4622,6 +4648,7 @@ def ray_queries() -> dict:
         "doc_editdist_pairs": q_doc_editdist_pairs,
         "doc_lang_rebalance": q_doc_lang_rebalance,
         "doc_dedup_report": q_doc_dedup_report,
+        "events_window_dedup": q_events_window_dedup,
         "doc_paragraph_dedup_unique": q_doc_paragraph_dedup_unique,
         "doc_quality_prune": q_doc_quality_prune,
         "embed_dedup_clusters": q_embed_dedup_clusters,
@@ -4720,6 +4747,7 @@ def oracle_sqls() -> dict:
         "doc_editdist_pairs": SQL_DOC_EDITDIST_PAIRS,
         "doc_lang_rebalance": SQL_DOC_LANG_REBALANCE,
         "doc_dedup_report": SQL_DOC_DEDUP_REPORT,
+        "events_window_dedup": SQL_EVENTS_WINDOW_DEDUP,
         "doc_paragraph_dedup_unique": SQL_DOC_PARAGRAPH_DEDUP_UNIQUE,
         "doc_quality_prune": SQL_DOC_QUALITY_PRUNE,
         "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,

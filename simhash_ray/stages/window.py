@@ -487,3 +487,114 @@ def funnel(
         per_part,
         out_schema.empty_table(),
     )
+
+
+def window_dedup(
+    events: rd.Dataset,
+    window_s: int,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Event-stream dedup: drop an event when the PREVIOUS event of the
+    same key (``key_cols``) is at most ``window_s`` seconds older — the
+    "collapse duplicate firings" pass of telemetry/webhook ingestion.
+    LAG semantics (the reference event is the previous event whether or
+    not it was itself kept), so the rule is SQL's
+    ``LAG(ts) OVER (PARTITION BY key ORDER BY ts, id)`` — deterministic
+    under ts ties via the id tie-break.
+
+    Output: the KEPT rows (id, key_cols, ts).  One coarse groupby on
+    the hash of the first key column; each partition dedups in a single
+    numpy pass (lexsort → per-run shifted-gap mask) — no per-key
+    Python.
+    """
+    from ..functions.hashing import part_of_ints, part_of_strings
+
+    from .base import map_groups_typed
+
+    if window_s < 0:
+        raise ValueError(f"window_s must be >= 0, got {window_s}")
+    first_key = key_cols[0]
+    keep_cols = [id_col, *key_cols, ts_col]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch[first_key]
+        if pa.types.is_integer(keys.type):
+            part = part_of_ints(
+                n_parts, keys.to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        else:
+            part = part_of_strings(
+                np.asarray(keys.to_numpy(zero_copy_only=False), dtype=object),
+                n_parts,
+            )
+        cols = {c: batch[c] for c in keep_cols}
+        cols[ts_col] = batch[ts_col].cast(pa.timestamp("us"))
+        cols["part"] = pa.array(part, type=pa.int32())
+        return pa.table(cols)
+
+    win_us = np.int64(window_s * 1_000_000)
+
+    sch = events.schema()
+    _py_fallback = {int: pa.int64(), str: pa.string(), float: pa.float64(),
+                    bool: pa.bool_()}
+
+    def _pa_t(t):
+        # Ray schemas over pandas-backed blocks report numpy dtypes or
+        # plain Python classes instead of Arrow types — coerce
+        if isinstance(t, pa.DataType):
+            return t
+        if t in _py_fallback:
+            return _py_fallback[t]
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    types = {f: _pa_t(t) for f, t in zip(sch.names, sch.types)}
+
+    def empty() -> pa.Table:
+        return pa.table(
+            {
+                c: pa.array(
+                    [],
+                    type=pa.timestamp("us") if c == ts_col else types[c],
+                )
+                for c in keep_cols
+            }
+        )
+
+    def per_part(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return group.select(keep_cols)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        ts_i = (
+            group[ts_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        key_arrs = [
+            group[c].to_numpy(zero_copy_only=False) for c in key_cols
+        ]
+        # composite key → dense codes (hash factorize; grouping only)
+        if len(key_arrs) == 1:
+            codes = pd.factorize(key_arrs[0], sort=False)[0]
+        else:
+            codes = pd.MultiIndex.from_arrays(key_arrs).factorize(sort=False)[0]
+        order = np.lexsort((ids, ts_i, codes))
+        c_s, t_s = codes[order], ts_i[order]
+        keep_sorted = np.ones(n, dtype=bool)
+        same = c_s[1:] == c_s[:-1]
+        keep_sorted[1:] = ~(same & (t_s[1:] - t_s[:-1] <= win_us))
+        keep = np.zeros(n, dtype=bool)
+        keep[order] = keep_sorted
+        return group.select(keep_cols).filter(pa.array(keep))
+
+    tagged = events.select_columns(keep_cols).map_batches(
+        tag, batch_format="pyarrow"
+    )
+    return map_groups_typed(tagged, "part", per_part, empty())

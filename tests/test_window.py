@@ -187,3 +187,44 @@ def test_funnel_partial_paths_match_reference(ray_session):
         pd.testing.assert_frame_equal(
             got, want.astype(got.dtypes.to_dict()), check_dtype=False
         )
+
+
+def test_window_dedup_matches_naive_and_layout_invariant():
+    """window_dedup ≡ per-key sequential LAG rule, any block layout."""
+    import pandas as pd
+
+    from simhash_ray.stages.window import window_dedup
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    base = np.datetime64("2024-01-01", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "ts": base + rng.integers(0, 3_000_000, n).astype("timedelta64[s]").astype("timedelta64[us]"),
+        }
+    )
+    # force ts ties inside keys so the id tie-break is exercised
+    df.loc[1, ["user_id", "event_type", "ts"]] = df.loc[0, ["user_id", "event_type", "ts"]]
+    win = 3600
+
+    def naive(d):
+        kept = []
+        for _, g in d.groupby(["user_id", "event_type"]):
+            g = g.sort_values(["ts", "event_id"])
+            prev = None
+            for _, r in g.iterrows():
+                if prev is None or (r["ts"] - prev).total_seconds() > win:
+                    kept.append(r["event_id"])
+                prev = r["ts"]
+        return sorted(kept)
+
+    expect = naive(df)
+    for parts in (3, 17):
+        out = window_dedup(
+            rd.from_pandas(df).repartition(parts), window_s=win, n_parts=8
+        ).to_pandas()
+        assert sorted(out["event_id"]) == expect, parts
+        assert set(out.columns) == {"event_id", "user_id", "event_type", "ts"}
