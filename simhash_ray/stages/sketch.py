@@ -196,28 +196,103 @@ class BloomFilter:
 
 
 def build_bloom(
-    ds: rd.Dataset, col: str, m_bits: int = 1 << 23, k: int = 7
+    ds: rd.Dataset,
+    col: str,
+    m_bits: int = 1 << 23,
+    k: int = 7,
+    tree_fanin: int = 64,
 ) -> BloomFilter:
     """Distributed Bloom build: each block folds its values into a
-    local bitmap (one vectorized scatter-OR), blocks emit the packed
-    bitmap as one binary row, and the driver OR-folds the stream —
-    memory bounded at TWO bitmaps regardless of input size.  The result
-    is a deterministic function of the value SET (OR is commutative),
-    so partitioning never changes it."""
+    local partial, partials OR-fold to one bitmap.  The result is a
+    deterministic function of the value SET (OR is commutative), so
+    partitioning never changes it.
+
+    Scale shape (round-4 hardening — the naive build ships one DENSE
+    bitmap per block through the driver, blocks × m_bits/8 bytes into
+    one node):
+
+    - **Sparse partials**: a block whose set bit-positions (k·n_vals
+      u64s) are smaller than the bitmap emits them as a sorted
+      positions row instead of the dense bitmap — small blocks cost
+      O(values), not O(m_bits).  Tagged ``dense`` flag per row; the
+      fold handles both kinds.
+    - **Tree fold**: when more than ``tree_fanin`` partial rows exist,
+      one map_groups OR-fold level (group = partial_index //
+      tree_fanin, runs on workers) reduces driver ingest from
+      O(blocks) partials to O(blocks / tree_fanin) — add levels by
+      lowering ``tree_fanin`` if blocks ever outgrow one level."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        bf = BloomFilter.empty(m_bits, k)
         vals = batch[col].to_numpy(zero_copy_only=False)
-        if len(vals):
-            bf.add(vals)
-        return pa.table({"bm": pa.array([bf.words.tobytes()], type=pa.binary())})
+        if len(vals) == 0:
+            return pa.table(
+                {"bm": pa.array([], type=pa.binary()),
+                 "dense": pa.array([], type=pa.bool_())}
+            )
+        bf = BloomFilter.empty(m_bits, k)
+        pos = bf._positions(bf._hash(vals)).ravel()
+        if pos.nbytes < m_bits // 8:
+            blob = np.unique(pos).tobytes()  # sorted u64 positions
+            return pa.table(
+                {"bm": pa.array([blob], type=pa.binary()),
+                 "dense": pa.array([False])}
+            )
+        np.bitwise_or.at(
+            bf.words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+        return pa.table(
+            {"bm": pa.array([bf.words.tobytes()], type=pa.binary()),
+             "dense": pa.array([True])}
+        )
+
+    def _fold_into(words: np.ndarray, blob: bytes, dense: bool) -> None:
+        if dense:
+            words |= np.frombuffer(blob, dtype=np.uint64)
+        else:
+            pos = np.frombuffer(blob, dtype=np.uint64)
+            np.bitwise_or.at(
+                words, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    n_partials = partials.count()
+    if n_partials > tree_fanin:
+        from .base import map_groups_typed
+
+        def add_group(batch: pa.Table) -> pa.Table:
+            g = np.arange(batch.num_rows, dtype=np.int64)  # per-block rows
+            return batch.append_column(
+                "part", pa.array((g % tree_fanin).astype(np.int32))
+            )
+
+        def or_fold(group: pa.Table) -> pa.Table:
+            words = np.zeros(m_bits // 64, dtype=np.uint64)
+            dense_col = group["dense"].to_numpy(zero_copy_only=False)
+            for i, blob in enumerate(group["bm"]):
+                _fold_into(words, blob.as_py(), bool(dense_col[i]))
+            return pa.table(
+                {"bm": pa.array([words.tobytes()], type=pa.binary()),
+                 "dense": pa.array([True])}
+            )
+
+        empty = pa.table(
+            {"bm": pa.array([], type=pa.binary()),
+             "dense": pa.array([], type=pa.bool_())}
+        )
+        partials = map_groups_typed(
+            partials.map_batches(add_group, batch_format="pyarrow"),
+            "part",
+            or_fold,
+            empty,
+        )
 
     out = BloomFilter.empty(m_bits, k)
-    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for blob in b["bm"]:
-            out.words |= np.frombuffer(blob.as_py(), dtype=np.uint64)
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        dense_col = b["dense"].to_numpy(zero_copy_only=False)
+        for i, blob in enumerate(b["bm"]):
+            _fold_into(out.words, blob.as_py(), bool(dense_col[i]))
     return out
 
 

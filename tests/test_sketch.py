@@ -78,6 +78,8 @@ def test_bloom_no_false_negatives_and_fpr(ray_session):
 
 
 def test_bloom_distributed_build_is_partition_invariant(ray_session):
+    import pandas as pd
+
     from simhash_ray.stages.sketch import BloomFilter, build_bloom
 
     vals = [f"doc {i % 700}" for i in range(3000)]  # dupes across blocks
@@ -285,3 +287,29 @@ def test_cms_empty_and_validation(ray_session):
     assert len(cms_point_estimates(empty, np.array([], dtype=object), 4, 64)) == 0
     with pytest.raises(ValueError):
         cms_positions(np.array(["a"], dtype=object), 5, 64)  # md5 has 4 slices
+
+
+def test_bloom_build_sparse_dense_and_tree_fold_equal():
+    """The sparse-partial + tree-fold build is bit-identical to a
+    serial add, for small blocks (sparse path), a big single block
+    (dense path), and enough blocks to trigger the tree level."""
+    import pandas as pd
+
+    from simhash_ray.stages.sketch import BloomFilter, build_bloom
+
+    rng = np.random.default_rng(41)
+    vals = rng.integers(0, 2**62, 5000).astype(np.int64)
+    serial = BloomFilter.empty(1 << 16, 5)
+    serial.add(vals)
+    # many tiny blocks → sparse partials + tree fold (fanin 4 ≪ blocks)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(40)
+    bf = build_bloom(ds, "v", m_bits=1 << 16, k=5, tree_fanin=4)
+    assert np.array_equal(bf.words, serial.words)
+    # one dense block: k*n*8 bytes > m_bits/8 forces the dense partial
+    bf2 = build_bloom(
+        rd.from_pandas(pd.DataFrame({"v": vals})).repartition(1),
+        "v", m_bits=1 << 12, k=5, tree_fanin=64,
+    )
+    serial2 = BloomFilter.empty(1 << 12, 5)
+    serial2.add(vals)
+    assert np.array_equal(bf2.words, serial2.words)
