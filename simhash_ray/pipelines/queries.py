@@ -3074,7 +3074,12 @@ def q_doc_dedup_report(sf_dir: str):
     session-sized hash join (assignment ↔ (doc_id, lang), both narrow)
     + per-block partial counts through a tiny lang groupby.  The
     assignment is staged; DuckDB re-joins the documents view and
-    re-derives every aggregate independently."""
+    re-derives every aggregate independently.
+
+    Null-lang policy (explicit, per the stratified_sample precedent):
+    docs with NULL lang are EXCLUDED from the per-language report on
+    BOTH sides (Ray filters them; the SQL has ``WHERE d.lang IS NOT
+    NULL``) — a per-language breakdown has no row for "no language"."""
     from ..stages.encode import encode_signatures
     from .dedup_docs import dedup_documents_from_sigs
 
@@ -3097,7 +3102,9 @@ def q_doc_dedup_report(sf_dir: str):
     import ray as _ray
 
     jn = int(max(2, _ray.cluster_resources().get("CPU", 8) // 2))
-    lang = docs.select_columns(["doc_id", "lang"])
+    lang = docs.select_columns(["doc_id", "lang"]).map_batches(
+        lambda t: t.filter(pc.is_valid(t["lang"])), batch_format="pyarrow"
+    )
     joined = assign.join(
         lang,
         join_type="inner",
@@ -3152,6 +3159,7 @@ SELECT d.lang,
            / CAST(COUNT(*) AS DOUBLE) AS dup_rate
 FROM read_parquet('{_staged("doc_dedup_report_assign")}') a
 JOIN documents d ON d.doc_id = a.doc_id
+WHERE d.lang IS NOT NULL
 GROUP BY d.lang
 """
 

@@ -550,10 +550,13 @@ def minhash_candidate_pairs(
     """Deduped (a, b, star) MinHash-LSH candidate pairs WITHOUT any
     verify — the recall-bearing prefix shared by the Jaccard-estimate
     verify (:func:`minhash_dup_pairs`) and the exact edit-distance
-    verify (:func:`editdist_dup_pairs`)."""
+    verify (:func:`editdist_dup_pairs`).  The signature table stays
+    lazy here — it has exactly one consumer (the band expand); only
+    minhash_dup_pairs, which reuses it for count + verify,
+    materializes it."""
     sig_ds = minhash_signatures(
         docs, text_col, id_col, shingle_k, n_perm, concurrency
-    ).materialize()
+    )
     return _banded_candidate_pairs(
         sig_ds, n_perm, n_bands, n_parts, pair_full_threshold
     )
@@ -730,20 +733,29 @@ EDITDIST_BROADCAST_LIMIT = 2_000_000  # docs (id + text) via ray.put
 
 
 def levenshtein_capped(a: str, b: str, cap: int) -> int:
-    """Exact unit-cost Levenshtein distance, except any value > cap is
-    reported as cap + 1 (band early-exit — callers only threshold)."""
-    la, lb = len(a), len(b)
+    """Exact unit-cost Levenshtein distance over UTF-8 BYTES, except
+    any value > cap is reported as cap + 1 (band early-exit — callers
+    only threshold).
+
+    Byte domain, not codepoints, deliberately: DuckDB 1.x's
+    ``levenshtein()`` counts UTF-8 bytes ('café…' vs 'cafe…' is 2 per
+    accent, not 1), and the oracle must replay the operator exactly
+    (round-4 review finding; pinned by the accented-alphabet fuzz in
+    tests/test_minhash_ann.py)."""
+    ab, bb = a.encode("utf-8"), b.encode("utf-8")
+    la, lb = len(ab), len(bb)
     if abs(la - lb) > cap:
         return cap + 1
-    if a == b:
+    if ab == bb:
         return 0
     if la == 0 or lb == 0:
         return max(la, lb) if max(la, lb) <= cap else cap + 1
-    bv = np.array(list(b))
+    av = np.frombuffer(ab, dtype=np.uint8)
+    bv = np.frombuffer(bb, dtype=np.uint8)
     ar = np.arange(lb + 1, dtype=np.int32)
     prev = ar.copy()
-    for i, ch in enumerate(a):
-        sub = prev[:-1] + (bv != ch)
+    for i in range(la):
+        sub = prev[:-1] + (bv != av[i])
         cur = np.empty(lb + 1, dtype=np.int32)
         cur[0] = i + 1
         cur[1:] = np.minimum(prev[1:] + 1, sub)
@@ -803,9 +815,17 @@ def editdist_verify(
             a = batch["a"].to_numpy(zero_copy_only=False)
             b = batch["b"].to_numpy(zero_copy_only=False)
             s_ids, s_txt = ray.get(ref)
-            ta = s_txt[np.searchsorted(s_ids, a)]
-            tb = s_txt[np.searchsorted(s_ids, b)]
-            return verify_arrays(a, b, ta, tb)
+            if len(s_ids) == 0:
+                return verify_arrays(a[:0], b[:0], a[:0], b[:0])
+            # membership-guarded gather: a pair id absent from docs is
+            # DROPPED (the join path inner-joins it away; without the
+            # guard searchsorted would gather an unrelated doc's text)
+            ia = np.minimum(np.searchsorted(s_ids, a), len(s_ids) - 1)
+            ib = np.minimum(np.searchsorted(s_ids, b), len(s_ids) - 1)
+            ok = (s_ids[ia] == a) & (s_ids[ib] == b)
+            if not ok.all():
+                a, b, ia, ib = a[ok], b[ok], ia[ok], ib[ok]
+            return verify_arrays(a, b, s_txt[ia], s_txt[ib])
 
         return pairs.select_columns(["a", "b"]).map_batches(
             fn, batch_format="pyarrow"

@@ -119,6 +119,16 @@ def kmv_distinct(ds: rd.Dataset, col: str, k: int = 256) -> rd.Dataset:
 # Bloom-filter membership sketch
 
 
+def _scatter_or(words: np.ndarray, pos: np.ndarray) -> None:
+    """OR the given u64 bit positions into a packed word array — the
+    ONE scatter kernel shared by BloomFilter.add, the distributed
+    build's dense partial and the sparse-blob fold."""
+    np.bitwise_or.at(
+        words, (pos >> np.uint64(6)).astype(np.int64),
+        np.uint64(1) << (pos & np.uint64(63)),
+    )
+
+
 class BloomFilter:
     """Fixed-size Bloom filter over u64 value hashes (double hashing,
     Kirsch–Mitzenmacher '06: position_i = (h1 + i·h2) mod m — two
@@ -174,11 +184,7 @@ class BloomFilter:
         return (h1[:, None] + i * h2[:, None]) % np.uint64(self.m_bits)
 
     def add(self, values: np.ndarray) -> None:
-        pos = self._positions(self._hash(values)).ravel()
-        np.bitwise_or.at(
-            self.words, (pos >> np.uint64(6)).astype(np.int64),
-            np.uint64(1) << (pos & np.uint64(63)),
-        )
+        _scatter_or(self.words, self._positions(self._hash(values)).ravel())
 
     def contains(self, values: np.ndarray) -> np.ndarray:
         """Boolean mask; vectorized word-gather + popcount-free test."""
@@ -217,10 +223,11 @@ def build_bloom(
       O(values), not O(m_bits).  Tagged ``dense`` flag per row; the
       fold handles both kinds.
     - **Tree fold**: when more than ``tree_fanin`` partial rows exist,
-      one map_groups OR-fold level (group = partial_index //
-      tree_fanin, runs on workers) reduces driver ingest from
-      O(blocks) partials to O(blocks / tree_fanin) — add levels by
-      lowering ``tree_fanin`` if blocks ever outgrow one level."""
+      one worker-side fold level (repartition into ceil(n/fanin)
+      blocks — even by construction, no sort — then one whole-block
+      OR-fold task per block) reduces driver ingest from O(blocks)
+      partials to O(blocks / tree_fanin); add levels by lowering
+      ``tree_fanin`` if blocks ever outgrow one level."""
 
     def partial(batch: pa.Table) -> pa.Table:
         vals = batch[col].to_numpy(zero_copy_only=False)
@@ -237,10 +244,7 @@ def build_bloom(
                 {"bm": pa.array([blob], type=pa.binary()),
                  "dense": pa.array([False])}
             )
-        np.bitwise_or.at(
-            bf.words, (pos >> np.uint64(6)).astype(np.int64),
-            np.uint64(1) << (pos & np.uint64(63)),
-        )
+        _scatter_or(bf.words, pos)
         return pa.table(
             {"bm": pa.array([bf.words.tobytes()], type=pa.binary()),
              "dense": pa.array([True])}
@@ -250,42 +254,32 @@ def build_bloom(
         if dense:
             words |= np.frombuffer(blob, dtype=np.uint64)
         else:
-            pos = np.frombuffer(blob, dtype=np.uint64)
-            np.bitwise_or.at(
-                words, (pos >> np.uint64(6)).astype(np.int64),
-                np.uint64(1) << (pos & np.uint64(63)),
+            _scatter_or(words, np.frombuffer(blob, dtype=np.uint64))
+
+    def or_fold_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {"bm": pa.array([], type=pa.binary()),
+                 "dense": pa.array([], type=pa.bool_())}
             )
+        words = np.zeros(m_bits // 64, dtype=np.uint64)
+        dense_col = block["dense"].to_numpy(zero_copy_only=False)
+        for i, blob in enumerate(block["bm"]):
+            _fold_into(words, blob.as_py(), bool(dense_col[i]))
+        return pa.table(
+            {"bm": pa.array([words.tobytes()], type=pa.binary()),
+             "dense": pa.array([True])}
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
     n_partials = partials.count()
     if n_partials > tree_fanin:
-        from .base import map_groups_typed
-
-        def add_group(batch: pa.Table) -> pa.Table:
-            g = np.arange(batch.num_rows, dtype=np.int64)  # per-block rows
-            return batch.append_column(
-                "part", pa.array((g % tree_fanin).astype(np.int32))
-            )
-
-        def or_fold(group: pa.Table) -> pa.Table:
-            words = np.zeros(m_bits // 64, dtype=np.uint64)
-            dense_col = group["dense"].to_numpy(zero_copy_only=False)
-            for i, blob in enumerate(group["bm"]):
-                _fold_into(words, blob.as_py(), bool(dense_col[i]))
-            return pa.table(
-                {"bm": pa.array([words.tobytes()], type=pa.binary()),
-                 "dense": pa.array([True])}
-            )
-
-        empty = pa.table(
-            {"bm": pa.array([], type=pa.binary()),
-             "dense": pa.array([], type=pa.bool_())}
-        )
-        partials = map_groups_typed(
-            partials.map_batches(add_group, batch_format="pyarrow"),
-            "part",
-            or_fold,
-            empty,
+        # worker-side fold level: spread the partial rows evenly over
+        # ceil(n/fanin) blocks (repartition — grouping is arbitrary,
+        # OR is commutative) and fold each whole block into one bitmap
+        n_groups = -(-n_partials // tree_fanin)
+        partials = partials.repartition(n_groups).map_batches(
+            or_fold_block, batch_size=None, batch_format="pyarrow"
         )
 
     out = BloomFilter.empty(m_bits, k)

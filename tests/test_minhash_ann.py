@@ -602,12 +602,19 @@ def test_minhash_dedup_clusters_match_pairs_both_paths(corpus, ray_session):
 # exact edit-distance verify (editdist_dup_pairs)
 
 
-def test_levenshtein_capped_matches_reference_dp():
+def test_levenshtein_capped_matches_reference_dp_and_duckdb():
+    """Byte-domain semantics (round-4 review finding): the kernel must
+    count UTF-8 BYTES exactly like DuckDB's levenshtein(), not
+    codepoints — pinned against a byte-domain reference DP AND against
+    DuckDB itself on accented/multibyte text."""
     import random
+
+    import duckdb
 
     from simhash_ray.stages.minhash import levenshtein_capped
 
     def ref(a, b):
+        a, b = a.encode("utf-8"), b.encode("utf-8")
         m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
         for i in range(len(a) + 1):
             m[i][0] = i
@@ -624,13 +631,19 @@ def test_levenshtein_capped_matches_reference_dp():
 
     rng = random.Random(11)
     alpha = "abcé 字"
-    for _ in range(2000):
+    con = duckdb.connect()
+    for trial in range(2000):
         a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 10)))
         b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 10)))
         cap = rng.randint(0, 8)
         r = ref(a, b)
         want = r if r <= cap else cap + 1
         assert levenshtein_capped(a, b, cap) == want, (a, b, cap)
+        if trial % 50 == 0:  # duckdb round-trips are slower; spot-pin
+            d = con.execute(
+                "SELECT levenshtein(?, ?)", [a, b]
+            ).fetchone()[0]
+            assert d == r, (a, b, d, r)
 
 
 def test_editdist_pairs_planted_and_paths_equal():
