@@ -4086,6 +4086,62 @@ FROM read_parquet('{_staged("images_exact_base")}')
 """
 
 
+def q_images_pixel_dedup(sf_dir: str):
+    """Format-robust EXACT image dedup: duplicates iff the payloads
+    decode to identical pixels AND captions are equal — catches the
+    fixture's re-encoded class (same pixels as bmp vs raw) that raw
+    byte-dedup cannot see.  Decode runs once per row in an actor pool
+    (stages/invariant.RowDigests); only digest rows shuffle.  Oracle:
+    the digest table is staged (decode is not SQL-expressible; digest
+    semantics are independently exercised by images_survivor_invariant)
+    and DuckDB re-derives the grouping, the decode-failure isolation
+    rule and the min-id election."""
+    from ..stages.invariant import pixel_exact_dedup, row_digests
+
+    images = read_images_fixture(
+        sf_dir, columns=["image_id", "bytes", "caption", "w", "h", "fmt"]
+    )
+    dig = row_digests(images, concurrency=(1, 4)).materialize()
+    _stage(
+        dig.map_batches(
+            lambda t: t.select(["image_id", "pix_md5", "caption", "decode_ok"]),
+            batch_format="pyarrow",
+        ),
+        "images_pixel_digests",
+    )
+    from ..stages.collapse import dedup_exact_bytes
+
+    def keyed(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t["pix_md5"], t["caption"].cast(pa.string()).fill_null(""), "\x1f"
+        )
+        fallback = pc.binary_join_element_wise("!", t["image_id"], "")
+        key = pc.if_else(t["decode_ok"], key, fallback)
+        return pa.table({"image_id": t["image_id"], "key": key})
+
+    keyed_ds = dig.map_batches(keyed, batch_format="pyarrow")
+    return dedup_exact_bytes(keyed_ds, id_col="image_id", bytes_col="key")
+
+
+SQL_IMAGES_PIXEL_DEDUP = f"""
+WITH d AS (
+  SELECT image_id, pix_md5, caption, decode_ok
+  FROM read_parquet('{_staged("images_pixel_digests")}')
+),
+k AS (
+  SELECT image_id,
+         CASE WHEN decode_ok
+              THEN pix_md5 || chr(31) || COALESCE(caption, '')
+              ELSE '!' || image_id END AS key
+  FROM d
+)
+SELECT image_id,
+       MIN(image_id) OVER (PARTITION BY key) AS rep_id,
+       (image_id = MIN(image_id) OVER (PARTITION BY key)) AS is_rep
+FROM k
+"""
+
+
 def q_images_dedup_cascade(sf_dir: str):
     """Tiered cascade dedup (pipelines/cascade.py): exact bytes →
     phash-LSH → caption-SimHash, every tier over the previous tier's
@@ -4683,6 +4739,7 @@ def ray_queries() -> dict:
         "images_survivor_invariant": q_images_survivor_invariant,
         "images_wds_roundtrip": q_images_wds_roundtrip,
         "images_exact_dedup": q_images_exact_dedup,
+        "images_pixel_dedup": q_images_pixel_dedup,
         "images_dedup_cascade": q_images_dedup_cascade,
         "doc_dedup_cascade": q_doc_dedup_cascade,
     }
@@ -4784,6 +4841,7 @@ def oracle_sqls() -> dict:
         "images_stats": SQL_IMAGES_STATS,
         "images_wds_roundtrip": SQL_IMAGES_WDS_ROUNDTRIP,
         "images_exact_dedup": SQL_IMAGES_EXACT_DEDUP,
+        "images_pixel_dedup": SQL_IMAGES_PIXEL_DEDUP,
         "images_dedup_cascade": SQL_IMAGES_DEDUP_CASCADE,
         "doc_dedup_cascade": SQL_DOC_DEDUP_CASCADE,
     }

@@ -176,3 +176,42 @@ def invariant_verdicts(
         )
 
     return joined.map_batches(verdict, batch_format="pyarrow")
+
+
+def pixel_exact_dedup(
+    images: rd.Dataset,
+    concurrency=None,
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Exact dedup on DECODED pixels + caption: two rows are duplicates
+    iff their payloads decode to identical pixel arrays AND their
+    captions are equal — the format-robust exact pass (a png and a bmp
+    of the same pixels collapse; ``dedup_exact_bytes`` on the raw
+    payload cannot see that).  Rows whose payload fails to decode are
+    never merged (each keeps a row-unique key) — a corrupt blob must
+    not collapse into a cluster by accident.
+
+    Ray shape: the decode runs ONCE per row in the RowDigests actor
+    pool (bytes never shuffle); the dedup then rides
+    :func:`stages.collapse.dedup_exact_bytes` over the narrow
+    (pix_md5 ⊕ caption) key column — only ~100-byte digest rows cross
+    the election shuffle.  Output: (image_id, rep_id, is_rep)."""
+    import pyarrow.compute as pc
+
+    from .collapse import dedup_exact_bytes
+
+    dig = row_digests(images, concurrency)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        # decode failures get a row-unique key (never grouped)
+        key = pc.binary_join_element_wise(
+            t["pix_md5"], t["caption"].cast(pa.string()).fill_null(""), "\x1f"
+        )
+        fallback = pc.binary_join_element_wise("!", t["image_id"], "")
+        key = pc.if_else(t["decode_ok"], key, fallback)
+        return pa.table({"image_id": t["image_id"], "key": key})
+
+    keyed_ds = dig.map_batches(keyed, batch_format="pyarrow")
+    return dedup_exact_bytes(
+        keyed_ds, id_col="image_id", bytes_col="key", n_parts=n_parts
+    )

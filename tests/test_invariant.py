@@ -133,3 +133,59 @@ def test_psnr_db_kernel():
     assert psnr_db(a, noisy) >= 40.0
     with pytest.raises(ValueError, match="shape mismatch"):
         psnr_db(a, np.zeros((4, 4, 3), dtype=np.uint8))
+
+
+def test_pixel_exact_dedup_catches_reencodes_and_isolates_corrupt():
+    from simhash_ray.stages.invariant import pixel_exact_dedup
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(6):
+        rgb = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        rows.append(
+            {"image_id": f"img{i:03d}", "bytes": encode_image(rgb, "bmp"),
+             "caption": f"cap {i}", "w": 32, "h": 32, "fmt": "bmp"}
+        )
+        if i < 3:  # same pixels + caption, DIFFERENT container bytes
+            rows.append(
+                {"image_id": f"img{i:03d}r", "bytes": encode_image(rgb, "raw"),
+                 "caption": f"cap {i}", "w": 32, "h": 32, "fmt": "raw"}
+            )
+    # same pixels as img000 but a different caption: NOT a duplicate
+    rgb0 = decode_image(rows[0]["bytes"], "bmp", 32, 32)
+    rows.append(
+        {"image_id": "imgzzz", "bytes": encode_image(rgb0, "raw"),
+         "caption": "other", "w": 32, "h": 32, "fmt": "raw"}
+    )
+    # two corrupt payloads must each stay their own cluster
+    for j in range(2):
+        rows.append(
+            {"image_id": f"imgbad{j}", "bytes": b"\x00\x01", "caption": "x",
+             "w": 32, "h": 32, "fmt": "bmp"}
+        )
+    out = (
+        pixel_exact_dedup(rd.from_items(rows), concurrency=(1, 2))
+        .to_pandas()
+        .set_index("image_id")
+    )
+    assert len(out) == len(rows)
+    for i in range(3):  # re-encodes merged, min-id rep
+        assert out.loc[f"img{i:03d}r", "rep_id"] == f"img{i:03d}"
+        assert not out.loc[f"img{i:03d}r", "is_rep"]
+    assert out.loc["imgzzz", "is_rep"]          # caption differs → kept
+    for j in range(2):                          # corrupt rows isolated
+        assert out.loc[f"imgbad{j}", "is_rep"]
+        assert out.loc[f"imgbad{j}", "rep_id"] == f"imgbad{j}"
+    # byte-level dedup cannot merge a bmp with its raw re-encode (the
+    # containers differ) — pixel dedup's extra recall is real
+    from simhash_ray.stages.collapse import dedup_exact_bytes
+
+    bt = (
+        dedup_exact_bytes(
+            rd.from_items(rows).select_columns(["image_id", "bytes"])
+        )
+        .to_pandas()
+        .set_index("image_id")
+    )
+    for i in range(3):
+        assert bt.loc[f"img{i:03d}r", "rep_id"] != f"img{i:03d}"
