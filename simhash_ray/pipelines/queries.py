@@ -2485,6 +2485,72 @@ FROM documents doc LEFT JOIN s USING (doc_id)
 """
 
 
+def q_doc_simhash_idf_sigs(sf_dir: str):
+    """IDF-WEIGHTED SimHash signatures (Charikar's weighted variant):
+    each feature digest's ±cnt contribution is scaled by the exact
+    integer IDF surrogate ``min(n_docs // df, 10^6)`` — rare features
+    dominate the fold, boilerplate is damped.  Integer weights
+    deliberately (stages/encode.idf_weighted_signatures docstring): a
+    float idf would make the sign threshold depend on summation order;
+    the integer domain makes every lane bit-reproducible, so the
+    oracle re-derives df, every weight AND every signature from the
+    staged digest multiset alone (token hashing is the only staged
+    step, and it is independently pinned via doc_simhash_sigs)."""
+    from ..stages.encode import idf_weighted_signatures
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def digest_rows(batch: pa.Table) -> pa.Table:
+        from ..simhash import simhash_digest_rows
+
+        rows, digs, cnt = simhash_digest_rows(batch["text"], DEFAULT_CONFIG.simhash)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[rows], type=pa.int64()),
+                "digest": pa.array(digs, type=pa.uint64()),
+                "cnt": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    _stage(
+        docs.map_batches(digest_rows, batch_format="pyarrow"),
+        "simhash_idf_digests",
+    )
+    return idf_weighted_signatures(docs, DEFAULT_CONFIG.simhash)
+
+
+SQL_DOC_SIMHASH_IDF_SIGS = f"""
+WITH d AS (SELECT doc_id, digest, cnt
+           FROM read_parquet('{_staged("simhash_idf_digests")}')),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+w AS (
+  SELECT digest, LEAST(nn.n // COUNT(DISTINCT doc_id), 1000000) AS w
+  FROM d, nn GROUP BY digest, nn.n
+),
+bits AS (
+  SELECT d.doc_id, j,
+         SUM(CASE WHEN (d.digest >> CAST(j AS INT)) & 1 = 1
+                  THEN d.cnt * w.w ELSE -(d.cnt * w.w) END) AS adder
+  FROM d JOIN w USING (digest)
+  CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+  GROUP BY d.doc_id, j
+),
+s AS (
+  SELECT doc_id,
+         SUM(CASE WHEN adder > 0
+                  THEN CAST((1::UBIGINT << CAST(j AS INT)) AS HUGEINT)
+                  ELSE 0 END) AS u
+  FROM bits GROUP BY doc_id
+)
+SELECT doc.doc_id,
+       CAST(CASE WHEN COALESCE(u, 0) >= 9223372036854775808
+                 THEN u - 18446744073709551616
+                 ELSE COALESCE(u, 0) END AS BIGINT) AS simhash
+FROM documents doc LEFT JOIN s USING (doc_id)
+"""
+
+
 def q_doc_simhash_dedup(sf_dir: str):
     """End-to-end SimHash near-dup dedup over the documents table —
     the flagship pipeline in the reference's own (text) domain.
@@ -4696,6 +4762,7 @@ def ray_queries() -> dict:
         "doc_minhash_oph_pairs": q_doc_minhash_oph_pairs,
         "doc_minhash_dedup": q_doc_minhash_dedup,
         "doc_simhash_sigs": q_doc_simhash_sigs,
+        "doc_simhash_idf_sigs": q_doc_simhash_idf_sigs,
         "doc_simhash_dedup": q_doc_simhash_dedup,
         "doc_dedup_incremental": q_doc_dedup_incremental,
         "doc_redact": q_doc_redact,
@@ -4818,6 +4885,7 @@ def oracle_sqls() -> dict:
         "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,
         # staged-parquet oracles (see the "oracle staging" section):
         "doc_simhash_sigs": SQL_DOC_SIMHASH_SIGS,
+        "doc_simhash_idf_sigs": SQL_DOC_SIMHASH_IDF_SIGS,
         "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
         "doc_minhash_oph_pairs": SQL_DOC_MINHASH_OPH_PAIRS,
         "doc_minhash_dedup": SQL_DOC_MINHASH_DEDUP,

@@ -214,3 +214,52 @@ def test_digest_rows_fold_property(texts):
     rows, digs, cnt = simhash_digest_rows(arr, CFG)
     got = _fold_digests(rows, digs, cnt, len(texts))
     np.testing.assert_array_equal(got, simhash_batch(arr, CFG))
+
+
+def test_idf_weighted_signatures_cap1_equals_uniform_and_layout_invariant():
+    """weight_cap=1 forces every weight to 1 (n//df >= 1 always), so
+    the weighted fold must reproduce the uniform encoder bit-for-bit;
+    the real weights must be partition-layout-invariant."""
+    import pandas as pd
+    import ray.data as rd
+
+    from simhash_ray.config import DEFAULT_CONFIG
+    from simhash_ray.stages.encode import (
+        encode_signatures,
+        idf_weighted_signatures,
+    )
+
+    rng = np.random.default_rng(13)
+    vocab = np.array([f"t{i}" for i in range(200)])
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 25))) for _ in range(300)]
+    texts += ["", "   "]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    ds = rd.from_pandas(df).repartition(5)
+    cap1 = (
+        idf_weighted_signatures(ds, DEFAULT_CONFIG.simhash, weight_cap=1)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    uni = (
+        encode_signatures(
+            rd.from_pandas(df), DEFAULT_CONFIG.simhash,
+            text_col="text", concurrency=(1, 2),
+        )
+        .select_columns(["doc_id", "simhash"])
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert (cap1["simhash"] == uni["simhash"]).all()
+    w1 = (
+        idf_weighted_signatures(ds, DEFAULT_CONFIG.simhash)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    w2 = (
+        idf_weighted_signatures(
+            rd.from_pandas(df).repartition(17), DEFAULT_CONFIG.simhash
+        )
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert (w1["simhash"] == w2["simhash"]).all()
+    # empty/whitespace docs land on signature 0 in both variants
+    assert w1.loc[300, "simhash"] == 0 and w1.loc[301, "simhash"] == 0
