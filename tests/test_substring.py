@@ -215,3 +215,47 @@ def test_span_removal_no_duplicates_is_identity_modulo_whitespace():
     assert (out["n_removed"] == 0).all()
     assert list(out["text"]) == list(df["text"])
     assert list(out["n_kept"]) == [12] * 5
+
+
+def test_span_removal_seeded_stress_vs_naive():
+    """30 random corpora (varying vocab size, window, doc shapes,
+    whitespace edge cases) — the operator must match the naive
+    semantics on every one."""
+    import random
+
+    from simhash_ray.stages.substring import remove_duplicate_spans
+
+    for trial in range(30):
+        rng = random.Random(1000 + trial)
+        w = rng.choice([2, 3, 5, 8])
+        vocab = [f"v{i}" for i in range(rng.choice([5, 30, 200]))]
+        rows = []
+        for d in range(rng.randint(5, 40)):
+            L = rng.randint(0, 30)
+            toks = [rng.choice(vocab) for _ in range(L)]
+            txt = " ".join(toks)
+            if rng.random() < 0.2:
+                txt = "  " + txt + "   "  # whitespace canonicalization
+            rows.append((d, txt))
+        if rng.random() < 0.3:
+            rows.append((99, None))
+        out = (
+            remove_duplicate_spans(
+                rd.from_pandas(
+                    pd.DataFrame(
+                        {"doc_id": [d for d, _ in rows],
+                         "text": [t for _, t in rows]}
+                    )
+                ).repartition(rng.randint(1, 6)),
+                window=w,
+                n_parts=4,
+            )
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        ref = _naive_span_removal(rows, w)
+        for d, (txt, nk, nr) in ref.items():
+            r = out.loc[d]
+            assert (r["text"], r["n_kept"], r["n_removed"]) == (txt, nk, nr), (
+                trial, w, d,
+            )
