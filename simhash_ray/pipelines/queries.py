@@ -2436,24 +2436,16 @@ def q_doc_simhash_sigs(sf_dir: str):
     vectorized encoder by test) and the oracle re-runs the fold over
     all 64 bit lanes in DuckDB, LEFT-JOINed to ``documents`` so empty
     docs land on signature 0."""
-    from ..stages.encode import encode_signatures
+    from ..stages.encode import encode_signatures, simhash_digest_projection
 
     docs = _docs(sf_dir, columns=["doc_id", "text"])
-
-    def digest_rows(batch: pa.Table) -> pa.Table:
-        from ..simhash import simhash_digest_rows
-
-        rows, digs, cnt = simhash_digest_rows(batch["text"], DEFAULT_CONFIG.simhash)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[rows], type=pa.int64()),
-                "digest": pa.array(digs, type=pa.uint64()),
-                "cnt": pa.array(cnt, type=pa.int64()),
-            }
-        )
-
-    _stage(docs.map_batches(digest_rows, batch_format="pyarrow"), "simhash_digests")
+    _stage(
+        docs.map_batches(
+            lambda t: simhash_digest_projection(t, DEFAULT_CONFIG.simhash),
+            batch_format="pyarrow",
+        ),
+        "simhash_digests",
+    )
     return encode_signatures(
         docs, DEFAULT_CONFIG.simhash, text_col="text", concurrency=(1, 4)
     ).select_columns(["doc_id", "simhash"])
@@ -2485,6 +2477,9 @@ FROM documents doc LEFT JOIN s USING (doc_id)
 """
 
 
+from ..stages.encode import IDF_WEIGHT_CAP as _IDF_WEIGHT_CAP
+
+
 def q_doc_simhash_idf_sigs(sf_dir: str):
     """IDF-WEIGHTED SimHash signatures (Charikar's weighted variant):
     each feature digest's ±cnt contribution is scaled by the exact
@@ -2496,28 +2491,24 @@ def q_doc_simhash_idf_sigs(sf_dir: str):
     oracle re-derives df, every weight AND every signature from the
     staged digest multiset alone (token hashing is the only staged
     step, and it is independently pinned via doc_simhash_sigs)."""
-    from ..stages.encode import idf_weighted_signatures
+    from ..stages.encode import (
+        idf_weighted_signatures,
+        simhash_digest_projection,
+    )
 
     docs = _docs(sf_dir, columns=["doc_id", "text"])
-
-    def digest_rows(batch: pa.Table) -> pa.Table:
-        from ..simhash import simhash_digest_rows
-
-        rows, digs, cnt = simhash_digest_rows(batch["text"], DEFAULT_CONFIG.simhash)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[rows], type=pa.int64()),
-                "digest": pa.array(digs, type=pa.uint64()),
-                "cnt": pa.array(cnt, type=pa.int64()),
-            }
-        )
-
-    _stage(
-        docs.map_batches(digest_rows, batch_format="pyarrow"),
-        "simhash_idf_digests",
-    )
-    return idf_weighted_signatures(docs, DEFAULT_CONFIG.simhash)
+    # tokenize ONCE: the same materialized projection feeds the oracle
+    # staging and both operator passes (round-4 review item 2); the
+    # include_empty sentinel rows (digest 0, cnt 0) are a no-op in
+    # every fold on both engines
+    dig = docs.map_batches(
+        lambda t: simhash_digest_projection(
+            t, DEFAULT_CONFIG.simhash, include_empty=True
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    _stage(dig, "simhash_idf_digests")
+    return idf_weighted_signatures(docs, DEFAULT_CONFIG.simhash, digests=dig)
 
 
 SQL_DOC_SIMHASH_IDF_SIGS = f"""
@@ -2525,7 +2516,8 @@ WITH d AS (SELECT doc_id, digest, cnt
            FROM read_parquet('{_staged("simhash_idf_digests")}')),
 nn AS (SELECT COUNT(*) AS n FROM documents),
 w AS (
-  SELECT digest, LEAST(nn.n // COUNT(DISTINCT doc_id), 1000000) AS w
+  SELECT digest,
+         LEAST(nn.n // COUNT(DISTINCT doc_id), {_IDF_WEIGHT_CAP}) AS w
   FROM d, nn GROUP BY digest, nn.n
 ),
 bits AS (
@@ -4162,7 +4154,7 @@ def q_images_pixel_dedup(sf_dir: str):
     semantics are independently exercised by images_survivor_invariant)
     and DuckDB re-derives the grouping, the decode-failure isolation
     rule and the min-id election."""
-    from ..stages.invariant import pixel_exact_dedup, row_digests
+    from ..stages.invariant import pixel_dedup_from_digests, row_digests
 
     images = read_images_fixture(
         sf_dir, columns=["image_id", "bytes", "caption", "w", "h", "fmt"]
@@ -4175,18 +4167,7 @@ def q_images_pixel_dedup(sf_dir: str):
         ),
         "images_pixel_digests",
     )
-    from ..stages.collapse import dedup_exact_bytes
-
-    def keyed(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            t["pix_md5"], t["caption"].cast(pa.string()).fill_null(""), "\x1f"
-        )
-        fallback = pc.binary_join_element_wise("!", t["image_id"], "")
-        key = pc.if_else(t["decode_ok"], key, fallback)
-        return pa.table({"image_id": t["image_id"], "key": key})
-
-    keyed_ds = dig.map_batches(keyed, batch_format="pyarrow")
-    return dedup_exact_bytes(keyed_ds, id_col="image_id", bytes_col="key")
+    return pixel_dedup_from_digests(dig)
 
 
 SQL_IMAGES_PIXEL_DEDUP = f"""

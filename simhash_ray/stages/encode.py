@@ -93,10 +93,53 @@ def encode_signatures(
 
 
 # ---------------------------------------------------------------------------
-# IDF-weighted SimHash (Charikar's weighted variant, exact-integer domain)
-
 IDF_WEIGHT_CAP = 1_000_000  # keeps cnt·w·digests/doc < 2^63 at any corpus
 IDF_BROADCAST_LIMIT = 50_000_000  # distinct digests in the ray.put table
+
+
+def simhash_digest_projection(
+    batch: pa.Table,
+    cfg: SimHashConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    include_empty: bool = False,
+) -> pa.Table:
+    """The (id, digest uint64, cnt) staging/operator projection of the
+    encoder's per-doc digest multiset (simhash.simhash_digest_rows) —
+    THE one shared body behind the doc_simhash_sigs /
+    doc_simhash_idf_sigs oracles and the IDF operator passes (round-4
+    review: two byte-identical closures had drifted into being).
+
+    ``include_empty=True`` appends a (doc, digest=0, cnt=0) sentinel
+    row per digest-less doc so every input row appears downstream; a
+    cnt=0 row contributes ±0 to any fold and is harmless to df counts
+    (weight multiplies a zero), on BOTH engines."""
+    from ..simhash import simhash_digest_rows
+
+    rows, digs, cnt = simhash_digest_rows(batch[text_col], cfg)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    out_ids = ids[rows]
+    if include_empty:
+        seen = np.zeros(batch.num_rows, dtype=bool)
+        seen[rows] = True
+        missing = np.flatnonzero(~seen)
+        if len(missing):
+            out_ids = np.concatenate([out_ids, ids[missing]])
+            digs = np.concatenate(
+                [digs, np.zeros(len(missing), dtype=np.uint64)]
+            )
+            cnt = np.concatenate(
+                [cnt, np.zeros(len(missing), dtype=np.int64)]
+            )
+            order = np.argsort(out_ids, kind="stable")
+            out_ids, digs, cnt = out_ids[order], digs[order], cnt[order]
+    return pa.table(
+        {
+            id_col: pa.array(out_ids, type=pa.int64()),
+            "digest": pa.array(digs, type=pa.uint64()),
+            "cnt": pa.array(cnt, type=pa.int64()),
+        }
+    )
 
 
 def idf_weighted_signatures(
@@ -106,6 +149,7 @@ def idf_weighted_signatures(
     id_col: str = "doc_id",
     weight_cap: int = IDF_WEIGHT_CAP,
     broadcast_limit: int = IDF_BROADCAST_LIMIT,
+    digests: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """(id, simhash) with each feature digest weighted by the exact
     integer IDF surrogate ``min(n_docs // df, weight_cap)`` — rare
@@ -119,34 +163,46 @@ def idf_weighted_signatures(
     bit-reproducible, so the SQL oracle re-derives df, the weights and
     every signature from the staged digest multiset independently.
 
-    Two streaming passes over the digest projection (recompute beats
-    carrying): pass 1 folds per-block DISTINCT (doc, digest) partials
-    through one digest groupby into the df table (broadcast via
-    ray.put below ``broadcast_limit`` distinct digests; above it this
-    raises — the hash-join scoring variant is the documented scale
-    follow-up).  Pass 2 re-derives each doc's digest multiset locally
-    and folds all 64 lanes with the weights applied — no shuffle.
+    The corpus tokenizes ONCE: the digest projection (with empty-doc
+    sentinel rows — see :func:`simhash_digest_projection`) is
+    materialized and BOTH passes read it; pass 1 folds per-block
+    distinct-df partials through one digest groupby into the weight
+    table (ray.put below ``broadcast_limit`` distinct digests; above
+    it this raises — the hash-join scoring variant is the documented
+    scale follow-up), pass 2 folds all 64 lanes per block with the
+    weights applied.  Pass 2 relies on each doc's digest rows being
+    contiguous within one block — true by construction for the
+    internal projection and REQUIRED of a caller-supplied ``digests``
+    (pass the table produced by ``simhash_digest_projection`` with
+    ``include_empty=True``, unshuffled).
     """
     import ray
 
     from ..functions.hashing import part_of_ints
-    from ..simhash import simhash_digest_rows
     from .base import map_groups_typed
 
     n_docs = docs.count()
-    narrow = docs.select_columns([id_col, text_col])
     n_parts = 64
+    if digests is None:
+        narrow = docs.select_columns([id_col, text_col])
+        digests = narrow.map_batches(
+            lambda t: simhash_digest_projection(
+                t, cfg, id_col, text_col, include_empty=True
+            ),
+            batch_format="pyarrow",
+        )
+    digests = digests.materialize()
 
-    def digest_partial(batch: pa.Table) -> pa.Table:
-        rows, digs, _ = simhash_digest_rows(batch[text_col], cfg)
+    def df_partial(batch: pa.Table) -> pa.Table:
+        digs = batch["digest"].to_numpy(zero_copy_only=False).view(np.uint64)
         if len(digs) == 0:
             return pa.table(
                 {"digest": pa.array([], type=pa.int64()),
                  "df": pa.array([], type=pa.int64()),
                  "part": pa.array([], type=pa.int32())}
             )
-        # (row, digest) pairs are already distinct per row in the
-        # projection, so per-block df partial = run-length over digest
+        # (doc, digest) rows are distinct by construction, so the
+        # per-block df partial is one run-length pass over sorted digs
         ds_ = np.sort(digs)
         first = np.ones(len(ds_), dtype=bool)
         first[1:] = ds_[1:] != ds_[:-1]
@@ -173,7 +229,7 @@ def idf_weighted_signatures(
         )
 
     df_ds = map_groups_typed(
-        narrow.map_batches(digest_partial, batch_format="pyarrow"),
+        digests.map_batches(df_partial, batch_format="pyarrow"),
         "part",
         fold_df,
         pa.table({"digest": pa.array([], type=pa.int64()),
@@ -195,29 +251,44 @@ def idf_weighted_signatures(
     ).astype(np.int64)
     ref = ray.put((dig_sorted, w_sorted))
 
-    def weighted_fold(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col]
-        n = batch.num_rows
-        rows, digs, cnt = simhash_digest_rows(batch[text_col], cfg)
-        sig = np.zeros(n, dtype=np.uint64)
-        if len(digs):
-            dig_s, w_s = ray.get(ref)
-            w = w_s[np.searchsorted(dig_s, digs)]
-            cw = cnt * w
-            starts = np.flatnonzero(
-                np.concatenate([[True], rows[1:] != rows[:-1]])
+    def weighted_fold(block: pa.Table) -> pa.Table:
+        ids_all = block[id_col].to_numpy(zero_copy_only=False)
+        digs = block["digest"].to_numpy(zero_copy_only=False).view(np.uint64)
+        cnt = block["cnt"].to_numpy(zero_copy_only=False)
+        if len(digs) == 0:
+            return pa.table(
+                {id_col: pa.array([], type=pa.int64()),
+                 "simhash": pa.array([], type=pa.int64())}
             )
-            row_ids = rows[starts]
-            for j in range(64):
-                bit = ((digs >> np.uint64(j)) & np.uint64(1)).view(np.int64)
-                contrib = np.where(bit == 1, cw, -cw)
-                adder = np.add.reduceat(contrib, starts)
-                sig[row_ids[adder > 0]] |= np.uint64(1) << np.uint64(j)
+        dig_s, w_s = ray.get(ref)
+        pos = np.searchsorted(dig_s, digs)
+        # membership guard (round-4 review): both passes read the SAME
+        # materialized table, so a miss means a corrupted/foreign
+        # digests input — fail loudly, never gather a wrong weight
+        if not (pos < len(dig_s)).all() or not (dig_s[pos] == digs).all():
+            raise ValueError(
+                "digest absent from the df table — pass a digests "
+                "table produced by simhash_digest_projection, unshuffled"
+            )
+        cw = cnt * w_s[pos]
+        starts = np.flatnonzero(
+            np.concatenate([[True], ids_all[1:] != ids_all[:-1]])
+        )
+        row_ids = ids_all[starts]
+        sig = np.zeros(len(row_ids), dtype=np.uint64)
+        for j in range(64):
+            bit = ((digs >> np.uint64(j)) & np.uint64(1)).view(np.int64)
+            contrib = np.where(bit == 1, cw, -cw)
+            adder = np.add.reduceat(contrib, starts)
+            sig[adder > 0] |= np.uint64(1) << np.uint64(j)
         return pa.table(
             {
-                id_col: ids,
+                id_col: pa.array(row_ids, type=pa.int64()),
                 "simhash": pa.array(sig.view(np.int64), type=pa.int64()),
             }
         )
 
-    return narrow.map_batches(weighted_fold, batch_format="pyarrow")
+    return digests.map_batches(
+        weighted_fold, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -196,11 +196,21 @@ def pixel_exact_dedup(
     :func:`stages.collapse.dedup_exact_bytes` over the narrow
     (pix_md5 ⊕ caption) key column — only ~100-byte digest rows cross
     the election shuffle.  Output: (image_id, rep_id, is_rep)."""
+    return pixel_dedup_from_digests(
+        row_digests(images, concurrency), n_parts=n_parts
+    )
+
+
+def pixel_dedup_from_digests(
+    dig: rd.Dataset, n_parts: int = 64
+) -> rd.Dataset:
+    """The digest-table half of :func:`pixel_exact_dedup` — exposed so
+    the oracle-staged query dedups the EXACT digest dataset it stages
+    (same split as :func:`invariant_verdicts`; the key scheme lives in
+    one place)."""
     import pyarrow.compute as pc
 
     from .collapse import dedup_exact_bytes
-
-    dig = row_digests(images, concurrency)
 
     def keyed(t: pa.Table) -> pa.Table:
         # decode failures get a row-unique key (never grouped)
