@@ -203,6 +203,35 @@ def cmd_dedup_docs(args) -> int:
     cfg = _load_cfg(args)
     docs = rd.read_parquet(args.table, columns=[args.id_col, args.text_col])
     os.makedirs(args.out, exist_ok=True)
+    if args.idf and args.ckpt:
+        print("--idf is not supported with --ckpt yet", file=sys.stderr)
+        return 2
+    if args.idf:
+        # IDF-weighted signatures (rare features dominate the fold);
+        # the downstream banding/verify/cluster pipeline is shared
+        from .pipelines.dedup_docs import dedup_documents_from_sigs
+        from .stages.encode import idf_weighted_signatures
+
+        sigs = idf_weighted_signatures(
+            docs, cfg.simhash, text_col=args.text_col, id_col=args.id_col
+        ).materialize()
+        sigs.write_parquet(os.path.join(args.out, "signatures"))
+        assignment = dedup_documents_from_sigs(
+            sigs, cfg, id_col=args.id_col
+        ).materialize()
+        assignment.write_parquet(os.path.join(args.out, "assignment"))
+        n = assignment.count()
+        n_reps = assignment.filter(expr="is_representative == True").count()
+        metrics = {
+            "n_rows": n,
+            "n_representatives": n_reps,
+            "n_duplicates_removed": n - n_reps,
+            "encoder": "idf-weighted",
+        }
+        with open(os.path.join(args.out, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        print(json.dumps(metrics))
+        return 0
     if args.ckpt:
         sigs, assignment = dedup_documents_checkpointed_parts(
             docs, args.ckpt, cfg, text_col=args.text_col, id_col=args.id_col,
@@ -517,6 +546,11 @@ def main(argv=None) -> int:
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--ckpt", default=None, help="checkpoint dir (resumable run)")
+    dd.add_argument(
+        "--idf", action="store_true",
+        help="IDF-weighted SimHash encoder (rare features dominate the "
+        "sign fold, boilerplate damped); not combinable with --ckpt",
+    )
     dd.set_defaults(fn=cmd_dedup_docs)
 
     cu = sub.add_parser(

@@ -587,3 +587,34 @@ def test_cli_paradedup_spans(tmp_path):
         capture_output=True, text=True, env=env, timeout=120,
     )
     assert bad.returncode == 2
+
+
+def test_cli_dedup_docs_idf(tmp_path):
+    out = tmp_path / "out"
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "simhash_ray", "--num-cpus", "8",
+            "dedup-docs", "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(out), "--idf",
+        ],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    m = json.loads((out / "metrics.json").read_text())
+    assert m["n_rows"] == 500 and m["encoder"] == "idf-weighted"
+    assert m["n_representatives"] + m["n_duplicates_removed"] == 500
+    t = pq.read_table(str(out / "assignment"))
+    assert t.num_rows == 500
+    # --idf --ckpt combination is rejected loudly
+    bad = subprocess.run(
+        [
+            sys.executable, "-m", "simhash_ray", "dedup-docs",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(tmp_path / "bad"), "--idf", "--ckpt",
+            str(tmp_path / "ck"),
+        ],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert bad.returncode == 2
