@@ -3099,6 +3099,80 @@ GROUP BY d.doc_id
 """
 
 
+_CORR_TS_SHIFT = 1_700_000_000_000_000  # µs ≈ 2023-11: keeps x² in range
+
+
+def q_events_value_corr(sf_dir: str):
+    """Per-type Pearson correlation between event value and event time
+    (drift detection: is the metric trending?).  ONE streaming
+    partial-aggregate pass — each block emits (type, n, Σx, Σy, Σx²,
+    Σy², Σxy) with the time axis shifted by a fixed constant so the
+    squared sums stay far from float64 cancellation (corr is
+    shift-invariant; DuckDB's corr() is stable natively) — folded
+    through a tiny event_type groupby, finalized on the driver-side
+    tiny result.  Fully independent oracle: DuckDB corr()."""
+    from ray.data.aggregate import Sum
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        x = (
+            t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        ) - float(_CORR_TS_SHIFT)
+        y = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = _pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "n": 1.0, "sx": x, "sy": y,
+                "sxx": x * x, "syy": y * y, "sxy": x * y,
+            }
+        ).groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    folded = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            *(Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        syy = t["syy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = cov / np.sqrt(vx * vy)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": pa.array(n.astype(np.int64)),
+                "corr_value_ts": pa.array(_round6(corr)),
+            }
+        )
+
+    return folded.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_EVENTS_VALUE_CORR = """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(corr(value, CAST(epoch_us(ts) AS DOUBLE)), 6) AS corr_value_ts
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_events_window_dedup(sf_dir: str):
     """Event-stream dedup: drop an event when the previous event of the
     same (user_id, event_type) is ≤ 1 hour older (collapse duplicate
@@ -4761,6 +4835,7 @@ def ray_queries() -> dict:
         "doc_lang_rebalance": q_doc_lang_rebalance,
         "doc_dedup_report": q_doc_dedup_report,
         "events_window_dedup": q_events_window_dedup,
+        "events_value_corr": q_events_value_corr,
         "doc_paragraph_dedup_unique": q_doc_paragraph_dedup_unique,
         "doc_quality_prune": q_doc_quality_prune,
         "embed_dedup_clusters": q_embed_dedup_clusters,
@@ -4861,6 +4936,7 @@ def oracle_sqls() -> dict:
         "doc_lang_rebalance": SQL_DOC_LANG_REBALANCE,
         "doc_dedup_report": SQL_DOC_DEDUP_REPORT,
         "events_window_dedup": SQL_EVENTS_WINDOW_DEDUP,
+        "events_value_corr": SQL_EVENTS_VALUE_CORR,
         "doc_paragraph_dedup_unique": SQL_DOC_PARAGRAPH_DEDUP_UNIQUE,
         "doc_quality_prune": SQL_DOC_QUALITY_PRUNE,
         "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,
