@@ -291,7 +291,13 @@ def dedup_images_cascade(
         raise ValueError(f"unknown cascade tiers {unknown}; valid: "
                          f"('exact', {', '.join(repr(k) for k in SIG_TIERS)})")
 
-    current: rd.Dataset | None = images  # wide rows, alive set
+    current: rd.Dataset | None = images  # wide rows, alive set (exact tier)
+    # narrow projection pruned in lockstep with ``current``: the sig-tier
+    # encode must NEVER pull the byte payloads through its anti-filter —
+    # projecting straight off the read keeps the column pushdown, so the
+    # encode pass moves (id, caption, phash) rows only (measured 45 s →
+    # ~9 s at 400k rows when bytes stopped flowing through the filter)
+    narrow: rd.Dataset = images.select_columns(["image_id", "caption", "phash"])
     sigs: rd.Dataset | None = None  # narrow (id, simhash, phash), alive set
     sigs_out: rd.Dataset | None = None
     tier_maps: list = []
@@ -317,11 +323,7 @@ def dedup_images_cascade(
                     for _, prev in tier_maps:
                         sigs = _drop_rows(sigs, prev, prev.count(), limit)
                 else:
-                    sigs = signatures(
-                        current.select_columns(["image_id", "caption", "phash"]),
-                        cfg,
-                        concurrency=concurrency,
-                    )
+                    sigs = signatures(narrow, cfg, concurrency=concurrency)
                 sigs = sigs.materialize()
                 sigs_out = sigs
             if first_sig_tier:
@@ -371,6 +373,7 @@ def dedup_images_cascade(
                 sigs = _drop_rows(sigs, dropped, n_dropped, limit).materialize()
             else:
                 current = _drop_rows(current, dropped, n_dropped, limit)
+                narrow = _drop_rows(narrow, dropped, n_dropped, limit)
 
     # ---- compose maps, last tier backwards -------------------------------
     final: rd.Dataset | None = None
