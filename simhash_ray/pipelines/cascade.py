@@ -347,10 +347,12 @@ def dedup_images_cascade(
                     ),
                     batch_format="pyarrow",
                 ).materialize()
+            # materialize: attach_clusters consumes the edge table twice
+            # (count + collect/CC) — every other caller pins it first
             edges = dup_edges(
                 collapsed, cfg, n_parts,
                 spaces=[(space, col, getattr(cfg, cfg_attr))],
-            )
+            ).materialize()
             assignment, _, _ = attach_clusters(
                 collapsed, edges, cfg, n_parts,
                 broadcast_limit=limit, compute_n_clusters=False,

@@ -128,21 +128,46 @@ def dedup_exact_bytes(
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
             col = col.cast(pa.large_binary())  # text payloads hash as UTF-8
+        if pa.types.is_binary(col.type):
+            col = col.cast(pa.large_binary())
+        n = len(col)
         # tag-prefix so a null payload gets its own digest group (SQL
         # PARTITION BY groups NULLs together) and no real payload can
         # collide with the sentinel
-        digs = [
-            hashlib.sha256(b"\x00" if b is None else b"\x01" + b).digest()
-            for b in col.to_pylist()
-        ]
-        part = np.array(
-            [int.from_bytes(d[:4], "big") % n_parts for d in digs],
-            dtype=np.int32,
+        out = bytearray(32 * n)
+        if col.null_count == 0 and n:
+            # hot path: hash zero-copy memoryview slices straight off the
+            # Arrow offsets/data buffers — no per-row bytes objects, no
+            # tag+payload concat copy (streaming update ≡ concatenation)
+            offs = np.frombuffer(
+                col.buffers()[1], dtype=np.int64, count=n + 1,
+                offset=col.offset * 8,
+            )
+            data = memoryview(col.buffers()[2])
+            for i in range(n):
+                h = hashlib.sha256(b"\x01")
+                h.update(data[offs[i]:offs[i + 1]])
+                out[32 * i:32 * i + 32] = h.digest()
+        else:  # null-bearing batches take the simple row path
+            for i, b in enumerate(col.to_pylist()):
+                out[32 * i:32 * i + 32] = hashlib.sha256(
+                    b"\x00" if b is None else b"\x01" + b
+                ).digest()
+        digs_buf = bytes(out)
+        # first 4 digest bytes, big-endian, of each 32-byte digest
+        part = (
+            np.frombuffer(digs_buf, dtype=">u4").reshape(n, 8)[:, 0] % n_parts
+            if n else np.empty(0, dtype=np.uint32)
+        ).astype(np.int32)
+        dig_offsets = np.arange(0, 32 * (n + 1), 32, dtype=np.int32)
+        dig_arr = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(dig_offsets.tobytes()), pa.py_buffer(digs_buf)],
         )
         return pa.table(
             {
                 id_col: batch[id_col],
-                "digest": pa.array(digs, type=pa.binary()),
+                "digest": dig_arr,
                 "part": pa.array(part),
             }
         )
