@@ -535,7 +535,11 @@ def collapse_identical_vectors(
     kd = vectors.select_columns([id_col, vec_col]).map_batches(
         keyed, batch_format="pyarrow"
     ).materialize()
-    key_rep = kd.groupby("vkey").aggregate(Min(id_col, alias_name="rep"))
+    # materialize: count() and the downstream consumer (iter_batches or
+    # the join) would otherwise each run the groupby-aggregate shuffle
+    key_rep = kd.groupby("vkey").aggregate(
+        Min(id_col, alias_name="rep")
+    ).materialize()
     n_groups = key_rep.count()
 
     if n_groups <= broadcast_limit:
