@@ -167,12 +167,15 @@ def _run_bench() -> dict:
     regime = os.environ.get("GRAFT_BENCH_REGIME", "direct")
     headline_limit = 0 if regime == "distributed" else None
 
+    flagship_res: dict = {}
+
     def run_flagship():
         images = read_images(columns=["image_id", "caption", "phash"])
         res = flagship.dedup_images(
             images, DEFAULT_CONFIG, broadcast_sig_limit=headline_limit
         )
-        return res.assignment.count()
+        flagship_res["res"] = res  # assignment is materialized; kept for
+        return res.assignment.count()  # the untimed recall scoring below
 
     n_assigned = timed("e2e_dedup", run_flagship)
     assert n_assigned == n_images, (n_assigned, n_images)
@@ -440,6 +443,17 @@ def _run_bench() -> dict:
             n_images / timings["caption_span_dedup"], 1
         )
 
+    # untimed: score the headline run's cluster assignment against the
+    # fixture's planted-duplicate truth table (the north rule's
+    # "dup-pair recall >= 0.99" criterion, measured per bench run, not
+    # only asserted in tests/test_pipeline.py).  Driver-side pandas over
+    # the narrow (image_id, cluster_id) tables only.
+    truth_df = read_table(fdir, "truth").to_pandas()
+    assign_df = flagship_res["res"].assignment.to_pandas()
+    recall, precision, n_truth_pairs = flagship.planted_pair_recall(
+        assign_df, truth_df
+    )
+
     result = {
         "metric": "e2e_dedup_seconds",
         "value": timings["e2e_dedup"],
@@ -449,6 +463,9 @@ def _run_bench() -> dict:
         "num_cpus": num_cpus,
         "n_images": n_images,
         "images_per_sec": round(n_images / timings["e2e_dedup"], 1),
+        "dup_pair_recall": round(recall, 4),
+        "cluster_merge_precision": round(precision, 4),
+        "n_truth_pairs": n_truth_pairs,
         "host_speed_pre": calibration_pre,
     }
     ray.shutdown()
