@@ -180,11 +180,18 @@ def _run_bench() -> dict:
     n_assigned = timed("e2e_dedup", run_flagship)
     assert n_assigned == n_images, (n_assigned, n_images)
     if not os.environ.get("GRAFT_BENCH_ONESHOT"):  # min-of-2 by default
-        t0 = time.perf_counter()
-        run_flagship()
-        timings["e2e_dedup"] = round(
-            min(timings["e2e_dedup"], time.perf_counter() - t0), 3
-        )
+        # in a throttled host phase (hypervisor clamps parallel
+        # throughput ~10x below quiet; BASELINE.md "host drift") one
+        # extra repeat materially improves the min estimator's odds of
+        # catching a partial clock recovery — the calibration stamp
+        # tells the reader which phase the number came from either way
+        n_extra = 2 if calibration_pre.get("host_sort_mps_8p", 99.0) < 40.0 else 1
+        for _ in range(n_extra):
+            t0 = time.perf_counter()
+            run_flagship()
+            timings["e2e_dedup"] = round(
+                min(timings["e2e_dedup"], time.perf_counter() - t0), 3
+            )
 
     # the cluster-scale regime (exact-sig collapse → band-bucket
     # groupby shuffle → distributed pair-gen), forced via
