@@ -1974,6 +1974,41 @@ SELECT doc_id, source, rank FROM (
 """
 
 
+def q_doc_token_budget(sf_dir: str):
+    """Token-budget subset cut (stages/sample.select_token_budget): the
+    maximal md5-ordered corpus prefix whose cumulative whitespace-token
+    count fits a 12k-token budget — the "carve an N-token training
+    subset" operator, distributed as a weighted order-statistic search
+    (per-round bucket-sum groupbys of ≤4096 cardinality, one bounded
+    collect, one stateless threshold filter; no global sort).  The
+    small ``collect_limit`` forces ≥1 refinement round at sf0.01, so
+    the driver gate exercises the distributed search path, not just the
+    collect-everything fast path."""
+    from ..stages.sample import select_token_budget
+    from ..stages import text as text_ops
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    kept = select_token_budget(docs, budget=12_000, collect_limit=100)
+    out = kept.map_batches(text_ops.token_count_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_tokens"])
+
+
+SQL_DOC_TOKEN_BUDGET = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           AS u,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok
+  FROM documents),
+c AS (
+  SELECT doc_id, ntok,
+         SUM(ntok) OVER (ORDER BY u, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens FROM c WHERE cum <= 12000
+"""
+
+
 def q_orders_topk_per_segment(sf_dir: str):
     """Top-3 highest-value orders per market segment (stages/topk.py):
     the per-bucket best-k sampling primitive, ROW_NUMBER() semantics
@@ -4813,6 +4848,7 @@ def ray_queries() -> dict:
         "doc_repetition": q_doc_repetition,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_cap_per_source": q_doc_cap_per_source,
+        "doc_token_budget": q_doc_token_budget,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_minhash_oph_pairs": q_doc_minhash_oph_pairs,
         "doc_minhash_dedup": q_doc_minhash_dedup,
@@ -4916,6 +4952,7 @@ def oracle_sqls() -> dict:
         "doc_repetition": SQL_DOC_REPETITION,
         "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
         "doc_cap_per_source": SQL_DOC_CAP_PER_SOURCE,
+        "doc_token_budget": SQL_DOC_TOKEN_BUDGET,
         "embed_topk": SQL_EMBED_TOPK,
         "embed_quantize": SQL_EMBED_QUANTIZE,
         "embed_quantized_topk": SQL_EMBED_QUANTIZED_TOPK,

@@ -33,6 +33,153 @@ from ..functions.hashing import md5_u32_of_int_ids
 _TWO32 = 1 << 32
 
 
+def select_token_budget(
+    ds: rd.Dataset,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    collect_limit: int = 1_000_000,
+) -> rd.Dataset:
+    """Keep the maximal md5-ordered corpus prefix whose cumulative
+    whitespace-token count fits ``budget`` — the "cut an N-token
+    training subset" operator.  Deterministic and partition-invariant:
+    rows are ordered by (u32(md5(id)), id), a reproducible pseudo-random
+    shuffle, and a row survives iff the running token total through it
+    is ≤ ``budget`` (SQL: ``SUM(ntok) OVER (ORDER BY u, id) <= budget``).
+
+    Distributed as a weighted order-statistic search, NOT a global
+    sort: the cut point is a lexicographic threshold (u*, id*), found by
+    iteratively narrowing a u-interval — each round is one streaming
+    pass over the narrow (id, u, ntok) table producing per-block
+    ``np.bincount`` partials folded through a ≤ ``n_buckets``-cardinality
+    groupby, so the driver only ever sees bucket subtotals.  When the
+    surviving interval holds ≤ ``collect_limit`` rows (one round cuts
+    the candidate set by ~``n_buckets``×) its narrow rows are collected
+    for the exact tie-broken cut, then ONE stateless filter pass keeps
+    rows below the threshold (u is recomputed from the id — no join).
+    Token counts ride the audited tokenizer (functions/tokenize.py),
+    whose count the SQL oracle mirrors exactly (SQL_DOC_TOKEN_STATS).
+    """
+    from ray.data.aggregate import Sum
+
+    from .text import token_count_batch
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        counted = token_count_batch(batch, text_col=text_col)
+        return pa.table(
+            {
+                "id": pa.array(ids, type=pa.int64()),
+                "u": pa.array(
+                    md5_u32_of_int_ids(ids).astype(np.int64), type=pa.int64()
+                ),
+                "ntok": counted["n_tokens"],
+            }
+        )
+
+    narrow = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(keyed, batch_format="pyarrow")
+        .materialize()
+    )
+
+    lo, hi = 0, _TWO32  # current u-interval known to contain the cut
+    tokens_before = 0  # exact token total of rows with u < lo
+    n_in = narrow.count()
+    keep_all = False
+
+    while n_in > collect_limit:
+        if hi - lo <= 1:
+            raise ValueError(
+                f"select_token_budget: {n_in} rows share the single md5-u32 "
+                f"value {lo} (> collect_limit={collect_limit}); raise "
+                "collect_limit — u32 collision mass this large is "
+                "pathological for real ids"
+            )
+        k = min(n_buckets, hi - lo)
+        width = -((lo - hi) // k)  # ceil((hi-lo)/k): bucket idx < k
+        interval = (lo, hi, width)
+
+        def part(batch: pa.Table, iv=interval) -> pa.Table:
+            b_lo, b_hi, b_w = iv
+            u = batch["u"].to_numpy()
+            m = (u >= b_lo) & (u < b_hi)
+            empty = pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "tok": pa.array([], type=pa.int64()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+            if not m.any():
+                return empty
+            b = (u[m] - b_lo) // b_w
+            tok = batch["ntok"].to_numpy()[m]
+            # float64 bincount is exact here: a block's token total is
+            # far below 2^53
+            sums = np.bincount(b, weights=tok).astype(np.int64)
+            cnts = np.bincount(b).astype(np.int64)
+            nz = np.flatnonzero(cnts)
+            return pa.table(
+                {
+                    "bucket": pa.array(nz, type=pa.int64()),
+                    "tok": pa.array(sums[nz], type=pa.int64()),
+                    "cnt": pa.array(cnts[nz], type=pa.int64()),
+                }
+            )
+
+        agg = (
+            narrow.map_batches(part, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("tok", alias_name="tok"), Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+            .sort_values("bucket")
+            .reset_index(drop=True)
+        )
+        cum = tokens_before + agg["tok"].cumsum()
+        over = cum > budget
+        if not over.any():  # whole interval fits (first round: whole corpus)
+            keep_all = True
+            break
+        j = int(over.idxmax())
+        tokens_before += int(agg["tok"].iloc[:j].sum())
+        lo = lo + int(agg["bucket"].iloc[j]) * width
+        hi = min(hi, lo + width)
+        n_in = int(agg["cnt"].iloc[j])
+
+    if keep_all:
+        return ds
+
+    if n_in > 0:
+        seg = narrow.filter(
+            expr=f"u >= {lo} and u < {hi}"
+        ).to_pandas().sort_values(["u", "id"])
+        kept = (tokens_before + seg["ntok"].cumsum()) <= budget  # a prefix
+        n_kept = int(kept.sum())
+    else:  # interval emptied by an exactly-aligned earlier cut
+        n_kept = 0
+    if n_kept == 0:
+        u_thr, id_thr = lo, None  # keep iff u < lo
+    else:
+        last = seg.iloc[n_kept - 1]
+        u_thr, id_thr = int(last["u"]), int(last["id"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = md5_u32_of_int_ids(ids).astype(np.int64)
+        if id_thr is None:
+            m = u < u_thr
+        else:
+            m = (u < u_thr) | ((u == u_thr) & (ids <= id_thr))
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def _keep_mask(ids: np.ndarray, num: int, den: int) -> np.ndarray:
     return md5_u32_of_int_ids(ids).astype(np.uint64) * np.uint64(den) < np.uint64(
         num * _TWO32

@@ -121,3 +121,68 @@ def test_rebalance_absent_target_group_yields_empty():
         rd.from_pandas(df), "lang", {"en": 1, "xx": 1}
     ).to_pandas()
     assert len(out) == 0
+
+
+# ---- select_token_budget -------------------------------------------------
+
+
+def _budget_corpus(n=900, seed=11):
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(words, rng.integers(0, 30)))
+        for _ in range(n)
+    ]
+    # sprinkle whitespace-only and empty docs (0 tokens)
+    for i in range(0, n, 97):
+        texts[i] = ["", "   ", "\t\n"][i % 3]
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+
+
+def _naive_token_budget(df, budget):
+    """Independent reference: hashlib md5 order + pandas cumsum."""
+    import hashlib
+
+    d = df.copy()
+    d["u"] = [
+        int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        for i in d["doc_id"]
+    ]
+    d["ntok"] = [len(t.split()) for t in d["text"]]
+    d = d.sort_values(["u", "doc_id"])
+    return set(d["doc_id"][d["ntok"].cumsum() <= budget])
+
+
+def test_token_budget_matches_naive_across_budgets():
+    from simhash_ray.stages.sample import select_token_budget
+
+    df = _budget_corpus()
+    total = sum(len(t.split()) for t in df["text"])
+    ds = rd.from_pandas(df)
+    for budget in (0, 1, 37, total // 3, total - 1, total, total + 10):
+        out = select_token_budget(ds, budget, collect_limit=50).to_pandas()
+        got = set(out["doc_id"]) if len(out) else set()
+        assert got == _naive_token_budget(df, budget), budget
+
+
+def test_token_budget_partition_invariant_and_deep_refinement():
+    from simhash_ray.stages.sample import select_token_budget
+
+    df = _budget_corpus(400, seed=5)
+    budget = sum(len(t.split()) for t in df["text"]) // 2
+    want = _naive_token_budget(df, budget)
+    for parts, climit in ((13, 2), (3, 400)):
+        out = select_token_budget(
+            rd.from_pandas(df).repartition(parts), budget, collect_limit=climit
+        ).to_pandas()
+        assert set(out["doc_id"]) == want
+        # full input schema survives the filter
+        assert list(out.columns) == ["doc_id", "text"]
+
+
+def test_token_budget_keep_all_fast_path():
+    from simhash_ray.stages.sample import select_token_budget
+
+    df = _budget_corpus(60, seed=7)
+    out = select_token_budget(rd.from_pandas(df), 10**9, collect_limit=4)
+    assert set(out.to_pandas()["doc_id"]) == set(df["doc_id"])
