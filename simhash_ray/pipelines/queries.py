@@ -2320,6 +2320,77 @@ SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.7
 """
 
 
+def q_doc_minhash_bbit_pairs(sf_dir: str):
+    """b-bit MinHash near-dup pairs (stages/bbit.py, Li & König WWW'10):
+    candidates from full-width banding (transient), verify from the
+    16×-narrower b=4 packed table with the corrected estimator
+    Ĵ = (A − 1/2^b)/(1 − 1/2^b) evaluated in exact integer arithmetic.
+    Oracle staging: the b-bit LANE table is unpacked FROM the packed
+    representation (so DuckDB checks the packed data end-to-end) plus
+    the deduped candidate set; the oracle re-joins lanes per pair,
+    recounts agreement and re-applies the integer threshold
+    den·(agree·2^b − n) ≥ num·n·(2^b − 1)."""
+    from ..stages.base import map_groups_typed
+    from ..stages.bbit import (
+        bbit_verify_broadcast,
+        pack_bbit,
+        unpack_bbit_matrix,
+        words_per_row,
+    )
+    from ..stages.minhash import (
+        _EMPTY_PAIRS,
+        _dedupe_pairs,
+        _sig_matrix,
+        make_band_expander,
+        make_pair_generator,
+        minhash_signatures,
+    )
+
+    b = 4
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    sig_ds = minhash_signatures(docs, shingle_k=2, concurrency=(1, 4)).materialize()
+    packed = pack_bbit(sig_ds, b, 64).materialize()
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        lanes = unpack_bbit_matrix(_sig_matrix(batch["bsig"], words_per_row(b, 64)), b, 64)
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, 64), type=pa.int64()),
+                "perm": pa.array(np.tile(np.arange(64), n), type=pa.int32()),
+                "bval": pa.array(lanes.reshape(-1).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    _stage(packed.map_batches(unpack, batch_format="pyarrow"), "minhash_bbit_sigs")
+    bands = sig_ds.map_batches(make_band_expander(64, 16, 64), batch_format="pyarrow")
+    pairs = _dedupe_pairs(
+        map_groups_typed(bands, "part", make_pair_generator(512, 64), _EMPTY_PAIRS)
+    ).materialize()
+    _stage(
+        pairs.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow"),
+        "minhash_bbit_cands",
+    )
+    return bbit_verify_broadcast(pairs, packed, (7, 10), b, 64)
+
+
+SQL_DOC_MINHASH_BBIT_PAIRS = f"""
+WITH sig AS (SELECT doc_id, perm, bval FROM read_parquet('{_staged("minhash_bbit_sigs")}')),
+cand AS (SELECT a, b FROM read_parquet('{_staged("minhash_bbit_cands")}')),
+est AS (
+  SELECT c.a, c.b,
+         SUM(CASE WHEN sa.bval = sb.bval THEN 1 ELSE 0 END) AS agree
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b AND sb.perm = sa.perm
+  GROUP BY c.a, c.b
+)
+SELECT a, b, CAST(agree AS BIGINT) AS agree FROM est
+WHERE 10 * (agree * 16 - 64) >= 7 * 64 * 15
+"""
+
+
 def q_doc_minhash_dedup(sf_dir: str):
     """MinHash near-dup CLUSTERS — the assignment-level twin of
     doc_minhash_pairs (every doc gets cluster_id + is_representative,
@@ -4851,6 +4922,7 @@ def ray_queries() -> dict:
         "doc_token_budget": q_doc_token_budget,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_minhash_oph_pairs": q_doc_minhash_oph_pairs,
+        "doc_minhash_bbit_pairs": q_doc_minhash_bbit_pairs,
         "doc_minhash_dedup": q_doc_minhash_dedup,
         "doc_simhash_sigs": q_doc_simhash_sigs,
         "doc_simhash_idf_sigs": q_doc_simhash_idf_sigs,
@@ -4982,6 +5054,7 @@ def oracle_sqls() -> dict:
         "doc_simhash_idf_sigs": SQL_DOC_SIMHASH_IDF_SIGS,
         "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
         "doc_minhash_oph_pairs": SQL_DOC_MINHASH_OPH_PAIRS,
+        "doc_minhash_bbit_pairs": SQL_DOC_MINHASH_BBIT_PAIRS,
         "doc_minhash_dedup": SQL_DOC_MINHASH_DEDUP,
         "embed_dup_pairs_lsh": SQL_EMBED_DUP_PAIRS_LSH,
         "embed_kmeans": SQL_EMBED_KMEANS,
