@@ -1695,6 +1695,73 @@ def q_doc_fingerprint(sf_dir: str):
 SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 
 
+def q_doc_snapshot_diff(sf_dir: str):
+    """Recrawl-delta classification (stages/snapshot.corpus_diff):
+    added/removed/changed/unchanged per id between two corpus
+    snapshots, as ONE coarse-partition shuffle of narrow
+    (id, md5-fingerprint, side) rows — payloads never move.  Both
+    snapshots are synthesized deterministically from ``documents``
+    (old = as-is; new = drop ids %17==0, append ' v2' to ids %13==0,
+    add fresh ids +1000000 for ids %19==0), so the DuckDB oracle builds
+    the identical sides and checks the classifier with a FULL OUTER
+    JOIN."""
+    from ..stages.snapshot import corpus_diff
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def to_new(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % 17 != 0
+        ids = ids[keep]
+        texts = np.asarray(batch["text"].to_pylist(), dtype=object)[keep]
+        changed = ids % 13 == 0
+        texts = np.where(changed, np.char.add(texts.astype(str), " v2"), texts)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(texts.astype(object), type=pa.string()),
+            }
+        )
+
+    def to_added(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ids % 19 == 0
+        ids = ids[m]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids + 1_000_000, type=pa.int64()),
+                "text": pa.array(
+                    [f"new {i}" for i in ids], type=pa.string()
+                ),
+            }
+        )
+
+    new = docs.map_batches(to_new, batch_format="pyarrow").union(
+        docs.map_batches(to_added, batch_format="pyarrow")
+    )
+    return corpus_diff(docs, new)
+
+
+SQL_DOC_SNAPSHOT_DIFF = """
+WITH old AS (SELECT doc_id, md5(text) AS fp FROM documents),
+nw AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS fp
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         md5('new ' || CAST(doc_id AS VARCHAR)) AS fp
+  FROM documents WHERE doc_id % 19 = 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
+"""
+
+
 def q_doc_exact_dedup(sf_dir: str):
     docs = _docs(sf_dir, columns=["doc_id", "text"])
     out = text_ops.exact_dedup(docs, key_col="text", id_col="doc_id")
@@ -4906,6 +4973,7 @@ def ray_queries() -> dict:
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_snapshot_diff": q_doc_snapshot_diff,
         "doc_tokenset_dedup": q_doc_tokenset_dedup,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
         "doc_substring_pairs": q_doc_substring_pairs,
@@ -5011,6 +5079,7 @@ def oracle_sqls() -> dict:
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+        "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
         "doc_tokenset_dedup": SQL_DOC_TOKENSET_DEDUP,
         "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
         "doc_substring_pairs": SQL_DOC_SUBSTRING_PAIRS,
