@@ -112,3 +112,33 @@ def dihedral_phash_batch_32(gray32: np.ndarray) -> np.ndarray:
 def dihedral_phash64(rgb: np.ndarray) -> int:
     """Dihedral-canonical hash of one (h, w, 3) uint8 RGB image."""
     return int(dihedral_phash_batch_32(gray32_from_rgb(rgb)[None])[0])
+
+
+_D16 = _dct_matrix(16)
+
+
+def tile_phash_batch_32(gray32: np.ndarray) -> np.ndarray:
+    """Per-quadrant perceptual hashes: (B, 32, 32) gray stack →
+    (B, 4) int64, tile order row-major (TL, TR, BL, BR), each tile
+    hashed with the pinned DCT-sign rule at n=16 (same steps 3-5 as the
+    global hash: orthonormal 2-D DCT-II, low 8×8 block, median
+    threshold, LSB-first pack).
+
+    Rationale: every coefficient of the GLOBAL hash sees every pixel,
+    so a crop / occlusion / logo overlay that touches one corner
+    perturbs all 64 bits unboundedly.  A quadrant edit perturbs only
+    the tiles it covers — the untouched tiles still collide at Hamming
+    0, which is what the tile near-dup operator banks on
+    (pipelines/dedup_images.tile_dup_pairs)."""
+    b = len(gray32)
+    tiles = (
+        gray32.reshape(b, 2, 16, 2, 16)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b * 4, 16, 16)
+    )
+    coeffs = _D16 @ tiles @ _D16.T
+    low = coeffs[:, :_LOW, :_LOW].reshape(b * 4, -1)
+    med = np.median(low, axis=1, keepdims=True)
+    bits = (low > med).astype(np.uint64)
+    packed = (bits << _SHIFTS[None, :]).sum(axis=1, dtype=np.uint64)
+    return packed.view(np.int64).reshape(b, 4)

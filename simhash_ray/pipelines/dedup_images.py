@@ -32,7 +32,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..config import DEFAULT_CONFIG, DedupConfig
+from ..config import DEFAULT_CONFIG, DedupConfig, LSHConfig
+from ..simhash import hamming64
 from ..stages.collapse import collapse_exact
 from ..stages.cluster import connected_components, unionfind_driver
 from ..stages.encode import encode_signatures
@@ -343,6 +344,97 @@ def dedup_images_dihedral(
         n_clusters_with_dups=n_clusters,
         n_nodes_clustered=n_nodes,
         signatures=kept_sigs,  # (image_id, dsig) in this pipeline
+    )
+
+
+def tile_dup_pairs(
+    images: rd.Dataset,
+    tau: int = 2,
+    k_min: int = 3,
+    concurrency=(1, 8),
+    broadcast_sig_limit: int | None = None,
+    lsh_cfg: LSHConfig | None = None,
+) -> rd.Dataset:
+    """Crop/occlusion-robust image near-dup pairs: a pair is a dup iff
+    ≥ ``k_min`` of the 4 quadrant hashes (stages/multimodal.TilePhash)
+    are within Hamming ``tau``.  The global DCT hash drifts unboundedly
+    under a localized edit (logo overlay, caption bar, occlusion) since
+    every coefficient sees every pixel; a quadrant edit perturbs only
+    the tiles it covers, so the untouched tiles still collide —
+    tests/test_tilephash.py plants one-quadrant edits that the global
+    hash misses at τ=6 and this operator finds exactly.
+
+    Candidates band each tile as its own LSH space (default 4 blocks
+    choose 2 → 6 bands of 32-bit keys per tile, pigeonhole recall 1.0
+    for any tile ≤ τ ≤ 2; a qualifying pair has ≥ k_min ≥ 1 such
+    tiles, so overall recall is 1.0), via the flagship's
+    broadcast-band machinery over the collected narrow signature table
+    — bounded by BROADCAST_SIG_LIMIT like the flagship's direct
+    regime; above it the same per-tile spaces ride the distributed
+    ``dup_edges`` banding (not wired here — raise loudly rather than
+    collect unbounded)."""
+    from ..stages.multimodal import tile_signatures
+
+    if not 1 <= k_min <= 4:
+        raise ValueError(f"k_min must be in 1..4, got {k_min}")
+    cfg = lsh_cfg or LSHConfig(n_blocks=4, combo_m=2, hamming_tau=tau)
+    if tau > cfg.n_blocks - cfg.combo_m:
+        raise ValueError(
+            f"tau={tau} exceeds the banding's pigeonhole bound "
+            f"{cfg.n_blocks - cfg.combo_m}; recall would drop below 1.0"
+        )
+    limit = BROADCAST_SIG_LIMIT if broadcast_sig_limit is None else broadcast_sig_limit
+    sigs = tile_signatures(images, concurrency=concurrency).materialize()
+    n = sigs.count()
+    if n > limit:
+        raise ValueError(
+            f"tile_dup_pairs: {n} rows exceed broadcast_sig_limit={limit}; "
+            "run the per-tile spaces through the distributed dup_edges "
+            "banding instead of collecting"
+        )
+    df = sigs.to_pandas()
+    ids = df["image_id"].to_numpy(dtype=object)
+    arrs = {
+        t: df[f"t{t}"].to_numpy().astype(np.int64).view(np.uint64)
+        for t in range(4)
+    }
+    ai, bi = broadcast_candidate_edges(
+        arrs,
+        [(t, cfg) for t in range(4)],
+        taus={t: tau for t in range(4)},
+    )
+    return rd.from_arrow(_tile_verify(arrs, ids, ai, bi, tau, k_min))
+
+
+def _tile_verify(arrs, ids, ai, bi, tau: int, k_min: int) -> pa.Table:
+    """Shared verify tail of the tile near-dup: count tiles within
+    Hamming ``tau`` per candidate index pair, keep ≥ ``k_min``, emit
+    canonical (a < b) id pairs — used by tile_dup_pairs and by the
+    oracle-staging query so the two cannot drift."""
+    empty = pa.table(
+        {
+            "a": pa.array([], type=pa.string()),
+            "b": pa.array([], type=pa.string()),
+            "n_tiles_close": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(ai) == 0:
+        return empty
+    close = np.zeros(len(ai), dtype=np.int64)
+    for t in range(4):
+        close += (hamming64(arrs[t][ai], arrs[t][bi]) <= tau).astype(np.int64)
+    keep = close >= k_min
+    if not keep.any():
+        return empty
+    a_ids, b_ids = ids[ai[keep]], ids[bi[keep]]
+    swap = a_ids > b_ids
+    a_ids[swap], b_ids[swap] = b_ids[swap], a_ids[swap]
+    return pa.table(
+        {
+            "a": pa.array(a_ids, type=pa.string()),
+            "b": pa.array(b_ids, type=pa.string()),
+            "n_tiles_close": pa.array(close[keep], type=pa.int64()),
+        }
     )
 
 

@@ -4391,6 +4391,87 @@ FROM read_parquet('{_staged("images_exact_base")}')
 """
 
 
+def q_images_tile_dup_pairs(sf_dir: str):
+    """Crop/occlusion-robust image near-dup pairs
+    (pipelines/dedup_images.tile_dup_pairs): ≥3 of the 4 quadrant
+    hashes within Hamming 2.  Decode + per-quadrant DCT hashing is not
+    SQL-expressible, so the LONG tile-signature table and the banded
+    candidate id pairs are staged; DuckDB independently recomputes
+    every per-tile Hamming distance (bit_count(xor)), recounts
+    qualifying tiles and re-applies the ≥3 rule."""
+    from ..config import LSHConfig
+    from ..stages.lsh import broadcast_candidate_edges
+    from ..stages.multimodal import tile_signatures
+    from .dedup_images import _tile_verify
+
+    tau, k_min = 2, 3
+    images = read_images_fixture(sf_dir)
+    sigs = tile_signatures(images, concurrency=(1, 4)).materialize()
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        mats = np.stack(
+            [batch[f"t{t}"].to_numpy(zero_copy_only=False) for t in range(4)],
+            axis=1,
+        )
+        return pa.table(
+            {
+                "image_id": pa.array(
+                    np.repeat(
+                        batch["image_id"].to_numpy(zero_copy_only=False), 4
+                    ),
+                    type=pa.string(),
+                ),
+                "tile": pa.array(np.tile(np.arange(4), n), type=pa.int32()),
+                "sig": pa.array(mats.reshape(-1), type=pa.int64()),
+            }
+        )
+
+    _stage(sigs.map_batches(unpack, batch_format="pyarrow"), "tile_sigs")
+    df = sigs.to_pandas()
+    ids = df["image_id"].to_numpy(dtype=object)
+    arrs = {
+        t: df[f"t{t}"].to_numpy().astype(np.int64).view(np.uint64)
+        for t in range(4)
+    }
+    cfg = LSHConfig(n_blocks=4, combo_m=2, hamming_tau=tau)
+    ai, bi = broadcast_candidate_edges(
+        arrs, [(t, cfg) for t in range(4)], taus={t: tau for t in range(4)}
+    )
+    a_ids, b_ids = ids[ai].astype(object), ids[bi].astype(object)
+    swap = a_ids > b_ids
+    a_ids[swap], b_ids[swap] = b_ids[swap], a_ids[swap]
+    _stage(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array(a_ids, type=pa.string()),
+                    "b": pa.array(b_ids, type=pa.string()),
+                }
+            )
+        ),
+        "tile_cands",
+    )
+    return rd.from_arrow(_tile_verify(arrs, ids, ai, bi, tau, k_min))
+
+
+SQL_IMAGES_TILE_DUP_PAIRS = f"""
+WITH sig AS (SELECT image_id, tile, sig FROM read_parquet('{_staged("tile_sigs")}')),
+cand AS (SELECT a, b FROM read_parquet('{_staged("tile_cands")}')),
+cnt AS (
+  SELECT c.a, c.b,
+         SUM(CASE WHEN bit_count(xor(sa.sig, sb.sig)) <= 2 THEN 1 ELSE 0 END)
+           AS n_tiles_close
+  FROM cand c
+  JOIN sig sa ON sa.image_id = c.a
+  JOIN sig sb ON sb.image_id = c.b AND sb.tile = sa.tile
+  GROUP BY c.a, c.b
+)
+SELECT a, b, CAST(n_tiles_close AS BIGINT) AS n_tiles_close
+FROM cnt WHERE n_tiles_close >= 3
+"""
+
+
 def q_images_pixel_dedup(sf_dir: str):
     """Format-robust EXACT image dedup: duplicates iff the payloads
     decode to identical pixels AND captions are equal — catches the
@@ -5039,6 +5120,7 @@ def ray_queries() -> dict:
         "images_wds_roundtrip": q_images_wds_roundtrip,
         "images_exact_dedup": q_images_exact_dedup,
         "images_pixel_dedup": q_images_pixel_dedup,
+        "images_tile_dup_pairs": q_images_tile_dup_pairs,
         "images_dedup_cascade": q_images_dedup_cascade,
         "doc_dedup_cascade": q_doc_dedup_cascade,
     }
@@ -5146,6 +5228,7 @@ def oracle_sqls() -> dict:
         "images_wds_roundtrip": SQL_IMAGES_WDS_ROUNDTRIP,
         "images_exact_dedup": SQL_IMAGES_EXACT_DEDUP,
         "images_pixel_dedup": SQL_IMAGES_PIXEL_DEDUP,
+        "images_tile_dup_pairs": SQL_IMAGES_TILE_DUP_PAIRS,
         "images_dedup_cascade": SQL_IMAGES_DEDUP_CASCADE,
         "doc_dedup_cascade": SQL_DOC_DEDUP_CASCADE,
     }

@@ -71,11 +71,13 @@ class DihedralPhash:
         )
 
 
-def _hash_decoded_batch(batch: pa.Table, hash_fn) -> np.ndarray:
+def _hash_decoded_batch(batch: pa.Table, hash_fn, n_out: int = 1) -> np.ndarray:
     """Decode the batch's payloads and hash every decoded image with
-    ``hash_fn`` ((B, 32, 32) gray stack → int64 array), grouping rows
-    by decoded shape so each uniform group hashes as ONE vectorized
-    pass — the shared body of ComputePhash and DihedralPhash.
+    ``hash_fn`` ((B, 32, 32) gray stack → int64 array, or (B, n_out)
+    for multi-output hashes like the per-quadrant tile hash), grouping
+    rows by decoded shape so each uniform group hashes as ONE
+    vectorized pass — the shared body of ComputePhash, DihedralPhash
+    and TilePhash.
 
     Raises loudly when a raw-format row lacks w/h metadata: 'raw' is
     the only format whose decode needs stored dims (BMP/PNG parse their
@@ -86,7 +88,7 @@ def _hash_decoded_batch(batch: pa.Table, hash_fn) -> np.ndarray:
     from ..phash import gray32_from_rgb
 
     n = batch.num_rows
-    out = np.zeros(n, dtype=np.int64)
+    out = np.zeros(n if n_out == 1 else (n, n_out), dtype=np.int64)
     if not n:
         return out
     fmts = batch["fmt"].to_pylist()
@@ -153,6 +155,41 @@ def dihedral_signatures(
     the wide binary column (feeds dedup_images_dihedral)."""
     return ds.map_batches(
         DihedralPhash,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class TilePhash:
+    """Decode each image and emit the four per-quadrant perceptual
+    hashes (phash.tile_phash_batch_32) — the crop/occlusion-robust
+    signature: an edit confined to one quadrant leaves the other three
+    tiles colliding at Hamming 0, where the global DCT hash (every
+    coefficient sees every pixel) drifts unboundedly."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..phash import tile_phash_batch_32
+
+        tiles = _hash_decoded_batch(batch, tile_phash_batch_32, n_out=4)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "t0": pa.array(tiles[:, 0], type=pa.int64()),
+                "t1": pa.array(tiles[:, 1], type=pa.int64()),
+                "t2": pa.array(tiles[:, 2], type=pa.int64()),
+                "t3": pa.array(tiles[:, 3], type=pa.int64()),
+            }
+        )
+
+
+def tile_signatures(
+    ds: rd.Dataset, concurrency=(1, 8), batch_size: int = 256
+) -> rd.Dataset:
+    """(image_id, t0..t3) — actor-pool decode + per-quadrant hashing
+    over the wide binary column (feeds tile_dup_pairs)."""
+    return ds.map_batches(
+        TilePhash,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -1,0 +1,124 @@
+"""Tile (per-quadrant) perceptual hashing + crop/occlusion-robust
+near-dup pairs: per-row reference parity, the occlusion story (global
+phash misses, tile operator finds), thresholds, partition invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from simhash_ray.imgcodec import encode_image
+from simhash_ray.phash import (
+    _dct_matrix,
+    gray32_from_rgb,
+    phash_batch_32,
+    tile_phash_batch_32,
+)
+from simhash_ray.pipelines.dedup_images import tile_dup_pairs
+
+
+def _ref_tile_hash(gray32: np.ndarray) -> list[int]:
+    """Independent per-row reference: explicit quadrant slices, scipy-free
+    DCT-II via the module's own (test-pinned elsewhere) matrix."""
+    d16 = _dct_matrix(16)
+    out = []
+    for r0 in (0, 16):
+        for c0 in (0, 16):
+            tile = gray32[r0 : r0 + 16, c0 : c0 + 16]
+            coef = d16 @ tile @ d16.T
+            low = coef[:8, :8].ravel()
+            med = np.median(low)
+            bits = low > med
+            out.append(int(sum(1 << i for i, b in enumerate(bits) if b)))
+    return [v - (1 << 64) if v >= 1 << 63 else v for v in out]
+
+
+def test_tile_hash_matches_per_row_reference():
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, size=(7, 32, 32, 3), dtype=np.uint8)
+    gray = gray32_from_rgb(rgb)
+    got = tile_phash_batch_32(gray)
+    for i in range(7):
+        assert list(got[i]) == _ref_tile_hash(gray[i]), i
+
+
+def _corpus():
+    """40 base images + for the first 10: a copy with ONE quadrant
+    inverted (occlusion/logo-overlay stand-in)."""
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, size=(40, 32, 32, 3), dtype=np.uint8)
+    rows = []
+    for i, img in enumerate(base):
+        rows.append((f"img{i:04d}", img))
+    for j in range(10):
+        ed = base[j].copy()
+        ed[16:, 16:, :] = 255 - ed[16:, 16:, :]  # invert the BR quadrant
+        rows.append((f"occ{j:04d}", ed))
+    return rows
+
+
+def _table(rows):
+    return pa.table(
+        {
+            "image_id": pa.array([r[0] for r in rows], type=pa.string()),
+            "bytes": pa.array(
+                [encode_image(r[1], "raw") for r in rows], type=pa.binary()
+            ),
+            "w": pa.array([32] * len(rows), type=pa.int32()),
+            "h": pa.array([32] * len(rows), type=pa.int32()),
+            "fmt": pa.array(["raw"] * len(rows), type=pa.string()),
+        }
+    )
+
+
+def test_occluded_copies_found_by_tiles_missed_by_global():
+    rows = _corpus()
+    # global phash: the quadrant inversion must push most planted pairs
+    # beyond the flagship's tau=6 (every DCT coefficient sees the edit)
+    gray = gray32_from_rgb(np.stack([r[1] for r in rows]))
+    ph = phash_batch_32(gray).view(np.uint64)
+    from simhash_ray.simhash import hamming64
+
+    dists = [hamming64(ph[j], ph[40 + j]) for j in range(10)]
+    assert sum(int(d) > 6 for d in dists) >= 8, dists
+
+    out = tile_dup_pairs(
+        rd.from_arrow(_table(rows)).repartition(4), tau=2, k_min=3
+    ).to_pandas()
+    got = set(map(tuple, out[["a", "b"]].values.tolist()))
+    planted = {(f"img{j:04d}", f"occ{j:04d}") for j in range(10)}
+    assert planted <= got
+    # the 3 untouched tiles collide at Hamming 0
+    planted_rows = out[out["a"].str.startswith("img") & out["b"].str.startswith("occ")]
+    assert (planted_rows["n_tiles_close"] >= 3).all()
+
+
+def test_tile_pairs_partition_invariant_and_kmin():
+    rows = _corpus()
+    a = tile_dup_pairs(rd.from_arrow(_table(rows)).repartition(7)).to_pandas()
+    b = tile_dup_pairs(rd.from_arrow(_table(rows)).repartition(2)).to_pandas()
+    key = ["a", "b", "n_tiles_close"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
+    # k_min=4 demands all four quadrants match -> occluded copies drop out
+    strict = tile_dup_pairs(rd.from_arrow(_table(rows)), k_min=4).to_pandas()
+    occ = (
+        {p for p in map(tuple, strict[["a", "b"]].values.tolist())
+         if p[1].startswith("occ")}
+        if len(strict)
+        else set()
+    )
+    assert not occ
+
+
+def test_tile_pairs_validation():
+    rows = _corpus()[:4]
+    ds = rd.from_arrow(_table(rows))
+    with pytest.raises(ValueError, match="k_min"):
+        tile_dup_pairs(ds, k_min=0)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        tile_dup_pairs(ds, tau=3)
+    with pytest.raises(Exception, match="broadcast_sig_limit"):
+        tile_dup_pairs(ds, broadcast_sig_limit=1)
