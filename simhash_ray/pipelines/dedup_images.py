@@ -354,6 +354,7 @@ def tile_dup_pairs(
     concurrency=(1, 8),
     broadcast_sig_limit: int | None = None,
     lsh_cfg: LSHConfig | None = None,
+    pair_full_threshold: int | None = None,
 ) -> rd.Dataset:
     """Crop/occlusion-robust image near-dup pairs: a pair is a dup iff
     ≥ ``k_min`` of the 4 quadrant hashes (stages/multimodal.TilePhash)
@@ -367,12 +368,24 @@ def tile_dup_pairs(
     Candidates band each tile as its own LSH space (default 4 blocks
     choose 2 → 6 bands of 32-bit keys per tile, pigeonhole recall 1.0
     for any tile ≤ τ ≤ 2; a qualifying pair has ≥ k_min ≥ 1 such
-    tiles, so overall recall is 1.0), via the flagship's
-    broadcast-band machinery over the collected narrow signature table
-    — bounded by BROADCAST_SIG_LIMIT like the flagship's direct
-    regime; above it the same per-tile spaces ride the distributed
-    ``dup_edges`` banding (not wired here — raise loudly rather than
-    collect unbounded)."""
+    tiles), via the flagship's broadcast-band machinery over the
+    collected narrow signature table — bounded by BROADCAST_SIG_LIMIT
+    like the flagship's direct regime; above it the same per-tile
+    spaces ride the distributed ``dup_edges`` banding (not wired here
+    — raise loudly rather than collect unbounded).
+
+    Pair-enumeration recall: full C(g,2) pairs are emitted for any
+    band bucket up to ``pair_full_threshold`` members (default
+    lsh.OVERSIZED_EXACT_CAP = 4096 — tiles with constant content,
+    e.g. letterbox bars or blank document corners, produce huge
+    identical-sig buckets, and unlike the clustering pipelines there
+    is no exact-collapse upstream to absorb them, so this operator
+    needs a much larger full-pair threshold than the clustering
+    default of 256).  Buckets beyond it fall back to lsh.py's
+    chain+head-triu scheme, which preserves CLUSTER connectivity but
+    can undercount enumerated pairs when >threshold images share an
+    identical tile hash — lsh.py logs the oversized fallback."""
+    from ..stages.lsh import OVERSIZED_EXACT_CAP
     from ..stages.multimodal import tile_signatures
 
     if not 1 <= k_min <= 4:
@@ -392,7 +405,18 @@ def tile_dup_pairs(
             "run the per-tile spaces through the distributed dup_edges "
             "banding instead of collecting"
         )
-    df = sigs.to_pandas()
+    threshold = (
+        OVERSIZED_EXACT_CAP if pair_full_threshold is None else pair_full_threshold
+    )
+    ids, arrs, ai, bi = _tile_candidates(sigs.to_pandas(), tau, cfg, threshold)
+    return rd.from_arrow(_tile_verify(arrs, ids, ai, bi, tau, k_min))
+
+
+def _tile_candidates(df, tau: int, cfg: LSHConfig, pair_full_threshold: int):
+    """Shared candidate half of the tile near-dup (collected pandas
+    signature frame → (ids, per-tile sig arrays, ai, bi) index pairs)
+    — used by tile_dup_pairs and by the oracle-staging query so the
+    candidate configuration cannot drift between them."""
     ids = df["image_id"].to_numpy(dtype=object)
     arrs = {
         t: df[f"t{t}"].to_numpy().astype(np.int64).view(np.uint64)
@@ -402,8 +426,9 @@ def tile_dup_pairs(
         arrs,
         [(t, cfg) for t in range(4)],
         taus={t: tau for t in range(4)},
+        pair_full_threshold=pair_full_threshold,
     )
-    return rd.from_arrow(_tile_verify(arrs, ids, ai, bi, tau, k_min))
+    return ids, arrs, ai, bi
 
 
 def _tile_verify(arrs, ids, ai, bi, tau: int, k_min: int) -> pa.Table:

@@ -4400,9 +4400,9 @@ def q_images_tile_dup_pairs(sf_dir: str):
     every per-tile Hamming distance (bit_count(xor)), recounts
     qualifying tiles and re-applies the ≥3 rule."""
     from ..config import LSHConfig
-    from ..stages.lsh import broadcast_candidate_edges
+    from ..stages.lsh import OVERSIZED_EXACT_CAP
     from ..stages.multimodal import tile_signatures
-    from .dedup_images import _tile_verify
+    from .dedup_images import _tile_candidates, _tile_verify
 
     tau, k_min = 2, 3
     images = read_images_fixture(sf_dir)
@@ -4428,15 +4428,9 @@ def q_images_tile_dup_pairs(sf_dir: str):
         )
 
     _stage(sigs.map_batches(unpack, batch_format="pyarrow"), "tile_sigs")
-    df = sigs.to_pandas()
-    ids = df["image_id"].to_numpy(dtype=object)
-    arrs = {
-        t: df[f"t{t}"].to_numpy().astype(np.int64).view(np.uint64)
-        for t in range(4)
-    }
     cfg = LSHConfig(n_blocks=4, combo_m=2, hamming_tau=tau)
-    ai, bi = broadcast_candidate_edges(
-        arrs, [(t, cfg) for t in range(4)], taus={t: tau for t in range(4)}
+    ids, arrs, ai, bi = _tile_candidates(
+        sigs.to_pandas(), tau, cfg, OVERSIZED_EXACT_CAP
     )
     a_ids, b_ids = ids[ai].astype(object), ids[bi].astype(object)
     swap = a_ids > b_ids

@@ -103,8 +103,15 @@ def bbit_agreement(
 def agree_threshold_keep(
     agree: np.ndarray, b: int, n_perm: int, theta_num: int, theta_den: int
 ) -> np.ndarray:
-    """Exact-integer decision Ĵ ≥ num/den (python ints — no uint64
-    overflow for any n_perm ≤ 2^31)."""
+    """Exact-integer decision Ĵ ≥ num/den.  The comparison runs in
+    int64 vector arithmetic; exactness requires
+    ``theta_den * n_perm * 2**b < 2**62`` (checked loudly) — far above
+    any practical config (b ≤ 16, n_perm ≤ 2^20, den ≤ 2^16)."""
+    if int(theta_den) * int(n_perm) * (1 << b) >= 1 << 62:
+        raise ValueError(
+            f"agree_threshold_keep: theta_den={theta_den} * n_perm="
+            f"{n_perm} * 2^{b} overflows the int64 decision arithmetic"
+        )
     a = agree.astype(np.int64)
     lhs = int(theta_den) * (a * (1 << b) - n_perm)
     rhs = int(theta_num) * n_perm * ((1 << b) - 1)
@@ -207,14 +214,7 @@ def bbit_dup_pairs(
     """End-to-end b-bit MinHash near-dup pairs: full-width encode →
     full-width LSH banding (transient) → b-bit pack → packed-table
     verify with the corrected-estimator integer threshold."""
-    from .base import map_groups_typed
-    from .minhash import (
-        _EMPTY_PAIRS,
-        _dedupe_pairs,
-        make_band_expander,
-        make_pair_generator,
-        minhash_signatures,
-    )
+    from .minhash import _banded_candidate_pairs, minhash_signatures
 
     sig_ds = minhash_signatures(
         docs,
@@ -224,14 +224,11 @@ def bbit_dup_pairs(
         n_perm=n_perm,
         concurrency=concurrency,
     ).materialize()
-    bands = sig_ds.map_batches(
-        make_band_expander(n_perm, n_bands, n_parts), batch_format="pyarrow"
-    )
-    pairs = _dedupe_pairs(
-        map_groups_typed(
-            bands, "part", make_pair_generator(pair_full_threshold, n_parts),
-            _EMPTY_PAIRS,
-        )
+    # Share minhash's recall-bearing banding prefix verbatim (band
+    # expand → bucket groupby → pair dedupe) so fixes to partition
+    # sizing / star semantics reach this path automatically.
+    pairs = _banded_candidate_pairs(
+        sig_ds, n_perm, n_bands, n_parts, pair_full_threshold
     ).materialize()
     packed = pack_bbit(sig_ds, b, n_perm).materialize()
     return bbit_verify_broadcast(pairs, packed, theta, b, n_perm)

@@ -122,3 +122,30 @@ def test_tile_pairs_validation():
         tile_dup_pairs(ds, tau=3)
     with pytest.raises(Exception, match="broadcast_sig_limit"):
         tile_dup_pairs(ds, broadcast_sig_limit=1)
+
+
+def test_hot_bucket_pairs_fully_enumerated():
+    """Constant-content tiles (letterbox/blank corners) put hundreds of
+    images in one identical-sig band bucket; with the clustering
+    default full-pair threshold (256) the oversized fallback emits
+    only chain edges, undercounting PAIRS.  The operator's default
+    threshold (OVERSIZED_EXACT_CAP) must enumerate all C(g,2)."""
+    rng = np.random.default_rng(9)
+    n = 300
+    rows = []
+    for i in range(n):
+        img = np.zeros((32, 32, 3), dtype=np.uint8)
+        # tiles 0-2 constant black; tile 3 (BR) random -> far in Hamming
+        img[16:, 16:, :] = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        rows.append((f"hot{i:04d}", img))
+    out = tile_dup_pairs(
+        rd.from_arrow(_table(rows)).repartition(4), tau=2, k_min=3
+    ).to_pandas()
+    # every pair shares 3 identical (constant) tiles -> qualifies
+    assert len(out) == n * (n - 1) // 2
+    assert (out["n_tiles_close"] >= 3).all()
+    # the old clustering threshold demonstrates the undercount regime
+    few = tile_dup_pairs(
+        rd.from_arrow(_table(rows)), tau=2, k_min=3, pair_full_threshold=256
+    ).to_pandas()
+    assert len(few) < n * (n - 1) // 2
