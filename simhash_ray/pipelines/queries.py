@@ -1773,6 +1773,46 @@ SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text
 """
 
 
+def q_doc_cdc_dedup(sf_dir: str):
+    """Content-defined chunking dedup (stages/cdc.py): gear-rolling-hash
+    chunk boundaries, first-wins dup marking at chunk granularity,
+    per-doc (n_chunks, n_dup_chunks, dup_bytes) rollup — the
+    insertion-robust exact-dedup operator (an edit re-chunks only its
+    neighbourhood, so the rest of a near-duplicate still dedups).
+
+    The cut rule is not SQL-expressible, so the chunk table WITH
+    CONTENT is staged (chunking itself is pinned per-row against the
+    rolling reference in tests/test_cdc.py); DuckDB re-runs the dup
+    marking by grouping on the chunk BYTES — content equality, a
+    strictly stronger check than the engine's u64 hash — and the
+    per-doc rollup."""
+    from ..stages.cdc import cdc_chunk_table, cdc_dedup_stats
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    chunks = cdc_chunk_table(docs, mask_bits=6, with_content=True).materialize()
+    _stage(chunks, "cdc_chunks")
+    return cdc_dedup_stats(
+        docs, mask_bits=6, chunk_ds=chunks.drop_columns(["chunk"])
+    )
+
+
+SQL_DOC_CDC_DEDUP = f"""
+WITH r AS (
+  SELECT doc_id, chunk_len,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx)
+           AS rn
+  FROM read_parquet('{_staged("cdc_chunks")}')
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(SUM(CASE WHEN rn > 1 THEN chunk_len ELSE 0 END) AS BIGINT)
+         AS dup_bytes
+FROM r GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_doc_tokenset_dedup(sf_dir: str):
     """Bag-of-words dedup: identical distinct-token sets collapse."""
     docs = _docs(sf_dir, columns=["doc_id", "text"])
@@ -5048,6 +5088,7 @@ def ray_queries() -> dict:
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_cdc_dedup": q_doc_cdc_dedup,
         "doc_snapshot_diff": q_doc_snapshot_diff,
         "doc_tokenset_dedup": q_doc_tokenset_dedup,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
@@ -5155,6 +5196,7 @@ def oracle_sqls() -> dict:
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+        "doc_cdc_dedup": SQL_DOC_CDC_DEDUP,
         "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
         "doc_tokenset_dedup": SQL_DOC_TOKENSET_DEDUP,
         "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
