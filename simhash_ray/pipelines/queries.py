@@ -1840,6 +1840,34 @@ def q_doc_jaccard_pairs(sf_dir: str):
     return all_pairs_jaccard(docs, 9, 10, use_token_sets=True)
 
 
+def q_doc_containment_pairs(sf_dir: str):
+    """EXACT token-set containment ≥ 9/10 pairs (overlap coefficient:
+    inter / min(|A|,|B|)) — catches near-SUPERSET duplicates
+    (boilerplate-wrapped copies) whose Jaccard sits far below any
+    Jaccard θ.  Same broadcast engine as doc_jaccard_pairs; the
+    documents fixture's exact-dup rows are containment-1 pairs."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return all_pairs_jaccard(
+        docs, 9, 10, use_token_sets=True, measure="containment"
+    )
+
+
+SQL_DOC_CONTAINMENT_PAIRS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       len(list_intersect(a.toks, b.toks))   AS inter,
+       least(len(a.toks), len(b.toks))       AS msize
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE least(len(a.toks), len(b.toks)) > 0
+  AND len(list_intersect(a.toks, b.toks)) * 10
+      >= 9 * least(len(a.toks), len(b.toks))
+"""
+
+
 SQL_DOC_JACCARD_PAIRS = r"""
 WITH t AS (
   SELECT doc_id,
@@ -5092,6 +5120,7 @@ def ray_queries() -> dict:
         "doc_snapshot_diff": q_doc_snapshot_diff,
         "doc_tokenset_dedup": q_doc_tokenset_dedup,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "doc_containment_pairs": q_doc_containment_pairs,
         "doc_substring_pairs": q_doc_substring_pairs,
         "doc_decontaminate": q_doc_decontaminate,
         "orders_topk_per_segment": q_orders_topk_per_segment,
@@ -5200,6 +5229,7 @@ def oracle_sqls() -> dict:
         "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
         "doc_tokenset_dedup": SQL_DOC_TOKENSET_DEDUP,
         "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
+        "doc_containment_pairs": SQL_DOC_CONTAINMENT_PAIRS,
         "doc_substring_pairs": SQL_DOC_SUBSTRING_PAIRS,
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "orders_topk_per_segment": SQL_ORDERS_TOPK_PER_SEGMENT,

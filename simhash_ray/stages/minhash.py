@@ -599,17 +599,31 @@ def all_pairs_jaccard(
     id_col: str = "doc_id",
     shingle_k: int = 2,
     use_token_sets: bool = False,
+    measure: str = "jaccard",
 ) -> rd.Dataset:
-    """EXACT all-pairs shingle-Jaccard ≥ θ via a broadcast small side.
+    """EXACT all-pairs set-similarity ≥ θ via a broadcast small side.
 
-    Returns (a, b, inter, uni) with integer intersection/union sizes,
-    thresholded as the exact rational ``inter/uni >= theta_num/theta_den``
-    via integer cross-multiplication (bit-exact vs a SQL oracle — a
-    float θ literal would disagree with SQL on boundary pairs).  The full shingle-set table is broadcast via
+    ``measure="jaccard"`` (default) returns (a, b, inter, uni) with the
+    exact rational threshold ``inter/uni >= theta_num/theta_den``;
+    ``measure="containment"`` returns (a, b, inter, msize) thresholded
+    as ``inter/min(|A|,|B|) >= theta_num/theta_den`` — the overlap
+    coefficient, which catches near-SUPERSET duplicates (a doc wrapped
+    in boilerplate contains the original: containment ≈ 1 while
+    Jaccard ≈ |small|/|big| can sit far below any Jaccard θ, so both
+    the exact Jaccard operator and the MinHash banding miss it).
+    Empty-set rows never pair (denominator > 0 required, both
+    measures).  Thresholds compare by integer cross-multiplication
+    (bit-exact vs a SQL oracle — a float θ literal would disagree with
+    SQL on boundary pairs).  The full shingle-set table is broadcast via
     ``ray.put`` once and compared per batch — valid while the corpus
     fits a worker heap (validation/oracle scale); the scalable
-    counterpart is :func:`minhash_dup_pairs`.
+    counterpart is :func:`minhash_dup_pairs` for Jaccard, and for
+    containment a prefix-filter (rarest-token inverted index) candidate
+    stage — not wired; this operator raises no pretence of scaling
+    past the broadcast regime.
     """
+    if measure not in ("jaccard", "containment"):
+        raise ValueError(f"unknown measure {measure!r}")
 
     def row_sets(batch: pa.Table) -> list[tuple[int, np.ndarray]]:
         ids = batch[id_col].to_pylist()
@@ -653,10 +667,15 @@ def all_pairs_jaccard(
             my_mat[r, cols] = 1
         inter = my_mat.astype(np.int32) @ umat.astype(np.int32).T  # (B, N)
         my_sizes = my_mat.sum(axis=1).astype(np.int64)
-        uni = my_sizes[:, None] + usizes[None, :] - inter
+        if measure == "jaccard":
+            denom = my_sizes[:, None] + usizes[None, :] - inter
+            denom_col = "uni"
+        else:
+            denom = np.minimum(my_sizes[:, None], usizes[None, :])
+            denom_col = "msize"
         keep = (
-            (uni > 0)
-            & (inter.astype(np.int64) * theta_den >= theta_num * uni)
+            (denom > 0)
+            & (inter.astype(np.int64) * theta_den >= theta_num * denom)
             & (my_ids[:, None] < uids[None, :])
         )
         bi, ui = np.nonzero(keep)
@@ -665,7 +684,9 @@ def all_pairs_jaccard(
                 "a": pa.array(my_ids[bi], type=pa.int64()),
                 "b": pa.array(uids[ui], type=pa.int64()),
                 "inter": pa.array(inter[bi, ui].astype(np.int64), type=pa.int64()),
-                "uni": pa.array(uni[bi, ui].astype(np.int64), type=pa.int64()),
+                denom_col: pa.array(
+                    denom[bi, ui].astype(np.int64), type=pa.int64()
+                ),
             }
         )
 

@@ -727,3 +727,60 @@ def test_ivf_recall_monotone_in_probes_and_exact_at_full_probe():
     r1, r3, r6 = recall(1), recall(3), recall(6)
     assert r1 <= r3 + 1e-9 and r3 <= r6 + 1e-9, (r1, r3, r6)
     assert r6 == 1.0
+
+
+def test_containment_catches_boilerplate_superset(ray_session):
+    """A doc wrapped in heavy boilerplate CONTAINS the original: overlap
+    coefficient 1.0 while Jaccard = |small|/|big| is far below 0.9 —
+    the containment measure must find the pair, Jaccard must not."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    core_toks = [f"core{i}" for i in range(20)]
+    boiler = [f"nav{i}" for i in range(200)]
+    texts = [
+        " ".join(core_toks),                      # 0: the original
+        " ".join(boiler + core_toks),             # 1: wrapped copy
+        " ".join(f"x{i}" for i in range(30)),     # 2: unrelated
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    cont = all_pairs_jaccard(
+        docs, 9, 10, use_token_sets=True, measure="containment"
+    ).to_pandas()
+    assert [(0, 1)] == sorted(zip(cont["a"], cont["b"]))
+    row = cont.iloc[0]
+    assert row["inter"] == 20 and row["msize"] == 20
+    jac = all_pairs_jaccard(docs, 9, 10, use_token_sets=True).to_pandas()
+    assert len(jac) == 0  # Jaccard of the pair is 20/220 — missed
+
+
+def test_containment_empty_rows_never_pair(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array(["", "", "a b"], type=pa.string()),
+            }
+        )
+    )
+    out = all_pairs_jaccard(
+        docs, 9, 10, use_token_sets=True, measure="containment"
+    ).to_pandas()
+    assert len(out) == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="measure"):
+        all_pairs_jaccard(docs, 9, 10, measure="dice")
