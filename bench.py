@@ -229,6 +229,19 @@ def _run_bench() -> dict:
             ).count(),
         )
         timed("doc_substring_pairs", lambda: q_doc_substring_pairs(sf_dir).count())
+        from simhash_ray.stages.cdc import cdc_dedup_stats
+
+        # CDC chunk dedup over the full 400k-caption fixture (string
+        # ids; the documents table is too small to exercise the kernel)
+        timed(
+            "caption_cdc_dedup",
+            lambda: cdc_dedup_stats(
+                read_images(columns=["image_id", "caption"]),
+                mask_bits=6,
+                text_col="caption",
+                id_col="image_id",
+            ).count(),
+        )
         from simhash_ray.pipelines.queries import q_events_asof, q_events_range_join
 
         timed("events_asof", lambda: q_events_asof(sf_dir).count())

@@ -168,9 +168,13 @@ def cdc_chunk_table(
             len(starts),
             [None, pa.py_buffer(chunk_offsets), pa.py_buffer(data)],
         )
-        ids = batch[id_col].to_numpy(zero_copy_only=False)[rows]
+        id_arr = batch[id_col]
+        if isinstance(id_arr, pa.ChunkedArray):
+            id_arr = id_arr.combine_chunks()
         out = {
-            "doc_id": pa.array(ids, type=pa.int64()),
+            # carry the input id dtype through (string ids work — same
+            # policy as stages/decontam after round-3 advice item 4)
+            "doc_id": id_arr.take(pa.array(rows, type=pa.int64())),
             "chunk_idx": pa.array(
                 _ranges(np.bincount(rows, minlength=len(offsets) - 1)),
                 type=pa.int64(),
@@ -192,14 +196,15 @@ def cdc_chunk_table(
     )
 
 
-_EMPTY_MARKED = pa.table(
-    {
-        "doc_id": pa.array([], type=pa.int64()),
-        "n": pa.array([], type=pa.int64()),
-        "n_dup": pa.array([], type=pa.int64()),
-        "dup_bytes": pa.array([], type=pa.int64()),
-    }
-)
+def _empty_marked(id_type: pa.DataType) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([], type=id_type),
+            "n": pa.array([], type=pa.int64()),
+            "n_dup": pa.array([], type=pa.int64()),
+            "dup_bytes": pa.array([], type=pa.int64()),
+        }
+    )
 
 
 def cdc_dedup_stats(
@@ -238,6 +243,8 @@ def cdc_dedup_stats(
 
     chunks = chunks.map_batches(add_part, batch_format="pyarrow")
 
+    id_type = chunks.schema().base_schema.field("doc_id").type
+
     def mark(block: pa.Table) -> pa.Table:
         h = block["chunk_hash"].to_numpy(zero_copy_only=False)
         d = block["doc_id"].to_numpy(zero_copy_only=False)
@@ -254,7 +261,7 @@ def cdc_dedup_stats(
         ud, inv = np.unique(d, return_inverse=True)
         return pa.table(
             {
-                "doc_id": pa.array(ud, type=pa.int64()),
+                "doc_id": pa.array(ud, type=id_type),
                 "n": pa.array(np.bincount(inv), type=pa.int64()),
                 "n_dup": pa.array(
                     np.bincount(inv, weights=dup).astype(np.int64),
@@ -267,7 +274,7 @@ def cdc_dedup_stats(
             }
         )
 
-    marked = map_groups_typed(chunks, "part", mark, _EMPTY_MARKED)
+    marked = map_groups_typed(chunks, "part", mark, _empty_marked(id_type))
     agg = marked.groupby("doc_id").aggregate(
         Sum("n", alias_name="n_chunks"),
         Sum("n_dup", alias_name="n_dup_chunks"),

@@ -143,3 +143,22 @@ def test_null_text_raises(ray_session):
     )
     with pytest.raises(Exception, match="null"):
         cdc_chunk_table(docs, mask_bits=4).to_pandas()
+
+
+def test_string_ids_preserved(ray_session):
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array(["b", "a", "c"], type=pa.string()),
+                "caption": pa.array(["x y z w", "x y z w", "q r"], type=pa.string()),
+            }
+        )
+    )
+    out = cdc_dedup_stats(
+        docs, mask_bits=3, text_col="caption", id_col="image_id"
+    ).to_pandas()
+    assert out["doc_id"].tolist() == ["a", "b", "c"]
+    # 'a' precedes 'b' lexicographically -> b's chunks are all dups of a's
+    assert out.set_index("doc_id").loc["b", "n_dup_chunks"] == \
+        out.set_index("doc_id").loc["b", "n_chunks"]
+    assert out.set_index("doc_id").loc["a", "n_dup_chunks"] == 0
