@@ -1970,6 +1970,63 @@ GROUP BY t.doc_id
 """
 
 
+def q_doc_dsir_weights(sf_dir: str):
+    """DSIR-style importance weighting for data selection (Xie et al.
+    2023, NeurIPS): score every doc by the log-likelihood ratio of its
+    tokens under a TARGET-domain unigram LM (here: the lang='en'
+    subset) vs the raw-corpus LM — Laplace-smoothed over the shared
+    min-count-bounded vocabulary, OOV tokens excluded, per-doc weight
+    = sum over occurrences of ln p_t(tok) - ln p_raw(tok).
+
+    One streaming pass computes BOTH models' counts (per-block
+    np.unique partials with a target mask → one token groupby); only
+    the bounded vocab's per-token lambda table is collected and
+    broadcast, then one scoring pass.  Both sides round to 6 dp."""
+    from ..stages.text import make_dsir_scorer, unigram_target_counts
+
+    docs = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    counts = unigram_target_counts(docs, "lang", "en").materialize()
+    vocab = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], UNIGRAM_MIN_COUNT)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    v = len(vocab)
+    t_all = int(vocab["cnt"].sum())
+    t_t = int(vocab["cnt_t"].sum())
+    lam = (
+        np.log(vocab["cnt_t"].to_numpy() + 1.0)
+        - np.log(t_t + v)
+        - np.log(vocab["cnt"].to_numpy() + 1.0)
+        + np.log(t_all + v)
+    )
+    lam_ref = ray.put(pd.Series(lam, index=vocab["token"].to_numpy()))
+    return docs.map_batches(
+        make_dsir_scorer(lam_ref), batch_format="pyarrow"
+    )
+
+
+SQL_DOC_DSIR_WEIGHTS = rf"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents
+  WHERE trim(text) <> ''
+),
+freq AS (
+  SELECT token, COUNT(*) AS cnt,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t
+  FROM tok GROUP BY token HAVING COUNT(*) >= {UNIGRAM_MIN_COUNT}
+),
+tot AS (SELECT SUM(cnt) AS t_all, SUM(cnt_t) AS t_t, COUNT(*) AS v FROM freq)
+SELECT t.doc_id AS doc_id,
+       ROUND(SUM(  ln(f.cnt_t + 1) - ln((SELECT t_t FROM tot) + (SELECT v FROM tot))
+                 - ln(f.cnt  + 1) + ln((SELECT t_all FROM tot) + (SELECT v FROM tot))
+              ), 6) AS dsir_weight
+FROM tok t JOIN freq f USING (token)
+GROUP BY t.doc_id
+"""
+
+
 def q_doc_best_of_cluster(sf_dir: str):
     """Quality-based representative election: within each bag-of-words
     duplicate cluster (the tokenset key of doc_tokenset_dedup), keep
@@ -5129,6 +5186,7 @@ def ray_queries() -> dict:
         "doc_lang_len_quantiles": q_doc_lang_len_quantiles,
         "doc_best_of_cluster": q_doc_best_of_cluster,
         "doc_unigram_logprob": q_doc_unigram_logprob,
+        "doc_dsir_weights": q_doc_dsir_weights,
         "doc_repetition": q_doc_repetition,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_cap_per_source": q_doc_cap_per_source,
@@ -5238,6 +5296,7 @@ def oracle_sqls() -> dict:
         "doc_lang_len_quantiles": SQL_DOC_LANG_LEN_QUANTILES,
         "doc_best_of_cluster": SQL_DOC_BEST_OF_CLUSTER,
         "doc_unigram_logprob": SQL_DOC_UNIGRAM_LOGPROB,
+        "doc_dsir_weights": SQL_DOC_DSIR_WEIGHTS,
         "doc_repetition": SQL_DOC_REPETITION,
         "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
         "doc_cap_per_source": SQL_DOC_CAP_PER_SOURCE,

@@ -391,3 +391,92 @@ def nfc_normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     out = batch.drop_columns([text_col])
     out = out.append_column("text_nfc", nfc)
     return out.append_column("changed", pc.not_equal(nfc, txt))
+
+
+def unigram_target_counts(
+    docs, target_col: str, target_value, text_col: str = "text"
+):
+    """(token, cnt, cnt_t): corpus-wide AND target-subset unigram
+    occurrence counts in ONE streaming pass (per-block np.unique
+    partials -> one token groupby) — the sufficient statistic for
+    importance-ratio data selection (DSIR, Xie et al. 2023: weight a
+    doc by how much more likely its tokens are under a target-domain
+    LM than under the raw-corpus LM).  Same unbounded-tail caveat as
+    unigram_token_counts: callers must min-count/top-N bound the
+    result before any collect."""
+    from ray.data.aggregate import Sum
+
+    empty = pa.table(
+        {
+            "token": pa.array([], type=pa.string()),
+            "cnt": pa.array([], type=pa.int64()),
+            "cnt_t": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ft = tokens_flat(batch[text_col])
+        flat = ft.flat.to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return empty
+        is_target = (
+            batch[target_col].to_numpy(zero_copy_only=False) == target_value
+        )
+        uniq, inv = np.unique(flat, return_inverse=True)
+        return pa.table(
+            {
+                "token": pa.array(uniq, type=pa.string()),
+                "cnt": pa.array(np.bincount(inv), type=pa.int64()),
+                "cnt_t": pa.array(
+                    np.bincount(inv, weights=is_target[ft.row_of]).astype(
+                        np.int64
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("cnt_t", alias_name="cnt_t"))
+    )
+
+
+def make_dsir_scorer(lam_ref, text_col: str = "text", id_col: str = "doc_id"):
+    """Batch scorer for DSIR importance weights: per-doc SUM of the
+    broadcast per-token log-ratio lambda over IN-VOCAB occurrences
+    (multiplicity counts), rounded to 6 dp; docs with zero in-vocab
+    tokens are dropped (mirrored by the SQL oracle's join).  ``lam_ref``
+    = ray.put pandas Series token -> lambda, bounded by the caller."""
+    import ray
+
+    def score(batch: pa.Table) -> pa.Table:
+        lam = ray.get(lam_ref)
+        ft = tokens_flat(batch[text_col])
+        n = batch.num_rows
+        tok_arr = ft.flat.to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=batch[id_col].type),
+                "dsir_weight": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(tok_arr) == 0:
+            return empty
+        vals = pd.Series(tok_arr).map(lam).to_numpy(dtype=np.float64)
+        in_vocab = ~np.isnan(vals)
+        row_of, vals = ft.row_of[in_vocab], vals[in_vocab]
+        sums = np.bincount(row_of, weights=vals, minlength=n)
+        ntok = np.bincount(row_of, minlength=n)
+        nonempty = ntok > 0
+        return pa.table(
+            {
+                id_col: batch[id_col].filter(pa.array(nonempty)),
+                "dsir_weight": pa.array(
+                    np.round(sums[nonempty], 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return score

@@ -267,3 +267,59 @@ def test_nfc_normalize_matches_unicodedata():
     duck = [con.execute("SELECT nfc_normalize(?)", [c]).fetchone()[0]
             for c in cases]
     assert got == duck
+
+
+def test_dsir_weights_prefer_target_like_docs(ray_session):
+    """Docs made of target-domain (lang='en') tokens must score higher
+    than docs made of off-domain tokens; weights partition-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simhash_ray.stages.text import make_dsir_scorer, unigram_target_counts
+    import pandas as pd
+    import ray
+
+    en_toks = ["the", "of", "and", "to", "in"]
+    de_toks = ["der", "und", "das", "ist", "ein"]
+    rows = []
+    rng = np.random.default_rng(2)
+    for i in range(20):
+        rows.append((i, " ".join(rng.choice(en_toks, 30)), "en"))
+    for i in range(20, 40):
+        rows.append((i, " ".join(rng.choice(de_toks, 30)), "de"))
+    # held-out probes: one en-like, one de-like, labelled neither
+    rows.append((100, " ".join(en_toks * 6), "xx"))
+    rows.append((101, " ".join(de_toks * 6), "xx"))
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+                "lang": pa.array([r[2] for r in rows], type=pa.string()),
+            }
+        )
+    ).repartition(4)
+    counts = unigram_target_counts(docs, "lang", "en").to_pandas()
+    v = len(counts)
+    t_all, t_t = int(counts["cnt"].sum()), int(counts["cnt_t"].sum())
+    lam = (
+        np.log(counts["cnt_t"].to_numpy() + 1.0) - np.log(t_t + v)
+        - np.log(counts["cnt"].to_numpy() + 1.0) + np.log(t_all + v)
+    )
+    lam_ref = ray.put(pd.Series(lam, index=counts["token"].to_numpy()))
+    out = (
+        docs.map_batches(make_dsir_scorer(lam_ref), batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")["dsir_weight"]
+    )
+    assert out.loc[100] > out.loc[101]
+    assert out.loc[list(range(20))].min() > out.loc[list(range(20, 40))].max()
+    # partition invariance
+    out2 = (
+        docs.repartition(9)
+        .map_batches(make_dsir_scorer(lam_ref), batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")["dsir_weight"]
+    )
+    assert out.sort_index().equals(out2.sort_index())
