@@ -370,9 +370,15 @@ def tile_dup_pairs(
     for any tile ≤ τ ≤ 2; a qualifying pair has ≥ k_min ≥ 1 such
     tiles), via the flagship's broadcast-band machinery over the
     collected narrow signature table — bounded by BROADCAST_SIG_LIMIT
-    like the flagship's direct regime; above it the same per-tile
-    spaces ride the distributed ``dup_edges`` banding (not wired here
-    — raise loudly rather than collect unbounded).
+    like the flagship's direct regime.  Above the limit the SAME
+    per-tile spaces ride the flagship's distributed banding (narrow
+    sig repartition → one band-bucket groupby with fused per-space
+    Hamming verify → one (a,b) groupby counting distinct agreeing
+    tiles): by the pigeonhole bound a tile within τ ALWAYS collides
+    in ≥1 of its bands, so "pair verified in space t" ⟺ "tile t
+    within τ" and the distinct-space count IS n_tiles_close — the two
+    regimes emit identical pairs (equivalence-tested by forcing
+    ``broadcast_sig_limit=0``).
 
     Pair-enumeration recall: full C(g,2) pairs are emitted for any
     band bucket up to ``pair_full_threshold`` members (default
@@ -399,17 +405,124 @@ def tile_dup_pairs(
     limit = BROADCAST_SIG_LIMIT if broadcast_sig_limit is None else broadcast_sig_limit
     sigs = tile_signatures(images, concurrency=concurrency).materialize()
     n = sigs.count()
-    if n > limit:
-        raise ValueError(
-            f"tile_dup_pairs: {n} rows exceed broadcast_sig_limit={limit}; "
-            "run the per-tile spaces through the distributed dup_edges "
-            "banding instead of collecting"
-        )
     threshold = (
         OVERSIZED_EXACT_CAP if pair_full_threshold is None else pair_full_threshold
     )
+    if n > limit:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "tile_dup_pairs: %d rows exceed broadcast_sig_limit=%d; "
+            "using the distributed banding regime", n, limit,
+        )
+        return _tile_pairs_distributed(sigs, n, tau, k_min, cfg, threshold)
     ids, arrs, ai, bi = _tile_candidates(sigs.to_pandas(), tau, cfg, threshold)
     return rd.from_arrow(_tile_verify(arrs, ids, ai, bi, tau, k_min))
+
+
+_EMPTY_TILE_PAIRS = pa.table(
+    {
+        "a": pa.array([], type=pa.string()),
+        "b": pa.array([], type=pa.string()),
+        "n_tiles_close": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def _tile_pairs_distributed(
+    sigs: rd.Dataset,
+    n: int,
+    tau: int,
+    k_min: int,
+    cfg: LSHConfig,
+    pair_full_threshold: int,
+    n_parts: int | None = None,
+) -> rd.Dataset:
+    """Cluster-scale regime of tile_dup_pairs: the 4 tile columns band
+    as 4 LSH spaces through ONE bucket groupby with fused per-space
+    Hamming verify (the flagship's dup_edges shape), then ONE hashed
+    (a, b) groupby dedups band multiplicity per space and counts the
+    distinct agreeing tiles.  Narrow rows only; nothing collects."""
+    from ..stages.base import map_groups_typed
+    from ..stages.lsh import candidate_pairs, make_band_expander
+
+    import itertools as _it
+
+    n_bands = 4 * sum(1 for _ in _it.combinations(range(cfg.n_blocks), cfg.combo_m))
+    band_parts = int(min(65536, max(256, (n * n_bands) // 4096)))
+    cpus = int(ray.cluster_resources().get("CPU", 32))
+    spaces = [(t, f"t{t}", cfg) for t in range(4)]
+    bands = sigs.repartition(max(32, cpus)).map_batches(
+        make_band_expander(spaces, id_col="image_id", n_parts=band_parts),
+        batch_format="pyarrow",
+    )
+    verified = candidate_pairs(
+        bands,
+        pair_full_threshold=pair_full_threshold,
+        taus={t: tau for t in range(4)},
+    )
+    pair_parts = choose_n_parts(n)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        import pandas as pd
+
+        key = pd.util.hash_array(
+            np.char.add(np.char.add(a.astype(str), "\x00"), b.astype(str))
+        )
+        part = (key % np.uint64(pair_parts)).astype(np.int32)
+        return pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "space": batch["space"],
+                "part": pa.array(part, type=pa.int32()),
+            }
+        )
+
+    def count_tiles(group: pa.Table) -> pa.Table:
+        a = group["a"].to_numpy(zero_copy_only=False).astype(object)
+        b = group["b"].to_numpy(zero_copy_only=False).astype(object)
+        sp = group["space"].to_numpy(zero_copy_only=False)
+        # dedupe (a, b, space) band multiplicity, then count distinct
+        # spaces per pair — one factorize + lexsort, no Python loops
+        import pandas as pd
+
+        # exact pair identity: factorize the joined id strings (a u64
+        # hash here would let a collision merge two distinct pairs)
+        codes, _ = pd.factorize(
+            np.char.add(np.char.add(a.astype(str), "\x00"), b.astype(str))
+        )
+        comp = codes.astype(np.int64) * 8 + sp.astype(np.int64)
+        uniq = np.unique(comp)
+        pair_code = uniq // 8
+        heads = np.ones(len(uniq), dtype=bool)
+        heads[1:] = pair_code[1:] != pair_code[:-1]
+        counts = np.diff(np.append(np.flatnonzero(heads), len(uniq)))
+        keep_pair = counts >= k_min
+        if not keep_pair.any():
+            return _EMPTY_TILE_PAIRS
+        # map each comp value back to one representative input row
+        order = np.argsort(comp, kind="stable")
+        comp_sorted = comp[order]
+        firsts = np.ones(len(comp_sorted), dtype=bool)
+        firsts[1:] = comp_sorted[1:] != comp_sorted[:-1]
+        first_rows = order[firsts]  # one row per distinct (pair, space)
+        head_rows = first_rows[heads]  # one row per distinct pair
+        sel = head_rows[keep_pair]
+        return pa.table(
+            {
+                "a": pa.array(a[sel], type=pa.string()),
+                "b": pa.array(b[sel], type=pa.string()),
+                "n_tiles_close": pa.array(
+                    counts[keep_pair], type=pa.int64()
+                ),
+            }
+        )
+
+    parted = verified.map_batches(add_part, batch_format="pyarrow")
+    return map_groups_typed(parted, "part", count_tiles, _EMPTY_TILE_PAIRS)
 
 
 def _tile_candidates(df, tau: int, cfg: LSHConfig, pair_full_threshold: int):

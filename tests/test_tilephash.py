@@ -120,8 +120,8 @@ def test_tile_pairs_validation():
         tile_dup_pairs(ds, k_min=0)
     with pytest.raises(ValueError, match="pigeonhole"):
         tile_dup_pairs(ds, tau=3)
-    with pytest.raises(Exception, match="broadcast_sig_limit"):
-        tile_dup_pairs(ds, broadcast_sig_limit=1)
+    # above the broadcast limit the operator no longer raises — it
+    # switches to the distributed regime (equivalence tested below)
 
 
 def test_hot_bucket_pairs_fully_enumerated():
@@ -149,3 +149,25 @@ def test_hot_bucket_pairs_fully_enumerated():
         rd.from_arrow(_table(rows)), tau=2, k_min=3, pair_full_threshold=256
     ).to_pandas()
     assert len(few) < n * (n - 1) // 2
+
+
+def test_tile_pairs_distributed_regime_matches_broadcast():
+    """Forcing broadcast_sig_limit=0 routes through the distributed
+    banding (band-bucket groupby + fused per-space verify + distinct-
+    tile count); pairs and n_tiles_close must match the broadcast
+    regime exactly — incl. the planted occlusion corpus AND a
+    hot-bucket (constant-tile) mass."""
+    rng = np.random.default_rng(13)
+    rows = _corpus()
+    for i in range(40):  # constant tiles 0-2, random tile 3
+        img = np.zeros((32, 32, 3), dtype=np.uint8)
+        img[16:, 16:, :] = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        rows.append((f"hot{i:04d}", img))
+    ds = rd.from_arrow(_table(rows)).repartition(5)
+    key = ["a", "b", "n_tiles_close"]
+    broad = tile_dup_pairs(ds, tau=2, k_min=3).to_pandas()
+    dist = tile_dup_pairs(ds, tau=2, k_min=3, broadcast_sig_limit=0).to_pandas()
+    assert sorted(map(tuple, broad[key].values.tolist())) == sorted(
+        map(tuple, dist[key].values.tolist())
+    )
+    assert len(broad) >= 40 * 39 // 2  # the hot mass fully enumerated
