@@ -122,9 +122,14 @@ def main() -> int:
         results[name] = {
             "rows_match": rows_ok, "schema_match": schema_ok,
             "hash_match": hash_ok, "rows": len(mine),
+            "sec": round(dt, 2),
         }
 
-    print(f"\n{n_green} green, {n_red} red, {n_noracle} no-oracle")
+    slow = sorted(
+        ((v.get("sec", 0.0), k) for k, v in results.items()), reverse=True
+    )[:10]
+    print("\nslowest:", ", ".join(f"{k}={s:.1f}s" for s, k in slow if s))
+    print(f"{n_green} green, {n_red} red, {n_noracle} no-oracle")
     out = "/tmp/check_correctness.json"
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
