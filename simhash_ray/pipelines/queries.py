@@ -5135,6 +5135,469 @@ FROM read_parquet('{_staged("wds_base")}')
 
 
 # --------------------------------------------------------------------------
+# round-4 late additions: bigram LM, Q3-style join, rollup, mixture KL,
+# similarity retrieval
+
+
+def q_doc_bigram_logprob(sf_dir: str):
+    """Bigram-LM fluency score (the order-2 counterpart of
+    q_doc_unigram_logprob; KenLM-style curation filters are n-gram LMs
+    — order 2 keeps the oracle exactly replayable): per doc the mean
+    ln(c(u v)/c(u)) over its IN-VOCAB bigram occurrences.
+
+    Scale shape mirrors the unigram op: the full (bigram, cnt)
+    relation stays distributed; only the min-count-bounded bigram
+    vocabulary and the context counts of ITS left tokens (≤ |vocab|
+    rows, filtered distributedly before the collect) reach the driver
+    and are broadcast once; scoring is one streaming pass."""
+    import logging
+
+    from ..stages.text import (
+        bigram_counts,
+        bigram_left_counts,
+        make_bigram_scorer,
+    )
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    bigrams = bigram_counts(docs).materialize()
+    vocab = bigrams.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], UNIGRAM_MIN_COUNT)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    logging.getLogger(__name__).info(
+        "bigram vocab: kept %d of %d distinct bigrams (min_count=%d)",
+        len(vocab), bigrams.count(), UNIGRAM_MIN_COUNT,
+    )
+    u_set = pa.array(
+        pd.unique(vocab["bg"].str.split(" ").str[0]), type=pa.string()
+    )
+    u_ref = ray.put(u_set)
+    left = bigram_left_counts(bigrams).map_batches(
+        lambda t: t.filter(pc.is_in(t["u"], value_set=ray.get(u_ref))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    cnt_ref = ray.put(vocab.set_index("bg")["cnt"])
+    left_ref = ray.put(left.set_index("u")["cnt_u"])
+    return docs.map_batches(
+        make_bigram_scorer(cnt_ref, left_ref), batch_format="pyarrow"
+    )
+
+
+SQL_DOC_BIGRAM_LOGPROB = rf"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM documents WHERE trim(text) <> ''
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS bg
+  FROM tok WHERE len(l) >= 2
+),
+cnt AS (SELECT bg, COUNT(*) AS c FROM big GROUP BY bg),
+leftc AS (SELECT split_part(bg, ' ', 1) AS u, SUM(c) AS cu FROM cnt GROUP BY u),
+vocab AS (SELECT bg, c FROM cnt WHERE c >= {UNIGRAM_MIN_COUNT})
+SELECT b.doc_id AS doc_id,
+       ROUND(AVG(ln(v.c / l.cu)), 6) AS avg_bigram_logprob
+FROM big b
+JOIN vocab v USING (bg)
+JOIN leftc l ON split_part(b.bg, ' ', 1) = l.u
+GROUP BY b.doc_id
+"""
+
+
+SHIPPING_CUTOFF = pd.Timestamp("1998-06-01")
+
+
+def q_shipping_priority(sf_dir: str, broadcast_limit: int | None = None):
+    """TPC-H-Q3-style 3-table join: customers of one segment → their
+    orders placed before the cutoff → revenue of the order's lineitems
+    shipped after it → top 10 orders by revenue.
+
+    Shape: the customer side is a semi-join (id_set_filter: broadcast
+    set below the limit, Dataset.join above); lineitem revenue is
+    partial-aggregated per batch BEFORE the o_orderkey groupby (the
+    wide fact table never shuffles raw); order attributes attach by
+    broadcast lookup below ``broadcast_limit`` filtered-orders rows
+    and by a distributed hash join above it.  Revenue accumulates in
+    integer ten-thousandths (price_cents × (100 − disc_cents)), so the
+    SQL oracle compares exactly."""
+    from .curate import id_set_filter
+
+    limit = SEGMENT_BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust_ids = cust.map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t.filter(
+                pc.equal(t["c_mktsegment"], "BUILDING"))["c_custkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.less(t["o_orderdate"], pa.scalar(SHIPPING_CUTOFF.to_pydatetime(), type=pa.timestamp("us")))
+        ),
+        batch_format="pyarrow",
+    )
+    orders = id_set_filter(
+        orders, cust_ids, keep=True, id_col="o_custkey", limit=limit
+    ).materialize()
+
+    items = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.greater(batch["l_shipdate"], pa.scalar(SHIPPING_CUTOFF.to_pydatetime(), type=pa.timestamp("us")))
+        )
+        price_c = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.round(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "rev": price_c * (100 - disc_c),
+            }
+        )
+        agg = df.groupby("o_orderkey", as_index=False).sum()
+        return pa.Table.from_pandas(
+            agg, preserve_index=False,
+            schema=pa.schema([("o_orderkey", pa.int64()), ("rev", pa.int64())]),
+        )
+
+    rev = (
+        items.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+
+    if orders.count() > limit:
+        n_join = int(min(8, max(2, ray.cluster_resources().get("CPU", 8) // 2)))
+        joined = rev.join(
+            orders,
+            join_type="inner",
+            num_partitions=n_join,
+            on=("o_orderkey",),
+            right_on=("o_orderkey",),
+            aggregator_ray_remote_args={"num_cpus": 0.5},
+        ).select_columns(
+            ["o_orderkey", "rev", "o_orderdate", "o_orderpriority"]
+        )
+    else:
+        odf = orders.to_pandas().set_index("o_orderkey")
+        o_ref = ray.put(odf[["o_orderdate", "o_orderpriority"]])
+
+        def attach(batch: pa.Table) -> pa.Table:
+            lut = ray.get(o_ref)
+            keys = pd.Series(batch["o_orderkey"].to_numpy(zero_copy_only=False))
+            hit = keys.isin(lut.index).to_numpy()
+            t = batch.filter(pa.array(hit))
+            k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "rev": t["rev"],
+                    "o_orderdate": pa.array(
+                        lut["o_orderdate"].loc[k].to_numpy(),
+                        type=pa.timestamp("us"),
+                    ),
+                    "o_orderpriority": pa.array(
+                        lut["o_orderpriority"].loc[k].to_numpy(dtype=object),
+                        type=pa.string(),
+                    ),
+                }
+            )
+
+        joined = rev.map_batches(attach, batch_format="pyarrow")
+
+    top = joined.sort(["rev", "o_orderkey"], descending=[True, False]).limit(10)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "revenue": pa.array(
+                    batch["rev"].to_numpy(zero_copy_only=False) / 10000.0,
+                    type=pa.float64(),
+                ),
+                "o_orderdate": batch["o_orderdate"],
+                "o_orderpriority": batch["o_orderpriority"],
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT o_orderkey,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) DESC,
+         o_orderkey
+LIMIT 10
+"""
+
+
+def q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(year, priority): subtotals per (year, priority),
+    per year, and a grand total, with 'ALL' markers — the relational
+    rollup verb.  One streaming partial-agg pass feeds one distributed
+    groupby over the LEAF cells; the coarser levels are re-aggregated
+    from the bounded leaf table (|years| × |priorities| rows) on the
+    driver — no second pass over the fact table at any scale."""
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderdate", "o_totalprice", "o_orderpriority"]
+    )
+
+    part_schema = pa.schema(
+        [("o_year", pa.string()), ("o_orderpriority", pa.string()),
+         ("n_orders", pa.int64()), ("rev_c", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dt = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        yr = dt.astype("datetime64[Y]").astype(int) + 1970
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "o_year": yr.astype(str),
+                "o_orderpriority": batch["o_orderpriority"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "n_orders": np.ones(len(yr), dtype=np.int64),
+                "rev_c": cents,
+            }
+        )
+        agg = df.groupby(["o_year", "o_orderpriority"], as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False, schema=part_schema)
+
+    leaf = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_year", "o_orderpriority"])
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"), Sum("rev_c", alias_name="rev_c")
+        )
+        .to_pandas()
+    )
+    lvl1 = leaf.groupby("o_year", as_index=False)[["n_orders", "rev_c"]].sum()
+    lvl1["o_orderpriority"] = "ALL"
+    lvl0 = pd.DataFrame(
+        {
+            "o_year": ["ALL"],
+            "o_orderpriority": ["ALL"],
+            "n_orders": [leaf["n_orders"].sum()],
+            "rev_c": [leaf["rev_c"].sum()],
+        }
+    )
+    out = pd.concat([leaf, lvl1, lvl0], ignore_index=True)
+    out["revenue"] = out.pop("rev_c") / 100.0
+    return out[["o_year", "o_orderpriority", "n_orders", "revenue"]]
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,
+       COALESCE(o_orderpriority, 'ALL')                    AS o_orderpriority,
+       COUNT(*)                                            AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders
+GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)
+"""
+
+
+def q_doc_source_kl(sf_dir: str):
+    """Mixture diagnostic for curation: per-source KL divergence
+    KL(P_source ‖ P_corpus) over token distributions, both renormalized
+    on the min-count-bounded shared vocabulary (the statistic behind
+    "which source drifted from the mix" dashboards and DoReMi-style
+    domain reweighting decisions).
+
+    One tokenize pass produces (source, token) partials → one
+    distributed groupby; corpus counts derive from that relation by a
+    second narrow groupby.  Only the bounded vocab and the
+    vocab-filtered (source, token) table (≤ sources × |vocab| rows)
+    reach the driver — exact integer counts, so the SQL oracle replays
+    every term."""
+    return source_kl(_docs(sf_dir, columns=["text", "source"]))
+
+
+def source_kl(docs, min_count: int | None = None) -> pd.DataFrame:
+    """Core of q_doc_source_kl over an arbitrary (text, source)
+    Dataset — one (source, kl) row per group, kl rounded to 6 dp."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.tokenize import tokens_flat
+
+    min_count = UNIGRAM_MIN_COUNT if min_count is None else min_count
+
+    st_schema = pa.schema(
+        [("source", pa.string()), ("token", pa.string()), ("cnt", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ft = tokens_flat(batch["text"])
+        if len(ft.flat) == 0:
+            return pa.table(
+                {"source": pa.array([], type=pa.string()),
+                 "token": pa.array([], type=pa.string()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        src = batch["source"].to_numpy(zero_copy_only=False)[ft.row_of]
+        df = pd.DataFrame(
+            {"source": src,
+             "token": ft.flat.to_numpy(zero_copy_only=False)}
+        )
+        agg = df.groupby(["source", "token"], as_index=False).size()
+        agg.columns = ["source", "token", "cnt"]
+        return pa.Table.from_pandas(agg, preserve_index=False, schema=st_schema)
+
+    st = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(_Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    corpus = (
+        st.map_batches(
+            lambda t: t.select(["token", "cnt"]), batch_format="pyarrow"
+        )
+        .groupby("token")
+        .aggregate(_Sum("cnt", alias_name="cnt"))
+    )
+    vocab = corpus.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], min_count)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    v_ref = ray.put(pa.array(vocab["token"], type=pa.string()))
+    stv = st.map_batches(
+        lambda t: t.filter(pc.is_in(t["token"], value_set=ray.get(v_ref))),
+        batch_format="pyarrow",
+    ).to_pandas()
+
+    tot = float(vocab["cnt"].sum())
+    p_c = vocab.set_index("token")["cnt"] / tot
+    out_rows = []
+    for source, grp in stv.groupby("source"):
+        ts = float(grp["cnt"].sum())
+        p_s = grp["cnt"].to_numpy(dtype=np.float64) / ts
+        pc_ = p_c.loc[grp["token"]].to_numpy(dtype=np.float64)
+        out_rows.append((source, round(float(np.sum(p_s * np.log(p_s / pc_))), 6)))
+    return pd.DataFrame(out_rows, columns=["source", "kl"]).sort_values(
+        "source"
+    ).reset_index(drop=True)
+
+
+SQL_DOC_SOURCE_KL = rf"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+vocab AS (SELECT token, c FROM cnt WHERE c >= {UNIGRAM_MIN_COUNT}),
+st AS (SELECT source, token, COUNT(*) AS cs FROM tok GROUP BY source, token),
+stv AS (SELECT s.source, s.token, s.cs, v.c FROM st s JOIN vocab v USING (token)),
+tots AS (SELECT source, SUM(cs) AS ts FROM stv GROUP BY source),
+tot AS (SELECT SUM(c) AS t FROM vocab)
+SELECT s.source AS source,
+       ROUND(SUM((s.cs * 1.0 / ts.ts)
+                 * ln((s.cs * 1.0 / ts.ts) / (s.c * 1.0 / (SELECT t FROM tot)))),
+             6) AS kl
+FROM stv s JOIN tots ts USING (source)
+GROUP BY s.source
+"""
+
+
+def q_doc_similar_topk(sf_dir: str):
+    """Similarity RETRIEVAL (not just pair listing): for every doc, its
+    top-3 most-similar other docs by exact token-set Jaccard among
+    pairs ≥ 2/5 — the "show me near-neighbors of this document" verb,
+    composed from the audited exact-pairs engine + the partial-topk
+    shuffle (≤ k rows per group per block cross the wire).  Ties break
+    on neighbor id; similarity is reported rounded, ranked unrounded
+    (both sides rank the identical IEEE double inter/uni)."""
+    from ..stages.topk import topk_per_group
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    pairs = all_pairs_jaccard(docs, 2, 5, use_token_sets=True)
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        inter = batch["inter"].to_numpy(zero_copy_only=False)
+        uni = batch["uni"].to_numpy(zero_copy_only=False)
+        sim = inter / uni
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "nbr": pa.array(np.concatenate([b, a]), type=pa.int64()),
+                "sim_key": pa.array(np.concatenate([sim, sim]),
+                                    type=pa.float64()),
+            }
+        )
+
+    sym = pairs.map_batches(symmetrize, batch_format="pyarrow")
+    ranked = topk_per_group(sym, "src", "sim_key", 3, "nbr")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch["src"],
+                "nbr": batch["nbr"],
+                "sim": pa.array(
+                    np.round(batch["sim_key"].to_numpy(zero_copy_only=False), 6),
+                    type=pa.float64(),
+                ),
+                "rank": batch["rank"],
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DOC_SIMILAR_TOPK = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS src, b.doc_id AS nbr,
+         len(list_intersect(a.toks, b.toks))                             AS inter,
+         len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS uni
+  FROM t a JOIN t b ON a.doc_id <> b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks)) * 5
+        >= 2 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+)
+SELECT src, nbr, ROUND(inter * 1.0 / uni, 6) AS sim, rank
+FROM (
+  SELECT src, nbr, inter, uni,
+         ROW_NUMBER() OVER (
+           PARTITION BY src ORDER BY inter * 1.0 / uni DESC, nbr
+         ) AS rank
+  FROM p
+)
+WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 
@@ -5152,6 +5615,8 @@ def ray_queries() -> dict:
         "events_hopping": q_events_hopping,
         "order_priority_revenue": q_order_priority_revenue,
         "orders_monthly": q_orders_monthly,
+        "orders_rollup": q_orders_rollup,
+        "shipping_priority": q_shipping_priority,
         "doc_quality": q_doc_quality,
         "doc_bpe_tokens": q_doc_bpe_tokens,
         "doc_split": q_doc_split,
@@ -5186,6 +5651,9 @@ def ray_queries() -> dict:
         "doc_lang_len_quantiles": q_doc_lang_len_quantiles,
         "doc_best_of_cluster": q_doc_best_of_cluster,
         "doc_unigram_logprob": q_doc_unigram_logprob,
+        "doc_bigram_logprob": q_doc_bigram_logprob,
+        "doc_source_kl": q_doc_source_kl,
+        "doc_similar_topk": q_doc_similar_topk,
         "doc_dsir_weights": q_doc_dsir_weights,
         "doc_repetition": q_doc_repetition,
         "doc_stratified_sample": q_doc_stratified_sample,
@@ -5262,6 +5730,8 @@ def oracle_sqls() -> dict:
         "events_hopping": SQL_EVENTS_HOPPING,
         "order_priority_revenue": SQL_ORDER_PRIORITY_REVENUE,
         "orders_monthly": SQL_ORDERS_MONTHLY,
+        "orders_rollup": SQL_ORDERS_ROLLUP,
+        "shipping_priority": SQL_SHIPPING_PRIORITY,
         "doc_quality": SQL_DOC_QUALITY,
         "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
         "doc_split": SQL_DOC_SPLIT,
@@ -5296,6 +5766,9 @@ def oracle_sqls() -> dict:
         "doc_lang_len_quantiles": SQL_DOC_LANG_LEN_QUANTILES,
         "doc_best_of_cluster": SQL_DOC_BEST_OF_CLUSTER,
         "doc_unigram_logprob": SQL_DOC_UNIGRAM_LOGPROB,
+        "doc_bigram_logprob": SQL_DOC_BIGRAM_LOGPROB,
+        "doc_source_kl": SQL_DOC_SOURCE_KL,
+        "doc_similar_topk": SQL_DOC_SIMILAR_TOPK,
         "doc_dsir_weights": SQL_DOC_DSIR_WEIGHTS,
         "doc_repetition": SQL_DOC_REPETITION,
         "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,

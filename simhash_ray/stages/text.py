@@ -183,6 +183,136 @@ def make_unigram_scorer(freq_ref, total: int, text_col: str = "text",
     return score
 
 
+def bigram_counts(docs, text_col: str = "text"):
+    """Corpus bigram counts (adjacent lower+whitespace token pairs
+    WITHIN each document, every occurrence): per-batch value_counts
+    partials → one groupby sum.  A bigram is keyed as ``'u v'`` —
+    tokens are whitespace-free by construction, so the single space is
+    an unambiguous separator (and what the SQL oracle concatenates).
+
+    Like :func:`unigram_token_counts` the result is the DISTRIBUTED
+    (bg, cnt) relation; on web-scale text the distinct-bigram tail is
+    unbounded, so callers must bound it before any collect/broadcast
+    (see queries.q_doc_bigram_logprob)."""
+    from ray.data.aggregate import Sum
+
+    empty = pa.table(
+        {"bg": pa.array([], type=pa.string()),
+         "cnt": pa.array([], type=pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ft = tokens_flat(batch[text_col])
+        if len(ft.flat) < 2:
+            return empty
+        flat = (
+            ft.flat.combine_chunks()
+            if isinstance(ft.flat, pa.ChunkedArray)
+            else ft.flat
+        )
+        same_row = ft.row_of[1:] == ft.row_of[:-1]
+        if not same_row.any():
+            return empty
+        mask = pa.array(same_row)
+        left = flat.slice(0, len(flat) - 1).filter(mask)
+        right = flat.slice(1).filter(mask)
+        bg = pc.binary_join_element_wise(left, right, " ")
+        vc = pd.Series(bg.to_numpy(zero_copy_only=False)).value_counts()
+        return pa.table(
+            {
+                "bg": pa.array(vc.index.to_numpy(dtype=object), type=pa.string()),
+                "cnt": pa.array(vc.to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bg")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def bigram_left_counts(bigrams):
+    """Context counts c(u) = Σ_v c(u v), derived DISTRIBUTEDLY from the
+    (bg, cnt) relation (one narrow map + one groupby; the unbounded
+    distinct-token tail never leaves the object store)."""
+    from ray.data.aggregate import Sum
+
+    def extract(batch: pa.Table) -> pa.Table:
+        u = pc.list_element(pc.split_pattern(batch["bg"], " "), 0)
+        return pa.table({"u": u, "cnt": batch["cnt"]})
+
+    return (
+        bigrams.map_batches(extract, batch_format="pyarrow")
+        .groupby("u")
+        .aggregate(Sum("cnt", alias_name="cnt_u"))
+    )
+
+
+def make_bigram_scorer(cnt_ref, left_ref, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Batch scorer: mean ln(c(u v) / c(u)) over a doc's IN-VOCAB
+    bigram occurrences — the bigram-LM (MLE conditional) quality
+    signal, the order-2 counterpart of :func:`make_unigram_scorer`
+    (KenLM-style fluency filters are n-gram LMs; order 2 keeps the
+    oracle exactly replayable).  ``cnt_ref``/``left_ref`` = ray.put
+    pandas Series ``'u v'`` → corpus count and ``u`` → Σ_v c(u v),
+    both BOUNDED by the caller.  Out-of-vocab bigrams are excluded
+    from the average; docs with zero in-vocab bigrams are dropped
+    (mirrored by the SQL oracle's vocab join)."""
+    import ray
+
+    def score(batch: pa.Table) -> pa.Table:
+        cnt = ray.get(cnt_ref)
+        left = ray.get(left_ref)
+        ft = tokens_flat(batch[text_col])
+        n = batch.num_rows
+        empty = pa.table(
+            {id_col: pa.array([], type=batch[id_col].type),
+             "avg_bigram_logprob": pa.array([], type=pa.float64())}
+        )
+        if len(ft.flat) < 2:
+            return empty
+        flat = (
+            ft.flat.combine_chunks()
+            if isinstance(ft.flat, pa.ChunkedArray)
+            else ft.flat
+        )
+        same_row = ft.row_of[1:] == ft.row_of[:-1]
+        if not same_row.any():
+            return empty
+        mask = pa.array(same_row)
+        lt = flat.slice(0, len(flat) - 1).filter(mask)
+        rt = flat.slice(1).filter(mask)
+        bg = pc.binary_join_element_wise(lt, rt, " ").to_numpy(
+            zero_copy_only=False
+        )
+        row_of = ft.row_of[:-1][same_row]
+        c = pd.Series(bg).map(cnt).to_numpy(dtype=np.float64)
+        in_vocab = ~np.isnan(c)
+        if not in_vocab.any():
+            return empty
+        row_of, c = row_of[in_vocab], c[in_vocab]
+        u = pd.Series(lt.filter(pa.array(in_vocab)).to_numpy(
+            zero_copy_only=False
+        )).map(left).to_numpy(dtype=np.float64)
+        logp = np.log(c / u)
+        sums = np.bincount(row_of, weights=logp, minlength=n)
+        nbg = np.bincount(row_of, minlength=n)
+        nonempty = nbg > 0
+        return pa.table(
+            {
+                id_col: batch[id_col].filter(pa.array(nonempty)),
+                "avg_bigram_logprob": pa.array(
+                    np.round(sums[nonempty] / nbg[nonempty], 6),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return score
+
+
 # PII-redaction patterns (RE2-compatible; the DuckDB oracle runs the
 # IDENTICAL strings through regexp_replace, so semantics can't drift).
 # Applied IN ORDER, counting matches on the current text before each
