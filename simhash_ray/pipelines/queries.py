@@ -5597,6 +5597,231 @@ WHERE rank <= 3
 """
 
 
+def q_images_hamming_topk(sf_dir: str):
+    """Hamming-space similarity RETRIEVAL over image signatures: for
+    each of the 20 lowest-id images, the 5 nearest OTHER images by
+    popcount(phash XOR phash) — the image twin of embed_topk (dense
+    cosine) in the bit-signature space the dedup pipelines shuffle.
+
+    Shape: query signatures broadcast once (ray.put), each corpus
+    batch computes the 20×batch SWAR-popcount matrix and emits ONLY
+    its per-query top-5 (≤ queries × k rows per block cross the
+    shuffle), merged by the partial-topk stage.  Both the corpus
+    signature table and the query set are staged; DuckDB re-derives
+    every distance and rank independently."""
+    from ..simhash import hamming64
+    from ..stages.topk import topk_per_group
+
+    sigs = read_images_fixture(sf_dir, columns=["image_id", "phash"])
+    _stage(sigs, "hamming_base")
+    qdf = sigs.sort("image_id").limit(20).to_pandas()
+    _stage_df = pa.table(
+        {"image_id": pa.array(qdf["image_id"], type=pa.string()),
+         "phash": pa.array(qdf["phash"], type=pa.int64())}
+    )
+    import ray.data as _rd
+
+    _stage(_rd.from_arrow(_stage_df), "hamming_queries")
+    q_ids = qdf["image_id"].to_numpy(dtype=object)
+    q_hash = qdf["phash"].to_numpy().view(np.uint64)
+    q_ref = ray.put((q_ids, q_hash))
+    k = 5
+
+    empty = pa.table(
+        {"qid": pa.array([], type=pa.string()),
+         "nbr": pa.array([], type=pa.string()),
+         "dist": pa.array([], type=pa.int64()),
+         "neg": pa.array([], type=pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qi, qh = ray.get(q_ref)
+        m = batch.num_rows
+        if m == 0:
+            return empty
+        c_ids = batch["image_id"].to_numpy(zero_copy_only=False)
+        c_hash = batch["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        self_pos = pd.Index(c_ids).get_indexer(qi)  # -1 when absent
+        out_q, out_n, out_d = [], [], []
+        for j in range(len(qi)):
+            dist = hamming64(np.full(m, qh[j], dtype=np.uint64), c_hash)
+            if self_pos[j] >= 0:
+                dist[self_pos[j]] = 65  # self never a neighbor
+            top = min(k, m)
+            # smallest by (dist, nbr): lexsort is exact; cap to top-k
+            order = np.lexsort((c_ids, dist))[:top]
+            keep = dist[order] < 65
+            order = order[keep]
+            out_q.append(np.full(len(order), qi[j], dtype=object))
+            out_n.append(c_ids[order])
+            out_d.append(dist[order])
+        dists = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), type=pa.string()),
+                "nbr": pa.array(np.concatenate(out_n), type=pa.string()),
+                "dist": pa.array(dists, type=pa.int64()),
+                "neg": pa.array(-dists, type=pa.int64()),
+            }
+        )
+
+    parts = sigs.map_batches(partial, batch_format="pyarrow")
+    ranked = topk_per_group(parts, "qid", "neg", k, "nbr")
+    return ranked.select_columns(["qid", "nbr", "dist", "rank"])
+
+
+SQL_IMAGES_HAMMING_TOPK = f"""
+WITH q AS (SELECT image_id AS qid, phash AS qh
+           FROM read_parquet('{_staged("hamming_queries")}')),
+c AS (SELECT image_id, phash FROM read_parquet('{_staged("hamming_base")}')),
+d AS (
+  SELECT qid, c.image_id AS nbr, bit_count(xor(qh, c.phash)) AS dist
+  FROM q JOIN c ON c.image_id <> q.qid
+)
+SELECT qid, nbr, dist, rank
+FROM (
+  SELECT qid, nbr, dist,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nbr) AS rank
+  FROM d
+)
+WHERE rank <= 5
+"""
+
+
+def q_images_dedup_report(sf_dir: str):
+    """Dedup ANALYTICS over the image-flagship assignment (the image
+    twin of q_doc_dedup_report): per-format image count, duplicate
+    count (non-representatives) and dup rate.  One session-sized
+    narrow hash join (assignment ↔ (image_id, fmt)) + per-block
+    partial counts into a tiny fmt groupby; both the assignment and
+    the fmt base are staged (the fixture is not a driver view) and
+    DuckDB re-joins and re-derives every aggregate."""
+    res = _flagship_dedup(fixture_dir_for_sf(sf_dir))
+    assign = res.assignment.materialize()
+    _stage(
+        assign.map_batches(
+            lambda t: t.select(["image_id", "is_representative"]),
+            batch_format="pyarrow",
+        ),
+        "images_dedup_report_assign",
+    )
+    fmts = read_images_fixture(sf_dir, columns=["image_id", "fmt"])
+    _stage(fmts, "images_dedup_report_base")
+
+    jn = int(max(2, ray.cluster_resources().get("CPU", 8) // 2))
+    joined = assign.join(
+        fmts,
+        join_type="inner",
+        num_partitions=jn,
+        on=("image_id",),
+        aggregator_ray_remote_args={"num_cpus": 0.5},
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "fmt": t["fmt"].to_numpy(zero_copy_only=False),
+                "dup": ~t["is_representative"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("fmt", as_index=False).agg(
+            n_images=("dup", "size"), n_dups=("dup", "sum")
+        )
+        return pa.table(
+            {
+                "fmt": pa.array(g["fmt"], type=pa.string()),
+                "n_images": pa.array(g["n_images"].astype(np.int64)),
+                "n_dups": pa.array(g["n_dups"].astype(np.int64)),
+            }
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(Sum("n_images", alias_name="n_images"),
+                   Sum("n_dups", alias_name="n_dups"))
+    )
+
+    def rate(t: pa.Table) -> pa.Table:
+        ni = t["n_images"].to_numpy(zero_copy_only=False).astype(np.float64)
+        du = t["n_dups"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("dup_rate", pa.array(du / ni))
+
+    return out.map_batches(rate, batch_format="pyarrow")
+
+
+SQL_IMAGES_DEDUP_REPORT = f"""
+SELECT b.fmt,
+       COUNT(*) AS n_images,
+       CAST(SUM(CASE WHEN a.is_representative THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_dups,
+       SUM(CASE WHEN a.is_representative THEN 0 ELSE 1 END)
+           / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM read_parquet('{_staged("images_dedup_report_assign")}') a
+JOIN read_parquet('{_staged("images_dedup_report_base")}') b USING (image_id)
+GROUP BY b.fmt
+"""
+
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def q_doc_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006): keep the k docs with the largest key
+    u^(1/w) — equivalently ln(u)/w — where w = n_chars and u is the
+    md5-u32 fraction of the doc id (the repo's standard RNG-free
+    variate, replayed by DuckDB's md5()).  The quality-weighted
+    sampling verb curation mixes use ("sample proportional to
+    length/quality score"), partition-invariant by construction.
+
+    Scale shape: keys are computed streaming; each block forwards at
+    most k rows (partial top-k), so the merge sees ≤ k × blocks rows
+    — no global sort."""
+    from ..functions.hashing import md5_u32_of_int_ids
+    from ..stages.topk import topk_per_group
+
+    docs = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    k = WEIGHTED_SAMPLE_K
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["n_chars"], 0))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (md5_u32_of_int_ids(ids).astype(np.float64) + 0.5) / 4294967296.0
+        key = np.log(u) / w
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "key": pa.array(key, type=pa.float64()),
+            }
+        )
+
+    ranked = topk_per_group(
+        docs.map_batches(keyed, batch_format="pyarrow"), "g", "key", k, "doc_id"
+    )
+    return ranked.select_columns(["doc_id", "n_chars", "rank"])
+
+
+SQL_DOC_WEIGHTED_SAMPLE = f"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) + 0.5) / 4294967296.0) / n_chars AS key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, rank
+FROM (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rank
+  FROM k
+)
+WHERE rank <= {WEIGHTED_SAMPLE_K}
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5616,6 +5841,7 @@ def ray_queries() -> dict:
         "order_priority_revenue": q_order_priority_revenue,
         "orders_monthly": q_orders_monthly,
         "orders_rollup": q_orders_rollup,
+        "doc_weighted_sample": q_doc_weighted_sample,
         "shipping_priority": q_shipping_priority,
         "doc_quality": q_doc_quality,
         "doc_bpe_tokens": q_doc_bpe_tokens,
@@ -5701,6 +5927,8 @@ def ray_queries() -> dict:
         "doc_langid_score": q_doc_langid_score,
         "images_signatures": q_images_signatures,
         "images_dedup": q_images_dedup,
+        "images_dedup_report": q_images_dedup_report,
+        "images_hamming_topk": q_images_hamming_topk,
         "images_dedup_dihedral": q_images_dedup_dihedral,
         "images_dedup_truth": q_images_dedup_truth,
         "images_dedup_incremental": q_images_dedup_incremental,
@@ -5731,6 +5959,7 @@ def oracle_sqls() -> dict:
         "order_priority_revenue": SQL_ORDER_PRIORITY_REVENUE,
         "orders_monthly": SQL_ORDERS_MONTHLY,
         "orders_rollup": SQL_ORDERS_ROLLUP,
+        "doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "doc_quality": SQL_DOC_QUALITY,
         "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
@@ -5820,6 +6049,8 @@ def oracle_sqls() -> dict:
         "doc_redact": SQL_DOC_REDACT,
         "doc_curation_pipeline": SQL_DOC_CURATION_PIPELINE,
         "images_dedup": SQL_IMAGES_DEDUP,
+        "images_dedup_report": SQL_IMAGES_DEDUP_REPORT,
+        "images_hamming_topk": SQL_IMAGES_HAMMING_TOPK,
         "images_dedup_dihedral": SQL_IMAGES_DEDUP_DIHEDRAL,
         "images_survivor_invariant": SQL_IMAGES_SURVIVOR_INVARIANT,
         "images_stats": SQL_IMAGES_STATS,
