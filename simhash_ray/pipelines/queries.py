@@ -5822,6 +5822,87 @@ WHERE rank <= {WEIGHTED_SAMPLE_K}
 """
 
 
+def q_images_cluster_sizes(sf_dir: str):
+    """Cluster-size histogram of the flagship assignment — (size,
+    n_clusters) rows, the distribution a dedup run is judged by
+    (mass in big clusters = hot near-dup groups; a heavy tail is the
+    skew signal the banding's hot-bucket guards exist for).  Two
+    narrow groupbys (cluster_id count → size count); the assignment is
+    staged and DuckDB re-derives both independently."""
+    from ray.data.aggregate import Count as _Count
+
+    assign = _flagship_dedup(fixture_dir_for_sf(sf_dir)).assignment.materialize()
+    _stage(
+        assign.map_batches(
+            lambda t: t.select(["image_id", "cluster_id"]),
+            batch_format="pyarrow",
+        ),
+        "images_cluster_sizes_assign",
+    )
+    sizes = assign.groupby("cluster_id").aggregate(
+        _Count(alias_name="cluster_size")
+    )
+    return (
+        sizes.groupby("cluster_size")
+        .aggregate(_Count(alias_name="n_clusters"))
+        .select_columns(["cluster_size", "n_clusters"])
+    )
+
+
+SQL_IMAGES_CLUSTER_SIZES = f"""
+SELECT cluster_size, COUNT(*) AS n_clusters
+FROM (
+  SELECT cluster_id, COUNT(*) AS cluster_size
+  FROM read_parquet('{_staged("images_cluster_sizes_assign")}')
+  GROUP BY cluster_id
+)
+GROUP BY cluster_size
+"""
+
+
+def q_images_sig_bitstats(sf_dir: str):
+    """Per-bit-position balance of the corpus phash signatures: for
+    each of the 64 lanes, how many signatures have the bit set.  THE
+    banding health diagnostic — a lane pinned near 0 or n means band
+    keys built from it carry no entropy, the exact degeneration mode
+    the round-4 hyperplane-LSH fix addressed (BASELINE.md); running it
+    over a new corpus is how an operator picks band widths before a
+    100-TB dedup.  One streaming pass of 64-lane partial sums (a
+    64-row table per block) folded through a tiny groupby; bit j is
+    extracted as ``(phash >> j) & 1`` — identical on both sides
+    because bit 0 of a shifted value is unaffected by arithmetic vs
+    logical shift semantics."""
+    from ray.data.aggregate import Sum as _Sum
+
+    sigs = read_images_fixture(sf_dir, columns=["image_id", "phash"])
+    _stage(sigs, "images_bitstats_base")
+    bits = np.arange(64, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = batch["phash"].to_numpy(zero_copy_only=False)
+        n_set = np.array(
+            [int(((h >> j) & 1).sum()) for j in range(64)], dtype=np.int64
+        )
+        return pa.table(
+            {"bit": pa.array(bits), "n_set": pa.array(n_set)}
+        )
+
+    return (
+        sigs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bit")
+        .aggregate(_Sum("n_set", alias_name="n_set"))
+    )
+
+
+SQL_IMAGES_SIG_BITSTATS = f"""
+SELECT CAST(j AS BIGINT) AS bit,
+       SUM((phash >> CAST(j AS INT)) & 1) AS n_set
+FROM read_parquet('{_staged("images_bitstats_base")}')
+CROSS JOIN (SELECT unnest(range(64)) AS j) jj
+GROUP BY j
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5928,6 +6009,8 @@ def ray_queries() -> dict:
         "images_signatures": q_images_signatures,
         "images_dedup": q_images_dedup,
         "images_dedup_report": q_images_dedup_report,
+        "images_cluster_sizes": q_images_cluster_sizes,
+        "images_sig_bitstats": q_images_sig_bitstats,
         "images_hamming_topk": q_images_hamming_topk,
         "images_dedup_dihedral": q_images_dedup_dihedral,
         "images_dedup_truth": q_images_dedup_truth,
@@ -6050,6 +6133,8 @@ def oracle_sqls() -> dict:
         "doc_curation_pipeline": SQL_DOC_CURATION_PIPELINE,
         "images_dedup": SQL_IMAGES_DEDUP,
         "images_dedup_report": SQL_IMAGES_DEDUP_REPORT,
+        "images_cluster_sizes": SQL_IMAGES_CLUSTER_SIZES,
+        "images_sig_bitstats": SQL_IMAGES_SIG_BITSTATS,
         "images_hamming_topk": SQL_IMAGES_HAMMING_TOPK,
         "images_dedup_dihedral": SQL_IMAGES_DEDUP_DIHEDRAL,
         "images_survivor_invariant": SQL_IMAGES_SURVIVOR_INVARIANT,

@@ -85,3 +85,25 @@ def test_images_dedup_report_consistent_with_assignment():
         assert abs(
             got.loc[fmt, "dup_rate"] - row["n_dups"] / row["n_images"]
         ) < 1e-12
+
+
+def test_images_cluster_sizes_mass_conservation():
+    from simhash_ray.pipelines.queries import q_images_cluster_sizes, read_images_fixture
+
+    hist = q_images_cluster_sizes(SF_DIR).to_pandas()
+    n = len(read_images_fixture(SF_DIR, columns=["image_id"]).to_pandas())
+    assert int((hist["cluster_size"] * hist["n_clusters"]).sum()) == n
+    assert (hist["cluster_size"] >= 1).all()
+
+
+def test_images_sig_bitstats_totals():
+    from simhash_ray.pipelines.queries import q_images_sig_bitstats, read_images_fixture
+
+    stats = q_images_sig_bitstats(SF_DIR).to_pandas()
+    assert len(stats) == 64
+    h = read_images_fixture(SF_DIR, columns=["image_id", "phash"]).to_pandas()[
+        "phash"
+    ].to_numpy().view(np.uint64)
+    total_pop = sum(bin(int(x)).count("1") for x in h)
+    assert int(stats["n_set"].sum()) == total_pop
+    assert (stats["n_set"] <= len(h)).all()
