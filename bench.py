@@ -463,6 +463,23 @@ def _run_bench() -> dict:
             n_images / timings["caption_span_dedup"], 1
         )
 
+        # Hamming-space retrieval: 20 broadcast queries × full corpus,
+        # per-block SWAR-popcount matrix + partial top-k (the operator
+        # scans every signature once; rate = corpus rows / wall time)
+        def run_hamming_topk():
+            from simhash_ray.stages.ann import hamming_topk
+
+            _qdf, ranked = hamming_topk(
+                read_images(columns=["image_id", "phash"]), n_queries=20, k=5
+            )
+            return ranked.count()
+
+        n_ham = timed("hamming_topk", run_hamming_topk)
+        assert n_ham == 20 * 5, n_ham
+        timings["hamming_topk_images_per_sec"] = round(
+            n_images / timings["hamming_topk"], 1
+        )
+
     # untimed: score the headline run's cluster assignment against the
     # fixture's planted-duplicate truth table (the north rule's
     # "dup-pair recall >= 0.99" criterion, measured per bench run, not

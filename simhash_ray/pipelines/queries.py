@@ -5602,72 +5602,28 @@ def q_images_hamming_topk(sf_dir: str):
     each of the 20 lowest-id images, the 5 nearest OTHER images by
     popcount(phash XOR phash) — the image twin of embed_topk (dense
     cosine) in the bit-signature space the dedup pipelines shuffle.
+    Core = :func:`simhash_ray.stages.ann.hamming_topk` (broadcast query
+    set, per-block SWAR-popcount matrix, ≤ queries × k rows per block
+    into the partial-topk merge).  Both the corpus signature table and
+    the query set are staged; DuckDB re-derives every distance and
+    rank independently."""
+    import ray.data as _rd
 
-    Shape: query signatures broadcast once (ray.put), each corpus
-    batch computes the 20×batch SWAR-popcount matrix and emits ONLY
-    its per-query top-5 (≤ queries × k rows per block cross the
-    shuffle), merged by the partial-topk stage.  Both the corpus
-    signature table and the query set are staged; DuckDB re-derives
-    every distance and rank independently."""
-    from ..simhash import hamming64
-    from ..stages.topk import topk_per_group
+    from ..stages.ann import hamming_topk
 
     sigs = read_images_fixture(sf_dir, columns=["image_id", "phash"])
     _stage(sigs, "hamming_base")
-    qdf = sigs.sort("image_id").limit(20).to_pandas()
-    _stage_df = pa.table(
-        {"image_id": pa.array(qdf["image_id"], type=pa.string()),
-         "phash": pa.array(qdf["phash"], type=pa.int64())}
+    qdf, ranked = hamming_topk(sigs, n_queries=20, k=5)
+    _stage(
+        _rd.from_arrow(
+            pa.table(
+                {"image_id": pa.array(qdf["image_id"], type=pa.string()),
+                 "phash": pa.array(qdf["phash"], type=pa.int64())}
+            )
+        ),
+        "hamming_queries",
     )
-    import ray.data as _rd
-
-    _stage(_rd.from_arrow(_stage_df), "hamming_queries")
-    q_ids = qdf["image_id"].to_numpy(dtype=object)
-    q_hash = qdf["phash"].to_numpy().view(np.uint64)
-    q_ref = ray.put((q_ids, q_hash))
-    k = 5
-
-    empty = pa.table(
-        {"qid": pa.array([], type=pa.string()),
-         "nbr": pa.array([], type=pa.string()),
-         "dist": pa.array([], type=pa.int64()),
-         "neg": pa.array([], type=pa.int64())}
-    )
-
-    def partial(batch: pa.Table) -> pa.Table:
-        qi, qh = ray.get(q_ref)
-        m = batch.num_rows
-        if m == 0:
-            return empty
-        c_ids = batch["image_id"].to_numpy(zero_copy_only=False)
-        c_hash = batch["phash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        self_pos = pd.Index(c_ids).get_indexer(qi)  # -1 when absent
-        out_q, out_n, out_d = [], [], []
-        for j in range(len(qi)):
-            dist = hamming64(np.full(m, qh[j], dtype=np.uint64), c_hash)
-            if self_pos[j] >= 0:
-                dist[self_pos[j]] = 65  # self never a neighbor
-            top = min(k, m)
-            # smallest by (dist, nbr): lexsort is exact; cap to top-k
-            order = np.lexsort((c_ids, dist))[:top]
-            keep = dist[order] < 65
-            order = order[keep]
-            out_q.append(np.full(len(order), qi[j], dtype=object))
-            out_n.append(c_ids[order])
-            out_d.append(dist[order])
-        dists = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
-        return pa.table(
-            {
-                "qid": pa.array(np.concatenate(out_q), type=pa.string()),
-                "nbr": pa.array(np.concatenate(out_n), type=pa.string()),
-                "dist": pa.array(dists, type=pa.int64()),
-                "neg": pa.array(-dists, type=pa.int64()),
-            }
-        )
-
-    parts = sigs.map_batches(partial, batch_format="pyarrow")
-    ranked = topk_per_group(parts, "qid", "neg", k, "nbr")
-    return ranked.select_columns(["qid", "nbr", "dist", "rank"])
+    return ranked
 
 
 SQL_IMAGES_HAMMING_TOPK = f"""

@@ -1318,3 +1318,74 @@ def ivf_topk(
         lloyd_iters=lloyd_iters, seed=seed, concurrency=concurrency,
     )
     return _bucketed_scan_topk(assigned, ref, k, id_col, vec_col, bucket_col="cent")
+
+
+def hamming_topk(
+    sigs: rd.Dataset,
+    n_queries: int = 20,
+    k: int = 5,
+    id_col: str = "image_id",
+    sig_col: str = "phash",
+):
+    """Similarity retrieval in Hamming space: per query signature the
+    k nearest OTHER rows by popcount(sig XOR sig) — the bit-signature
+    twin of :func:`brute_force_topk`.  Queries = the ``n_queries``
+    lowest ids (deterministic), broadcast once via ``ray.put``; each
+    corpus block computes the queries × batch SWAR-popcount matrix and
+    forwards ONLY its per-query top-k (≤ n_queries × k rows per block
+    through the partial-topk merge — no all-pairs relation ever
+    materializes).  Ties break on neighbor id ascending, matching a
+    SQL ``ROW_NUMBER() OVER (... ORDER BY dist, nbr)``.
+
+    Returns ``(query_df, ranked)``: the pandas query table (for oracle
+    staging) and a Dataset of (qid, nbr, dist, rank)."""
+    import pandas as pd
+
+    from ..simhash import hamming64
+    from .topk import topk_per_group
+
+    qdf = sigs.sort(id_col).limit(n_queries).to_pandas()
+    q_ids = qdf[id_col].to_numpy(dtype=object)
+    q_hash = qdf[sig_col].to_numpy().view(np.uint64)
+    q_ref = ray.put((q_ids, q_hash))
+
+    empty = pa.table(
+        {"qid": pa.array([], type=pa.string()),
+         "nbr": pa.array([], type=pa.string()),
+         "dist": pa.array([], type=pa.int64()),
+         "neg": pa.array([], type=pa.int64())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qi, qh = ray.get(q_ref)
+        m = batch.num_rows
+        if m == 0:
+            return empty
+        c_ids = batch[id_col].to_numpy(zero_copy_only=False)
+        c_hash = batch[sig_col].to_numpy(zero_copy_only=False).view(np.uint64)
+        self_pos = pd.Index(c_ids).get_indexer(qi)  # -1 when absent
+        out_q, out_n, out_d = [], [], []
+        for j in range(len(qi)):
+            dist = hamming64(np.full(m, qh[j], dtype=np.uint64), c_hash)
+            if self_pos[j] >= 0:
+                dist[self_pos[j]] = 65  # self never a neighbor
+            order = np.lexsort((c_ids, dist))[: min(k, m)]
+            order = order[dist[order] < 65]
+            out_q.append(np.full(len(order), qi[j], dtype=object))
+            out_n.append(c_ids[order])
+            out_d.append(dist[order])
+        dists = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), type=pa.string()),
+                "nbr": pa.array(np.concatenate(out_n), type=pa.string()),
+                "dist": pa.array(dists, type=pa.int64()),
+                "neg": pa.array(-dists, type=pa.int64()),
+            }
+        )
+
+    parts = sigs.map_batches(partial, batch_format="pyarrow")
+    ranked = topk_per_group(parts, "qid", "neg", k, "nbr").select_columns(
+        ["qid", "nbr", "dist", "rank"]
+    )
+    return qdf, ranked
