@@ -5824,10 +5824,12 @@ def q_images_sig_bitstats(sf_dir: str):
     the round-4 hyperplane-LSH fix addressed (BASELINE.md); running it
     over a new corpus is how an operator picks band widths before a
     100-TB dedup.  One streaming pass of 64-lane partial sums (a
-    64-row table per block) folded through a tiny groupby; bit j is
-    extracted as ``(phash >> j) & 1`` — identical on both sides
-    because bit 0 of a shifted value is unaffected by arithmetic vs
-    logical shift semantics."""
+    64-row table per block) folded through a tiny groupby; the engine
+    extracts bit j from the uint64 two's-complement pattern; the SQL
+    side must do the same via HUGEINT (+2^64 for negatives, then
+    ``>> j % 2``) — DuckDB's BIGINT ``>>`` is NOT a bit-pattern shift
+    for negative inputs at high j (probed: ``-2 >> 63 & 1 = 0``),
+    which a naive oracle would silently inherit."""
     from ray.data.aggregate import Sum as _Sum
 
     sigs = read_images_fixture(sf_dir, columns=["image_id", "phash"])
@@ -5852,7 +5854,9 @@ def q_images_sig_bitstats(sf_dir: str):
 
 SQL_IMAGES_SIG_BITSTATS = f"""
 SELECT CAST(j AS BIGINT) AS bit,
-       SUM((phash >> CAST(j AS INT)) & 1) AS n_set
+       CAST(SUM(CAST(((CAST(phash AS HUGEINT)
+                  + CASE WHEN phash < 0 THEN 18446744073709551616 ELSE 0 END)
+                 >> CAST(j AS INT)) % 2 AS BIGINT)) AS BIGINT) AS n_set
 FROM read_parquet('{_staged("images_bitstats_base")}')
 CROSS JOIN (SELECT unnest(range(64)) AS j) jj
 GROUP BY j
