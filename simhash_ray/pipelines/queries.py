@@ -5863,6 +5863,60 @@ GROUP BY j
 """
 
 
+def q_events_transitions(sf_dir: str):
+    """Per-user event-type transition counts (the Markov transition
+    matrix of the event stream): every adjacent pair of a user's
+    (ts, id)-ordered events contributes one (from_type, to_type)
+    observation — stages/window.transition_counts (one user-hash
+    groupby, single np.unique pair count per partition, tiny final
+    groupby).  The oracle is the independent LAG-window formulation."""
+    from ..stages.window import transition_counts
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    return transition_counts(ev, n_parts=16)
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+)
+SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+FROM o WHERE prev IS NOT NULL
+GROUP BY prev, event_type
+"""
+
+
+def q_doc_lang_source_pivot(sf_dir: str):
+    """PIVOT verb: the lang × source document-count matrix (wide
+    layout, one column per source) — the corpus-composition dashboard
+    view.  One distributed (lang, source) groupby; the reshape runs on
+    the driver over the bounded |langs| × |sources| leaf table.  The
+    oracle is DuckDB's native PIVOT, so column naming and 0-fill
+    semantics are cross-checked, not self-defined."""
+    from ray.data.aggregate import Count as _Count
+
+    docs = _docs(sf_dir, columns=["lang", "source"])
+    leaf = (
+        docs.groupby(["lang", "source"])
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+    )
+    wide = leaf.pivot_table(
+        index="lang", columns="source", values="n", fill_value=0
+    ).astype(np.int64)
+    wide = wide[sorted(wide.columns)].reset_index()
+    wide.columns.name = None
+    return wide
+
+
+SQL_DOC_LANG_SOURCE_PIVOT = """
+PIVOT documents ON source USING COUNT(*) GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -5920,6 +5974,7 @@ def ray_queries() -> dict:
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "doc_bigram_logprob": q_doc_bigram_logprob,
         "doc_source_kl": q_doc_source_kl,
+        "doc_lang_source_pivot": q_doc_lang_source_pivot,
         "doc_similar_topk": q_doc_similar_topk,
         "doc_dsir_weights": q_doc_dsir_weights,
         "doc_repetition": q_doc_repetition,
@@ -5949,6 +6004,7 @@ def ray_queries() -> dict:
         "doc_lang_rebalance": q_doc_lang_rebalance,
         "doc_dedup_report": q_doc_dedup_report,
         "events_window_dedup": q_events_window_dedup,
+        "events_transitions": q_events_transitions,
         "events_value_corr": q_events_value_corr,
         "doc_paragraph_dedup_unique": q_doc_paragraph_dedup_unique,
         "doc_quality_prune": q_doc_quality_prune,
@@ -6040,6 +6096,7 @@ def oracle_sqls() -> dict:
         "doc_unigram_logprob": SQL_DOC_UNIGRAM_LOGPROB,
         "doc_bigram_logprob": SQL_DOC_BIGRAM_LOGPROB,
         "doc_source_kl": SQL_DOC_SOURCE_KL,
+        "doc_lang_source_pivot": SQL_DOC_LANG_SOURCE_PIVOT,
         "doc_similar_topk": SQL_DOC_SIMILAR_TOPK,
         "doc_dsir_weights": SQL_DOC_DSIR_WEIGHTS,
         "doc_repetition": SQL_DOC_REPETITION,
@@ -6066,6 +6123,7 @@ def oracle_sqls() -> dict:
         "doc_lang_rebalance": SQL_DOC_LANG_REBALANCE,
         "doc_dedup_report": SQL_DOC_DEDUP_REPORT,
         "events_window_dedup": SQL_EVENTS_WINDOW_DEDUP,
+        "events_transitions": SQL_EVENTS_TRANSITIONS,
         "events_value_corr": SQL_EVENTS_VALUE_CORR,
         "doc_paragraph_dedup_unique": SQL_DOC_PARAGRAPH_DEDUP_UNIQUE,
         "doc_quality_prune": SQL_DOC_QUALITY_PRUNE,

@@ -598,3 +598,93 @@ def window_dedup(
         tag, batch_format="pyarrow"
     )
     return map_groups_typed(tagged, "part", per_part, empty())
+
+
+def transition_counts(
+    events: rd.Dataset,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Per-user consecutive event-type transition counts — the Markov
+    transition matrix of the event stream (the "what follows what"
+    statistic behind funnel design and anomaly dashboards).  LAG
+    semantics: each user's events are ordered by (ts, id) and every
+    adjacent pair contributes one (from_type, to_type) observation —
+    SQL's ``LAG(type) OVER (PARTITION BY user ORDER BY ts, id)``.
+
+    One coarse groupby on the user hash (a user's whole stream lands
+    in one partition); each partition factorizes types once and counts
+    pairs with a single np.unique over composite codes — no per-user
+    Python.  Partition partials (≤ |types|² rows each) fold through a
+    tiny (from_type, to_type) groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import part_of_ints, part_of_strings
+    from .base import map_groups_typed
+
+    keep_cols = [id_col, user_col, ts_col, type_col]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch[user_col]
+        if pa.types.is_integer(keys.type):
+            part = part_of_ints(
+                n_parts, keys.to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        else:
+            part = part_of_strings(
+                np.asarray(keys.to_numpy(zero_copy_only=False), dtype=object),
+                n_parts,
+            )
+        cols = {c: batch[c] for c in keep_cols}
+        cols[ts_col] = batch[ts_col].cast(pa.timestamp("us"))
+        cols["part"] = pa.array(part, type=pa.int32())
+        return pa.table(cols)
+
+    empty = pa.table(
+        {"from_type": pa.array([], type=pa.string()),
+         "to_type": pa.array([], type=pa.string()),
+         "n": pa.array([], type=pa.int64())}
+    )
+
+    def per_part(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return empty
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        ts_i = (
+            group[ts_col]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        users = group[user_col].to_numpy(zero_copy_only=False)
+        u_codes = pd.factorize(users, sort=False)[0]
+        t_codes, t_uniq = pd.factorize(
+            group[type_col].to_numpy(zero_copy_only=False), sort=False
+        )
+        order = np.lexsort((ids, ts_i, u_codes))
+        u_s, t_s = u_codes[order], t_codes[order]
+        adj = u_s[1:] == u_s[:-1]
+        if not adj.any():
+            return empty
+        k = len(t_uniq)
+        pair = t_s[:-1][adj].astype(np.int64) * k + t_s[1:][adj]
+        uniq, cnt = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "from_type": pa.array(t_uniq[uniq // k], type=pa.string()),
+                "to_type": pa.array(t_uniq[uniq % k], type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    tagged = events.select_columns(keep_cols).map_batches(
+        tag, batch_format="pyarrow"
+    )
+    partials = map_groups_typed(tagged, "part", per_part, empty)
+    return partials.groupby(["from_type", "to_type"]).aggregate(
+        Sum("n", alias_name="n")
+    )

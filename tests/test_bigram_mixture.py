@@ -124,3 +124,46 @@ def test_similar_topk_rank_semantics():
         sims = grp["sim"].to_numpy()
         assert (np.diff(sims) <= 1e-12).all()  # non-increasing by rank
         assert (grp["nbr"] != src).all()
+
+
+def test_transition_counts_matches_pandas_lag():
+    import ray.data as rd
+
+    from simhash_ray.stages.window import transition_counts
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "user_id": pa.array(rng.integers(0, 80, n), type=pa.int64()),
+            # duplicate timestamps on purpose: the id tie-break must decide
+            "ts": pa.array(
+                np.datetime64("2026-01-01") + rng.integers(0, 500, n)
+                .astype("timedelta64[s]").astype("timedelta64[us]"),
+                type=pa.timestamp("us"),
+            ),
+            "event_type": pa.array(
+                rng.choice(["view", "click", "purchase", "refund"], n),
+                type=pa.string(),
+            ),
+        }
+    )
+    got = (
+        transition_counts(rd.from_arrow(tbl).repartition(13), n_parts=8)
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    df["prev"] = df.groupby("user_id")["event_type"].shift(1)
+    want = (
+        df.dropna(subset=["prev"])
+        .groupby(["prev", "event_type"], as_index=False)
+        .size()
+        .rename(columns={"prev": "from_type", "event_type": "to_type",
+                         "size": "n"})
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
