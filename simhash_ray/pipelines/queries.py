@@ -5917,6 +5917,148 @@ PIVOT documents ON source USING COUNT(*) GROUP BY lang
 """
 
 
+def _week_trunc_us(ts: np.ndarray) -> np.ndarray:
+    """ISO Monday-start week truncation of datetime64[us] values —
+    exactly DuckDB's ``date_trunc('week', ts)`` (1970-01-01 was a
+    Thursday, so weekday = (epoch_days + 3) mod 7)."""
+    days = ts.astype("datetime64[D]")
+    d = days.view(np.int64)
+    wd = (d + 3) % 7
+    return (d - wd).view("datetime64[D]").astype("datetime64[us]")
+
+
+def q_events_cohorts(sf_dir: str, broadcast_limit: int | None = None):
+    """Cohort-retention matrix: users grouped by the week they were
+    first seen (cohort), counted as active in every week they emitted
+    an event — (cohort_week, activity_week, week_no, n_users) rows,
+    the classic retention triangle.
+
+    Shape: one MIN groupby builds the per-user cohort table (narrow:
+    n_users rows); distinct (user, week) activity pairs come from
+    per-batch np.unique partials through one groupby; cohorts attach
+    by broadcast lookup below ``broadcast_limit`` users and a
+    distributed hash join above it; the final (cohort, week) groupby
+    is bounded by weeks².  The oracle re-derives everything, including
+    DuckDB's Monday-start week truncation, which the engine mirrors
+    from epoch-day arithmetic."""
+    from ray.data.aggregate import Count as _Count, Min as _Min
+
+    limit = SEGMENT_BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    first = ev.groupby("user_id").aggregate(_Min("ts", alias_name="first_ts"))
+
+    def to_cohort(t: pa.Table) -> pa.Table:
+        ft = t["first_ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "cohort_week": pa.array(_week_trunc_us(ft), type=pa.timestamp("us")),
+            }
+        )
+
+    cohorts = first.map_batches(to_cohort, batch_format="pyarrow").materialize()
+
+    def activity_partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        wk = _week_trunc_us(ts)
+        df = pd.DataFrame(
+            {"user_id": t["user_id"].to_numpy(zero_copy_only=False),
+             "activity_week": wk}
+        ).drop_duplicates()
+        return pa.Table.from_pandas(
+            df, preserve_index=False,
+            schema=pa.schema([("user_id", pa.int64()),
+                              ("activity_week", pa.timestamp("us"))]),
+        )
+
+    activity = (
+        ev.map_batches(activity_partial, batch_format="pyarrow")
+        .groupby(["user_id", "activity_week"])
+        .aggregate(_Count(alias_name="_dup"))
+        .select_columns(["user_id", "activity_week"])
+    )
+
+    if cohorts.count() > limit:
+        jn = int(min(8, max(2, ray.cluster_resources().get("CPU", 8) // 2)))
+        joined = activity.join(
+            cohorts,
+            join_type="inner",
+            num_partitions=jn,
+            on=("user_id",),
+            aggregator_ray_remote_args={"num_cpus": 0.5},
+        )
+    else:
+        lut_ref = ray.put(cohorts.to_pandas().set_index("user_id")["cohort_week"])
+
+        def attach(t: pa.Table) -> pa.Table:
+            lut = ray.get(lut_ref)
+            cw = (
+                pd.Series(t["user_id"].to_numpy(zero_copy_only=False))
+                .map(lut)
+                .to_numpy()
+                .astype("datetime64[us]")
+            )
+            return t.append_column(
+                "cohort_week", pa.array(cw, type=pa.timestamp("us"))
+            )
+
+        joined = activity.map_batches(attach, batch_format="pyarrow")
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "cohort_week": t["cohort_week"].to_numpy(zero_copy_only=False),
+                "activity_week": t["activity_week"].to_numpy(zero_copy_only=False),
+                "n_users": np.ones(t.num_rows, dtype=np.int64),
+            }
+        )
+        agg = df.groupby(["cohort_week", "activity_week"], as_index=False).sum()
+        return pa.Table.from_pandas(
+            agg, preserve_index=False,
+            schema=pa.schema([("cohort_week", pa.timestamp("us")),
+                              ("activity_week", pa.timestamp("us")),
+                              ("n_users", pa.int64())]),
+        )
+
+    out = (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["cohort_week", "activity_week"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cw = t["cohort_week"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        aw = t["activity_week"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        wk = ((aw.view(np.int64) - cw.view(np.int64)) // 7).astype(np.int64)
+        return pa.table(
+            {
+                "cohort_week": t["cohort_week"],
+                "activity_week": t["activity_week"],
+                "week_no": pa.array(wk, type=pa.int64()),
+                "n_users": t["n_users"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_COHORTS = """
+WITH f AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+      FROM events)
+SELECT cohort_week, activity_week,
+       CAST(date_diff('day', cohort_week, activity_week) // 7 AS BIGINT)
+         AS week_no,
+       COUNT(*) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY cohort_week, activity_week
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6005,6 +6147,7 @@ def ray_queries() -> dict:
         "doc_dedup_report": q_doc_dedup_report,
         "events_window_dedup": q_events_window_dedup,
         "events_transitions": q_events_transitions,
+        "events_cohorts": q_events_cohorts,
         "events_value_corr": q_events_value_corr,
         "doc_paragraph_dedup_unique": q_doc_paragraph_dedup_unique,
         "doc_quality_prune": q_doc_quality_prune,
@@ -6124,6 +6267,7 @@ def oracle_sqls() -> dict:
         "doc_dedup_report": SQL_DOC_DEDUP_REPORT,
         "events_window_dedup": SQL_EVENTS_WINDOW_DEDUP,
         "events_transitions": SQL_EVENTS_TRANSITIONS,
+        "events_cohorts": SQL_EVENTS_COHORTS,
         "events_value_corr": SQL_EVENTS_VALUE_CORR,
         "doc_paragraph_dedup_unique": SQL_DOC_PARAGRAPH_DEDUP_UNIQUE,
         "doc_quality_prune": SQL_DOC_QUALITY_PRUNE,

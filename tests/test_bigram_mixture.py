@@ -167,3 +167,60 @@ def test_transition_counts_matches_pandas_lag():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_events_cohorts_synthetic_triangle(tmp_path):
+    import pyarrow.parquet as pq
+
+    from simhash_ray.pipelines.queries import q_events_cohorts
+
+    # 3 cohorts (weeks 0,1,2), deterministic activity: user u of cohort c
+    # is active in weeks c..c+u%3  → a proper retention triangle
+    rows = {"user_id": [], "ts": []}
+    base = np.datetime64("2026-01-05T00:00:00", "us")  # a Monday
+    week = np.timedelta64(7, "D").astype("timedelta64[us]")
+    for u in range(30):
+        c = u % 3
+        for w in range(c, c + 1 + (u % 3)):
+            rows["user_id"].append(u)
+            rows["ts"].append(base + w * week + np.timedelta64(u, "h"))
+    tbl = pa.table(
+        {"user_id": pa.array(rows["user_id"], type=pa.int64()),
+         "ts": pa.array(rows["ts"], type=pa.timestamp("us"))}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+
+    got = (
+        q_events_cohorts(str(d))
+        .to_pandas()
+        .sort_values(["cohort_week", "activity_week"])
+        .reset_index(drop=True)
+    )
+    # naive reference
+    df = tbl.to_pandas()
+    df["week"] = df["ts"].dt.to_period("W-SUN").dt.start_time
+    first = df.groupby("user_id")["week"].min().rename("cohort_week")
+    act = df[["user_id", "week"]].drop_duplicates().join(first, on="user_id")
+    want = (
+        act.groupby(["cohort_week", "week"], as_index=False)
+        .size()
+        .rename(columns={"week": "activity_week", "size": "n_users"})
+    )
+    want["week_no"] = (
+        (want["activity_week"] - want["cohort_week"]).dt.days // 7
+    ).astype(np.int64)
+    want = want[["cohort_week", "activity_week", "week_no", "n_users"]]
+    want = want.sort_values(["cohort_week", "activity_week"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["week_no"].max() >= 2  # a real triangle, not one cohort
+
+    # join path ≡ broadcast path
+    alt = (
+        q_events_cohorts(str(d), broadcast_limit=0)
+        .to_pandas()
+        .sort_values(["cohort_week", "activity_week"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(alt, got, check_dtype=False)
