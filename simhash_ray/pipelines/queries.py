@@ -6059,6 +6059,27 @@ GROUP BY cohort_week, activity_week
 """
 
 
+def q_doc_ntile(sf_dir: str):
+    """Global percentile-cohort bucketing — ``NTILE(7) OVER (ORDER BY
+    n_chars, doc_id)`` — the "split the corpus into equal-size length
+    cohorts" window verb (curriculum buckets, per-decile quality
+    audits).  Distributed as rank-boundary search, not a global sort:
+    stages/topk.exact_ntile resolves the 6 tile boundaries from the
+    bounded distinct-value histogram plus per-class order-statistic
+    refinement, then one stateless pass assigns tiles."""
+    from ..stages.topk import exact_ntile
+
+    docs = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    return exact_ntile(docs, "n_chars", 7, id_col="doc_id")
+
+
+SQL_DOC_NTILE = """
+SELECT doc_id,
+       CAST(NTILE(7) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS tile
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -6109,6 +6130,7 @@ def ray_queries() -> dict:
         "doc_substring_pairs": q_doc_substring_pairs,
         "doc_decontaminate": q_doc_decontaminate,
         "orders_topk_per_segment": q_orders_topk_per_segment,
+        "doc_ntile": q_doc_ntile,
         "doc_len_quantiles": q_doc_len_quantiles,
         "doc_len_quantiles_sampled": q_doc_len_quantiles_sampled,
         "doc_lang_len_quantiles": q_doc_lang_len_quantiles,
@@ -6232,6 +6254,7 @@ def oracle_sqls() -> dict:
         "doc_substring_pairs": SQL_DOC_SUBSTRING_PAIRS,
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "orders_topk_per_segment": SQL_ORDERS_TOPK_PER_SEGMENT,
+        "doc_ntile": SQL_DOC_NTILE,
         "doc_len_quantiles": SQL_DOC_LEN_QUANTILES,
         "doc_len_quantiles_sampled": SQL_DOC_LEN_QUANTILES_SAMPLED,
         "doc_lang_len_quantiles": SQL_DOC_LANG_LEN_QUANTILES,

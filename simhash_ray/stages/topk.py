@@ -26,6 +26,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
+from ray.data.aggregate import Max as AggMax
+from ray.data.aggregate import Min as AggMin
 from ray.data.aggregate import Sum
 
 from .base import map_groups_typed
@@ -230,6 +232,250 @@ def exact_quantiles(
             [int(vals[np.searchsorted(cum, idx + 1)])], type=pa.int64()
         )
     return pa.table(out)
+
+
+def _value_histogram(
+    narrow: rd.Dataset, col: str, max_distinct: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted distinct-value histogram of an integer column:
+    (values, cumulative counts).  Per-block ``np.unique`` partials →
+    one bounded groupby → driver fold (asserted ≤ ``max_distinct``
+    rows before collection)."""
+
+    def vc(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"val": pa.array([], type=pa.int64()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        u, c = np.unique(
+            batch[col].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table(
+            {"val": pa.array(u, type=pa.int64()),
+             "cnt": pa.array(c.astype(np.int64), type=pa.int64())}
+        )
+
+    hist_ds = (
+        narrow.map_batches(vc, batch_format="pyarrow")
+        .groupby("val")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    n_distinct = hist_ds.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"_value_histogram: {n_distinct} distinct values exceeds "
+            f"max_distinct={max_distinct}"
+        )
+    hist = hist_ds.to_pandas().sort_values("val")
+    return hist["val"].to_numpy(), hist["cnt"].to_numpy().cumsum()
+
+
+def _id_order_statistic(
+    narrow: rd.Dataset,
+    value: int,
+    m: int,
+    n_in: int,
+    col: str,
+    id_col: str,
+    n_buckets: int,
+    collect_limit: int,
+) -> int:
+    """The m-th smallest (1-based) ``id_col`` among rows with
+    ``col == value`` — found WITHOUT collecting the class: rounds of
+    ≤ ``n_buckets``-cardinality bucket-count groupbys over the id
+    range narrow the candidate interval ~``n_buckets``× per round
+    (the stages/sample.select_token_budget refinement shape); the
+    final ≤ ``collect_limit`` candidates are collected for the exact
+    pick.  Ids are assumed distinct (they are row keys)."""
+    cls = narrow.filter(expr=f"{col} == {value}")
+    lo, hi = None, None  # inclusive id interval containing the answer
+    before = 0  # rows of the class with id < lo
+
+    while n_in > collect_limit:
+        if lo is None:
+            # one aggregate pass bounds the id range; only needed when
+            # the class is too big to collect outright
+            mm = cls.aggregate(AggMin(id_col), AggMax(id_col))
+            lo, hi = int(mm[f"min({id_col})"]), int(mm[f"max({id_col})"])
+        span = hi - lo + 1
+        if span <= 1:
+            break  # degenerate: all remaining candidates share one id
+        k = min(n_buckets, span)
+        width = (span + k - 1) // k
+        iv = (lo, hi, width)
+
+        def part(batch: pa.Table, iv=iv) -> pa.Table:
+            b_lo, b_hi, b_w = iv
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            msk = (ids >= b_lo) & (ids <= b_hi)
+            if not msk.any():
+                return pa.table(
+                    {"bucket": pa.array([], type=pa.int64()),
+                     "cnt": pa.array([], type=pa.int64())}
+                )
+            b = (ids[msk] - b_lo) // b_w
+            cnts = np.bincount(b).astype(np.int64)
+            nz = np.flatnonzero(cnts)
+            return pa.table(
+                {"bucket": pa.array(nz, type=pa.int64()),
+                 "cnt": pa.array(cnts[nz], type=pa.int64())}
+            )
+
+        agg = (
+            cls.map_batches(part, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+            .sort_values("bucket")
+            .reset_index(drop=True)
+        )
+        cum = before + agg["cnt"].cumsum()
+        j = int((cum >= m).idxmax())
+        before += int(agg["cnt"].iloc[:j].sum())
+        lo_new = lo + int(agg["bucket"].iloc[j]) * width
+        hi = min(hi, lo_new + width - 1)
+        lo = lo_new
+        n_in = int(agg["cnt"].iloc[j])
+
+    flt = f"{col} == {value}"
+    if lo is not None:
+        flt += f" and {id_col} >= {lo} and {id_col} <= {hi}"
+    ids = np.sort(
+        narrow.filter(expr=flt).to_pandas()[id_col].to_numpy().astype(np.int64)
+    )
+    return int(ids[m - before - 1])
+
+
+_INT64_MAX = (1 << 63) - 1
+
+
+def exact_ntile(
+    ds: rd.Dataset,
+    col: str,
+    k: int,
+    id_col: str = "doc_id",
+    max_distinct: int = 10_000_000,
+    n_buckets: int = 4096,
+    collect_limit: int = 1_000_000,
+) -> rd.Dataset:
+    """EXACT ``NTILE(k) OVER (ORDER BY col, id)`` — the global
+    rank-bucketing window verb (percentile cohorts, curriculum
+    buckets) — without a global sort and without ranking every row.
+
+    Distributed shape: the k−1 tile boundaries are RANKS; each
+    boundary resolves to a lexicographic (value, id) threshold using
+    (a) the bounded distinct-value histogram (one narrow groupby —
+    the exact_quantiles cardinality assumption) to locate the
+    boundary's value class, then (b) when a boundary falls strictly
+    inside a class, a distributed order-statistic search on ids
+    within that one class (:func:`_id_order_statistic` — bucket-count
+    rounds, never a class collect above ``collect_limit``).  One final
+    stateless pass assigns ``tile = 1 + #thresholds < (value, id)``
+    (O(k) vectorized compares per batch).  Ties on ``col`` are broken
+    by ``id_col`` exactly as the SQL window spec does, so the output
+    hash-matches ``NTILE`` row for row.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    narrow = ds.select_columns([id_col, col]).materialize()
+    vals, cum = _value_histogram(narrow, col, max_distinct)
+    n = int(cum[-1]) if len(cum) else 0
+    empty = pa.table(
+        {id_col: pa.array([], type=pa.int64()),
+         "tile": pa.array([], type=pa.int64())}
+    )
+    if n == 0:
+        return rd.from_arrow(empty)
+
+    base, rem = divmod(n, k)
+    sizes = np.full(k, base, dtype=np.int64)
+    sizes[:rem] += 1  # NTILE: the first n % k tiles get one extra row
+    bound_ranks = np.cumsum(sizes)[:-1]  # rank of the LAST row of tiles 1..k-1
+
+    # Resolve each boundary rank to a (value, id) threshold.  Boundaries
+    # are grouped BY VALUE CLASS so the number of Ray passes scales with
+    # the number of classes touched (≤ min(k−1, distinct)), never with
+    # k: small classes are collected together in ≤ total_rows /
+    # collect_limit chunked passes; only a class individually larger
+    # than collect_limit pays refinement rounds.
+    tv = np.empty(k - 1, dtype=np.int64)
+    ti = np.empty(k - 1, dtype=np.int64)
+    small_cls: dict[int, list[tuple[int, int]]] = {}  # class idx → [(j, m)]
+    big_cls: dict[int, list[tuple[int, int]]] = {}
+    for j, B in enumerate(bound_ranks):
+        if B <= 0:  # empty leading tiles (k > n): threshold below all rows
+            tv[j] = int(vals[0]) - 1
+            ti[j] = _INT64_MAX
+            continue
+        i = int(np.searchsorted(cum, B))
+        before = int(cum[i - 1]) if i else 0
+        tv[j] = int(vals[i])
+        if int(cum[i]) == int(B):
+            # boundary lands exactly on the end of the value class: the
+            # sentinel id compares above every real id
+            ti[j] = _INT64_MAX
+        else:
+            m = int(B) - before
+            n_cls = int(cum[i]) - before
+            tgt = small_cls if n_cls <= collect_limit else big_cls
+            tgt.setdefault(i, []).append((j, m))
+
+    # chunk small classes by cumulative row count; one collect pass per
+    # chunk answers every boundary of every class in the chunk
+    pending = sorted(small_cls)
+    while pending:
+        chunk: list[int] = []
+        rows = 0
+        while pending:
+            i = pending[0]
+            sz = int(cum[i]) - (int(cum[i - 1]) if i else 0)
+            if chunk and rows + sz > collect_limit:
+                break
+            chunk.append(pending.pop(0))
+            rows += sz
+        want = np.asarray([int(vals[i]) for i in chunk], dtype=np.int64)
+
+        def pick(batch: pa.Table, want=want) -> pa.Table:
+            msk = np.isin(
+                batch[col].to_numpy(zero_copy_only=False).astype(np.int64), want
+            )
+            return batch.filter(pa.array(msk))
+
+        seg = narrow.map_batches(pick, batch_format="pyarrow").to_pandas()
+        for i in chunk:
+            ids = np.sort(
+                seg.loc[seg[col] == int(vals[i]), id_col]
+                .to_numpy()
+                .astype(np.int64)
+            )
+            for j, m in small_cls[i]:
+                ti[j] = int(ids[m - 1])
+
+    for i, targets in big_cls.items():
+        n_cls = int(cum[i]) - (int(cum[i - 1]) if i else 0)
+        for j, m in targets:
+            ti[j] = _id_order_statistic(
+                narrow, int(vals[i]), m, n_cls, col, id_col,
+                n_buckets, collect_limit,
+            )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tile = np.ones(len(v), dtype=np.int64)
+        for t_v, t_i in zip(tv, ti):  # k is small: O(k) vector compares
+            tile += (v > t_v) | ((v == t_v) & (ids > t_i))
+        return pa.table(
+            {id_col: pa.array(ids, type=pa.int64()),
+             "tile": pa.array(tile, type=pa.int64())}
+        )
+
+    return narrow.map_batches(assign, batch_format="pyarrow")
 
 
 def _disc_index(n: int, num: int, den: int) -> int:
