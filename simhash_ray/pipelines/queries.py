@@ -1773,6 +1773,30 @@ SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text
 """
 
 
+def q_doc_norm_dedup(sf_dir: str):
+    """Fuzzy-exact dedup on the normalized key (lowercase, ASCII
+    punctuation stripped, whitespace collapsed — stages/text
+    .norm_key_batch): catches re-cased / re-punctuated / re-spaced
+    copies that byte-exact dedup misses.  Min-id election per
+    distinct key."""
+    from ..stages.text import normalized_dedup
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return normalized_dedup(docs).select_columns(["doc_id", "n_copies"])
+
+
+SQL_DOC_NORM_DEDUP = r"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g'), ' ') AS k
+  FROM documents
+)
+GROUP BY k
+"""
+
+
 def q_doc_cdc_dedup(sf_dir: str):
     """Content-defined chunking dedup (stages/cdc.py): gear-rolling-hash
     chunk boundaries, first-wins dup marking at chunk granularity,
@@ -6059,6 +6083,79 @@ GROUP BY cohort_week, activity_week
 """
 
 
+def q_events_value_psi(sf_dir: str):
+    """Population-Stability-Index drift diagnostic: PSI of each event
+    type's ``value`` distribution against the global distribution,
+    binned by the global deciles — the segment-drift monitor
+    (stages/drift.psi_per_group; Laplace-smoothed, micro-quantized so
+    the oracle replays every number)."""
+    from ..stages.drift import psi_per_group
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return psi_per_group(ev, "event_type", "value", n_bins=10)
+
+
+SQL_EVENTS_VALUE_PSI = """
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS vm FROM events
+),
+th AS (
+  SELECT unnest(quantile_disc(vm, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS t
+  FROM v
+),
+b AS (
+  SELECT event_type, (SELECT COUNT(*) FROM th WHERE th.t < v.vm) AS bin FROM v
+),
+cells AS (
+  SELECT g.event_type, gs.bin
+  FROM (SELECT DISTINCT event_type FROM v) g
+  CROSS JOIN (SELECT unnest(range(10)) AS bin) gs
+),
+cnt AS (SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+fc AS (
+  SELECT cells.event_type, cells.bin, COALESCE(cnt.c, 0) AS c
+  FROM cells LEFT JOIN cnt USING (event_type, bin)
+),
+gtot AS (SELECT bin, SUM(c) AS g FROM fc GROUP BY bin),
+nall AS (SELECT SUM(c) AS n FROM fc),
+ng AS (SELECT event_type, SUM(c) AS n FROM fc GROUP BY event_type)
+SELECT fc.event_type,
+       ROUND(SUM(((fc.c + 1.0) / (ng.n + 10.0)
+                  - (gtot.g + 1.0) / (nall.n + 10.0))
+                 * ln(((fc.c + 1.0) / (ng.n + 10.0))
+                      / ((gtot.g + 1.0) / (nall.n + 10.0)))), 6) AS psi
+FROM fc
+JOIN ng USING (event_type)
+JOIN gtot USING (bin)
+CROSS JOIN nall
+GROUP BY fc.event_type
+"""
+
+
+def q_doc_token_heavyhitters(sf_dir: str):
+    """Exact φ-heavy hitters of the corpus token stream (φ = 1/150):
+    the boilerplate/stopword detector behind corpus-health dashboards.
+    Two streaming passes (stages/sketch.token_heavy_hitters) — local
+    pigeonhole candidates then exact counting of the broadcast
+    candidate set — so the full vocabulary never shuffles, unlike the
+    doc_top_tokens groupby."""
+    from ..stages.sketch import token_heavy_hitters
+
+    docs = _docs(sf_dir, columns=["text"])
+    return token_heavy_hitters(docs, 1, 150)
+
+
+SQL_DOC_TOKEN_HEAVYHITTERS = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+t AS (SELECT tok, COUNT(*) AS n FROM toks WHERE tok <> '' GROUP BY tok),
+tot AS (SELECT SUM(n) AS total FROM t)
+SELECT tok, n FROM t, tot WHERE n * 150 >= 1 * total
+"""
+
+
 def q_doc_ntile(sf_dir: str):
     """Global percentile-cohort bucketing — ``NTILE(7) OVER (ORDER BY
     n_chars, doc_id)`` — the "split the corpus into equal-size length
@@ -6122,6 +6219,7 @@ def ray_queries() -> dict:
         "doc_token_stats": q_doc_token_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_norm_dedup": q_doc_norm_dedup,
         "doc_cdc_dedup": q_doc_cdc_dedup,
         "doc_snapshot_diff": q_doc_snapshot_diff,
         "doc_tokenset_dedup": q_doc_tokenset_dedup,
@@ -6131,6 +6229,7 @@ def ray_queries() -> dict:
         "doc_decontaminate": q_doc_decontaminate,
         "orders_topk_per_segment": q_orders_topk_per_segment,
         "doc_ntile": q_doc_ntile,
+        "doc_token_heavyhitters": q_doc_token_heavyhitters,
         "doc_len_quantiles": q_doc_len_quantiles,
         "doc_len_quantiles_sampled": q_doc_len_quantiles_sampled,
         "doc_lang_len_quantiles": q_doc_lang_len_quantiles,
@@ -6171,6 +6270,7 @@ def ray_queries() -> dict:
         "events_transitions": q_events_transitions,
         "events_cohorts": q_events_cohorts,
         "events_value_corr": q_events_value_corr,
+        "events_value_psi": q_events_value_psi,
         "doc_paragraph_dedup_unique": q_doc_paragraph_dedup_unique,
         "doc_quality_prune": q_doc_quality_prune,
         "embed_dedup_clusters": q_embed_dedup_clusters,
@@ -6246,6 +6346,7 @@ def oracle_sqls() -> dict:
         "doc_token_stats": SQL_DOC_TOKEN_STATS,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+        "doc_norm_dedup": SQL_DOC_NORM_DEDUP,
         "doc_cdc_dedup": SQL_DOC_CDC_DEDUP,
         "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
         "doc_tokenset_dedup": SQL_DOC_TOKENSET_DEDUP,
@@ -6255,6 +6356,7 @@ def oracle_sqls() -> dict:
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "orders_topk_per_segment": SQL_ORDERS_TOPK_PER_SEGMENT,
         "doc_ntile": SQL_DOC_NTILE,
+        "doc_token_heavyhitters": SQL_DOC_TOKEN_HEAVYHITTERS,
         "doc_len_quantiles": SQL_DOC_LEN_QUANTILES,
         "doc_len_quantiles_sampled": SQL_DOC_LEN_QUANTILES_SAMPLED,
         "doc_lang_len_quantiles": SQL_DOC_LANG_LEN_QUANTILES,
@@ -6292,6 +6394,7 @@ def oracle_sqls() -> dict:
         "events_transitions": SQL_EVENTS_TRANSITIONS,
         "events_cohorts": SQL_EVENTS_COHORTS,
         "events_value_corr": SQL_EVENTS_VALUE_CORR,
+        "events_value_psi": SQL_EVENTS_VALUE_PSI,
         "doc_paragraph_dedup_unique": SQL_DOC_PARAGRAPH_DEDUP_UNIQUE,
         "doc_quality_prune": SQL_DOC_QUALITY_PRUNE,
         "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,

@@ -513,3 +513,129 @@ def hll_from_partials(parts: rd.Dataset, p: int) -> pa.Table:
             "denom": pa.array([out["denom"]], type=pa.string()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# exact φ-heavy hitters (two-pass, no full-vocabulary shuffle)
+
+
+def token_heavy_hitters(
+    docs: rd.Dataset,
+    phi_num: int,
+    phi_den: int,
+    text_col: str = "text",
+    candidate_limit: int = 5_000_000,
+) -> rd.Dataset:
+    """EXACT φ-heavy hitters of the whitespace-token stream — every
+    token whose corpus count ``n`` satisfies ``n·phi_den ≥ phi_num·N``
+    (N = total tokens, φ = phi_num/phi_den as an exact rational) —
+    in two streaming passes that NEVER shuffle the full vocabulary
+    (the scale gap vs the doc_top_tokens full-token groupby: at
+    web scale the distinct-token table is itself huge).
+
+    Pass 1 (candidate generation, Misra–Gries-flavored): per block,
+    one ``np.unique`` count; a token is a LOCAL candidate iff
+    ``n_b·phi_den ≥ phi_num·N_b``.  Pigeonhole guarantees the union of
+    local candidates is a superset of the global φ-heavy set (if
+    ``n ≥ φ·N`` then some block has ``n_b ≥ φ·N_b``, else summing the
+    strict inequalities contradicts).  Each block contributes ≤ 1/φ
+    candidates plus one total row, so the collected union is bounded
+    by blocks·(1/φ + 1) rows (asserted ≤ ``candidate_limit``).
+
+    Pass 2 (exact counting): the sorted candidate array is broadcast
+    once via ``ray.put``; per block a searchsorted membership filter
+    keeps candidate tokens only, partial-counts them, and one
+    ≤ |candidates|-key groupby sums.  The final filter applies the
+    exact integer threshold.  Output: (tok, n) with EXACT counts —
+    a DuckDB oracle can re-derive it fully independently.
+
+    Tokenization rides the audited helper (functions/tokenize.py):
+    lower → trim → whitespace split, empty tokens dropped.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.tokenize import tokens_flat
+
+    if phi_num <= 0 or phi_den <= 0:
+        raise ValueError(f"phi must be positive, got {phi_num}/{phi_den}")
+
+    _CAND_SCHEMA = pa.schema(
+        [("tok", pa.string()), ("is_total", pa.bool_()), ("ntot", pa.int64())]
+    )
+
+    def local_candidates(batch: pa.Table) -> pa.Table:
+        denc = tokens_flat(batch[text_col]).flat.dictionary_encode()
+        counts = np.bincount(
+            denc.indices.to_numpy(zero_copy_only=False),
+            minlength=len(denc.dictionary),
+        ).astype(np.int64)
+        n_b = int(counts.sum())
+        heavy = counts * phi_den >= phi_num * n_b
+        toks = denc.dictionary.filter(pa.array(heavy))
+        return pa.table(
+            {
+                "tok": pa.concat_arrays(
+                    [toks.cast(pa.string()), pa.array([None], type=pa.string())]
+                ),
+                "is_total": pa.array([False] * len(toks) + [True]),
+                "ntot": pa.array([0] * len(toks) + [n_b], type=pa.int64()),
+            },
+            schema=_CAND_SCHEMA,
+        )
+
+    parts = pa.concat_tables(
+        docs.select_columns([text_col])
+        .map_batches(local_candidates, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=65536)
+    )
+    if parts.num_rows > candidate_limit:
+        raise ValueError(
+            f"token_heavy_hitters: {parts.num_rows} candidate rows exceeds "
+            f"candidate_limit={candidate_limit}; raise phi or the limit"
+        )
+    is_total = parts["is_total"].to_numpy(zero_copy_only=False)
+    n_total = int(parts["ntot"].to_numpy(zero_copy_only=False)[is_total].sum())
+    cands = np.unique(
+        np.asarray(parts["tok"].filter(pa.array(~is_total)).to_pylist(), dtype=object)
+    )
+    empty = pa.table(
+        {"tok": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())}
+    )
+    if n_total == 0 or len(cands) == 0:
+        return rd.from_arrow(empty)
+    cand_ref = ray.put(cands)
+
+    def count_candidates(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        denc = tokens_flat(batch[text_col]).flat.dictionary_encode()
+        counts = np.bincount(
+            denc.indices.to_numpy(zero_copy_only=False),
+            minlength=len(denc.dictionary),
+        ).astype(np.int64)
+        toks = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+        pos = np.searchsorted(cand, toks)
+        pos_c = np.clip(pos, 0, len(cand) - 1)
+        member = cand[pos_c] == toks
+        if not member.any():
+            return empty
+        return pa.table(
+            {
+                "tok": pa.array(toks[member], type=pa.string()),
+                "n": pa.array(counts[member], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.select_columns([text_col])
+        .map_batches(count_candidates, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        keep = n * phi_den >= phi_num * n_total
+        return batch.filter(pa.array(keep))
+
+    return agg.map_batches(threshold, batch_format="pyarrow")

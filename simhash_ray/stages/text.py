@@ -489,6 +489,44 @@ def exact_dedup(
     )
 
 
+_NORM_PUNCT_RE = r"[!-/:-@\[-`{-~]"  # the ASCII punctuation ranges
+
+
+def norm_key_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``norm_key``: the fuzzy-exact dedup key — lowercase,
+    ASCII punctuation stripped, whitespace runs collapsed to one
+    space, then space-trimmed (the Dolma/RefinedWeb "normalized exact
+    match" rule: catches re-punctuated / re-spaced / re-cased copies
+    that byte dedup misses, without any similarity machinery).
+
+    Every step is chosen for engine parity so a SQL oracle replays
+    the key byte-for-byte: utf8proc ``lower`` (both pyarrow and
+    DuckDB), RE2 ``regexp_replace`` with the same two patterns (both
+    engines embed RE2 — ``\\s`` is ASCII-only in both), and a
+    plain-space trim (DuckDB ``trim`` only strips ' '; non-ASCII
+    whitespace deliberately survives in the key on BOTH sides)."""
+    s = pc.utf8_lower(batch[text_col].cast(pa.string()))
+    s = pc.replace_substring_regex(s, _NORM_PUNCT_RE, "")
+    s = pc.replace_substring_regex(s, r"\s+", " ")
+    s = pc.utf8_trim(s, characters=" ")
+    return batch.append_column("norm_key", s)
+
+
+def normalized_dedup(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Normalized-text exact dedup: one streaming key pass then the
+    :func:`exact_dedup` min-id election grouped on ``norm_key`` —
+    (id, n_copies), one row per distinct normalized key.  The shuffle
+    carries (id, norm_key) only; the key is ≤ the text's length so
+    this stays a narrow exchange."""
+    keyed = ds.select_columns([id_col, text_col]).map_batches(
+        lambda t: norm_key_batch(t, text_col).drop_columns([text_col]),
+        batch_format="pyarrow",
+    )
+    return exact_dedup(keyed, key_col="norm_key", id_col=id_col)
+
+
 def nfc_normalize_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Unicode NFC normalization: (id cols…, text_nfc, changed).
 

@@ -323,3 +323,68 @@ def test_dsir_weights_prefer_target_like_docs(ray_session):
         .set_index("doc_id")["dsir_weight"]
     )
     assert out.sort_index().equals(out2.sort_index())
+
+
+# ---------------------------------------------------------------------------
+# normalized-text ("fuzzy-exact") dedup
+
+
+def _norm_ref(s: str) -> str:
+    """Python reference of the norm_key rule; re.ASCII pins \\s to the
+    ASCII class exactly like RE2 on both engines."""
+    import re
+
+    s = s.lower()
+    s = re.sub(r"[!-/:-@\[-`{-~]", "", s, flags=re.ASCII)
+    s = re.sub(r"\s+", " ", s, flags=re.ASCII)
+    return s.strip(" ")
+
+
+def test_norm_key_matches_python_reference():
+    from simhash_ray.stages.text import norm_key_batch
+
+    texts = [
+        "Hello, World!",
+        "hello world",
+        "HELLO   world.",
+        "  spaced\tout\n text ",
+        "digits 123; stay!",
+        "¡Olé! Café — déjà vu",
+        "中文 标点,保留 中文",
+        "***",
+        "",
+    ]
+    out = norm_key_batch(pa.table({"text": pa.array(texts)}))
+    got = out["norm_key"].to_pylist()
+    assert got == [_norm_ref(t) for t in texts]
+
+
+def test_normalized_dedup_collapses_variants():
+    import pandas as pd
+    import ray.data as rd
+
+    from simhash_ray.stages.text import normalized_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "Hello, World!",
+                "hello world",
+                "HELLO   world.",
+                "a different doc",
+                "A different DOC",
+                "unique survivor",
+            ],
+        }
+    )
+    out = (
+        normalized_dedup(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # 3 variants of "hello world" -> keeper 0 ×3; 2 of "a different
+    # doc" -> keeper 3 ×2; plus the singleton
+    assert out["doc_id"].tolist() == [0, 3, 5]
+    assert out["n_copies"].tolist() == [3, 2, 1]
