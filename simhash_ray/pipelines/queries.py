@@ -2505,6 +2505,76 @@ SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.7
 """
 
 
+def q_doc_similarity_join(sf_dir: str):
+    """Cross-TABLE similarity join: probe split (doc_id % 10 == 0, the
+    "new crawl") near-matched against the rest of the corpus at
+    est_jaccard ≥ 0.5 (stages/minhash.minhash_similarity_join —
+    cross-side-only pairing over shared banding).  Oracle-checked like
+    doc_minhash_pairs: unpacked union signatures + deduped candidates
+    staged; DuckDB re-runs the verify AND re-checks the side
+    orientation (a in probe, b in corpus)."""
+    from ..stages.minhash import (
+        _sig_matrix,
+        _verify_broadcast,
+        minhash_signatures,
+        similarity_join_candidates,
+    )
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def side(want_left: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 10 == 0) == want_left
+            return t.filter(pa.array(m))
+
+        return fn
+
+    left = docs.map_batches(side(True), batch_format="pyarrow")
+    right = docs.map_batches(side(False), batch_format="pyarrow")
+    left_sigs = minhash_signatures(left, shingle_k=2, concurrency=(1, 4)).materialize()
+    right_sigs = minhash_signatures(
+        right, shingle_k=2, concurrency=(1, 4)
+    ).materialize()
+    union_sigs = left_sigs.union(right_sigs).materialize()
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        mat = _sig_matrix(batch["sig"], 64)
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, 64), type=pa.int64()),
+                "perm": pa.array(np.tile(np.arange(64), n), type=pa.int32()),
+                "minval": pa.array(mat.reshape(-1), type=pa.uint64()),
+            }
+        )
+
+    _stage(union_sigs.map_batches(unpack, batch_format="pyarrow"), "simjoin_sigs")
+    cands = similarity_join_candidates(left_sigs, right_sigs).materialize()
+    _stage(
+        cands.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow"),
+        "simjoin_cands",
+    )
+    return _verify_broadcast(cands, union_sigs, 0.5, 64)
+
+
+SQL_DOC_SIMILARITY_JOIN = f"""
+WITH sig AS (SELECT doc_id, perm, minval FROM read_parquet('{_staged("simjoin_sigs")}')),
+cand AS (SELECT a, b FROM read_parquet('{_staged("simjoin_cands")}')),
+est AS (
+  SELECT c.a, c.b,
+         SUM(CASE WHEN sa.minval = sb.minval THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b AND sb.perm = sa.perm
+  GROUP BY c.a, c.b
+)
+SELECT a, b, est_jaccard FROM est
+WHERE est_jaccard >= 0.5 AND a % 10 = 0 AND b % 10 <> 0
+"""
+
+
 def q_doc_minhash_oph_pairs(sf_dir: str):
     """One-permutation-hashing near-dup pairs — the encode scale path
     (ONE hash pass + per-bin minima + rotation densification instead of
@@ -6245,6 +6315,7 @@ def ray_queries() -> dict:
         "doc_cap_per_source": q_doc_cap_per_source,
         "doc_token_budget": q_doc_token_budget,
         "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_similarity_join": q_doc_similarity_join,
         "doc_minhash_oph_pairs": q_doc_minhash_oph_pairs,
         "doc_minhash_bbit_pairs": q_doc_minhash_bbit_pairs,
         "doc_minhash_dedup": q_doc_minhash_dedup,
@@ -6402,6 +6473,7 @@ def oracle_sqls() -> dict:
         "doc_simhash_sigs": SQL_DOC_SIMHASH_SIGS,
         "doc_simhash_idf_sigs": SQL_DOC_SIMHASH_IDF_SIGS,
         "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
+        "doc_similarity_join": SQL_DOC_SIMILARITY_JOIN,
         "doc_minhash_oph_pairs": SQL_DOC_MINHASH_OPH_PAIRS,
         "doc_minhash_bbit_pairs": SQL_DOC_MINHASH_BBIT_PAIRS,
         "doc_minhash_dedup": SQL_DOC_MINHASH_DEDUP,

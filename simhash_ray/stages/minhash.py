@@ -903,3 +903,170 @@ def editdist_dup_pairs(
     return editdist_verify(
         cands, docs, max_dist, text_col, id_col, n_parts, broadcast_limit
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-table similarity JOIN (left probe × right corpus)
+
+_cross_cap_warned = False
+
+
+def make_cross_pair_generator(n_parts: int = 64, bucket_pair_cap: int = 1 << 20):
+    """Per-coarse-partition CROSS-SIDE candidate generation: band rows
+    carry a boolean ``left`` flag; within each (band, key) run only
+    left×right pairs are emitted.  A similarity JOIN must not pay for
+    within-side pairs, and the dedup generator's hot-bucket star
+    fallback would silently lose cross pairs between non-min members —
+    so the join gets its own generator.  Orientation is preserved:
+    ``a`` = left id, ``b`` = right id (never min/max-swapped).
+
+    A run whose left×right product exceeds ``bucket_pair_cap`` is
+    truncated deterministically (lowest (a, b) first) with a loud
+    once-per-worker log — the banding's recall is probabilistic
+    already; the truncation is visible in the staged candidate set so
+    oracles stay consistent."""
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        band = group["band"].to_numpy(zero_copy_only=False)
+        key = group["key"].to_numpy(zero_copy_only=False)
+        is_left = group["left"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return _EMPTY_PAIRS
+        # lefts first inside each run (~is_left sorts False<True)
+        order = np.lexsort((ids, ~is_left, key, band))
+        ids, band, key, is_left = (
+            ids[order], band[order], key[order], is_left[order]
+        )
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(new_run)
+        lengths = np.diff(np.append(starts, n))
+        # lefts per run: prefix sums over the sorted flag
+        cl = np.concatenate([[0], np.cumsum(is_left)])
+        n_left = cl[starts + lengths] - cl[starts]
+        n_right = lengths - n_left
+        a_i, b_i = [], []
+        both = (n_left > 0) & (n_right > 0)
+        combo = n_left * (np.int64(1) << np.int64(32)) + n_right
+        for c in np.unique(combo[both]):  # vectorized per (L, R) shape
+            gl = int(c >> np.int64(32))
+            gr = int(c & ((np.int64(1) << np.int64(32)) - 1))
+            runs = starts[both & (combo == c)]
+            if gl * gr > bucket_pair_cap:
+                global _cross_cap_warned
+                if not _cross_cap_warned:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "similarity-join bucket with %d x %d members exceeds "
+                        "bucket_pair_cap=%d: truncating to the cap (lowest "
+                        "id pairs kept; logged once per worker)",
+                        gl, gr, bucket_pair_cap,
+                    )
+                    _cross_cap_warned = True
+            i = np.repeat(np.arange(gl), gr)[:bucket_pair_cap]
+            j = np.tile(np.arange(gr), gl)[:bucket_pair_cap]
+            a_i.append((runs[:, None] + i[None, :]).ravel())
+            b_i.append((runs[:, None] + gl + j[None, :]).ravel())
+        if not a_i:
+            return _EMPTY_PAIRS
+        a = ids[np.concatenate(a_i)]
+        b = ids[np.concatenate(b_i)]
+        if np.any(a == b):
+            raise ValueError(
+                "minhash_similarity_join: left and right id spaces overlap "
+                "(the same id appeared on both sides of a bucket)"
+            )
+        return pa.table(
+            {
+                "a": pa.array(a, type=pa.int64()),
+                "b": pa.array(b, type=pa.int64()),
+                "star": pa.array(np.zeros(len(a), dtype=bool)),
+                "part": pa.array(part_of_ints(n_parts, a, b), type=pa.int32()),
+            }
+        )
+
+    return pairs
+
+
+def _bands_with_side(
+    sig_ds: rd.Dataset, left_flag: bool, n_perm: int, n_bands: int, n_parts: int
+) -> rd.Dataset:
+    exp = make_band_expander(n_perm, n_bands, n_parts)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = exp(batch)
+        return t.append_column(
+            "left", pa.array(np.full(t.num_rows, left_flag), type=pa.bool_())
+        )
+
+    return sig_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def similarity_join_candidates(
+    left_sigs: rd.Dataset,
+    right_sigs: rd.Dataset,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    n_parts: int = 64,
+    bucket_pair_cap: int = 1 << 20,
+) -> rd.Dataset:
+    """Deduped cross-side candidate pairs (a = left id, b = right id)
+    from two (id, sig) signature tables with DISJOINT id spaces
+    (caller contract; an in-bucket collision raises).  Shared shape
+    with the dedup path: band expand (side flag riding the ~25 B band
+    rows) → one bucket groupby → cross-side pairing → pair-dedupe
+    groupby."""
+    from .base import map_groups_typed
+
+    bands = _bands_with_side(
+        left_sigs, True, n_perm, n_bands, n_parts
+    ).union(_bands_with_side(right_sigs, False, n_perm, n_bands, n_parts))
+    pairs = map_groups_typed(
+        bands, "part", make_cross_pair_generator(n_parts, bucket_pair_cap),
+        _EMPTY_PAIRS,
+    )
+    return _dedupe_pairs(pairs)
+
+
+def minhash_similarity_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    theta: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 2,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    concurrency=(1, 8),
+    n_parts: int = 64,
+    broadcast_limit: int | None = None,
+    bucket_pair_cap: int = 1 << 20,
+) -> rd.Dataset:
+    """Cross-TABLE near-duplicate join: (a = left id, b = right id,
+    est_jaccard ≥ θ) — "which rows of the new crawl near-match the
+    existing corpus / blocklist", the similarity analogue of
+    decontaminate's exact window join.  Both sides are MinHash-encoded
+    once (same seeds, so signatures are comparable), banded together
+    with a side flag, paired cross-side only, and verified by
+    signature agreement through the shared broadcast-or-hash-join
+    verify.  Id spaces must be disjoint (an in-bucket collision
+    raises).  Scale notes: within-side dup mass costs nothing (no
+    within-side pairs are generated); the shuffle carries narrow band
+    rows and (a, b) pairs only."""
+    limit = MINHASH_BROADCAST_LIMIT if broadcast_limit is None else broadcast_limit
+    left_sigs = minhash_signatures(
+        left, text_col, id_col, shingle_k, n_perm, concurrency
+    ).materialize()
+    right_sigs = minhash_signatures(
+        right, text_col, id_col, shingle_k, n_perm, concurrency
+    ).materialize()
+    pairs = similarity_join_candidates(
+        left_sigs, right_sigs, n_perm, n_bands, n_parts, bucket_pair_cap
+    )
+    sig_ds = left_sigs.union(right_sigs).materialize()
+    if sig_ds.count() <= limit:
+        return _verify_broadcast(pairs, sig_ds, theta, n_perm)
+    return _verify_join(pairs, sig_ds, theta, n_perm, n_parts)
