@@ -4070,6 +4070,53 @@ SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
 """
 
 
+def q_embed_coreset(sf_dir: str):
+    """Diversity selection: deterministic greedy k-center
+    (farthest-point traversal) over the embedding table, k=8 — the
+    "pick a maximally diverse seed subset" data-selection verb
+    (stages/coreset.kcenter_coreset).  Oracle: the selection chain is
+    staged and DuckDB re-derives EVERY decision inductively — step 0
+    from scratch, step t as the argmax of min list_distance to the
+    staged centers with step < t (ties by id, selected ids excluded) —
+    so each greedy argmax is recomputed by a different engine."""
+    from ..stages.coreset import kcenter_coreset
+
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = kcenter_coreset(vecs, k=8)
+    _stage(rd.from_arrow(out), "coreset_sel")
+    return out
+
+
+SQL_EMBED_CORESET = f"""
+WITH sel AS (SELECT step, vec_id FROM read_parquet('{_staged("coreset_sel")}')),
+cent AS (
+  SELECT s.step, s.vec_id, e.embedding
+  FROM sel s JOIN embeddings e USING (vec_id)
+),
+steps AS (SELECT step FROM sel WHERE step >= 1),
+mind AS (
+  SELECT t.step AS step, e.vec_id,
+         MIN(list_distance(e.embedding::DOUBLE[], c.embedding::DOUBLE[])) AS md
+  FROM steps t
+  CROSS JOIN embeddings e
+  JOIN cent c ON c.step < t.step
+  WHERE e.vec_id NOT IN (SELECT s2.vec_id FROM sel s2 WHERE s2.step < t.step)
+  GROUP BY t.step, e.vec_id
+),
+pick AS (
+  SELECT step, vec_id FROM (
+    SELECT step, vec_id,
+           row_number() OVER (PARTITION BY step ORDER BY md DESC, vec_id) AS rn
+    FROM mind
+  ) WHERE rn = 1
+)
+SELECT CAST(0 AS BIGINT) AS step,
+       (SELECT MIN(vec_id) FROM embeddings) AS vec_id
+UNION ALL
+SELECT step, vec_id FROM pick
+"""
+
+
 def q_embed_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup pairs at the rational threshold 2/5
     (float64 on both sides; ids-only output avoids float hashing)."""
@@ -6351,6 +6398,7 @@ def ray_queries() -> dict:
         "embed_pq_topk": q_embed_pq_topk,
         "embed_label_stats": q_embed_label_stats,
         "embed_dup_pairs": q_embed_dup_pairs,
+        "embed_coreset": q_embed_coreset,
         "embed_kmeans": q_embed_kmeans,
         "embed_semdedup": q_embed_semdedup,
         "embed_dup_pairs_lsh": q_embed_dup_pairs_lsh,
@@ -6479,6 +6527,7 @@ def oracle_sqls() -> dict:
         "doc_minhash_dedup": SQL_DOC_MINHASH_DEDUP,
         "embed_dup_pairs_lsh": SQL_EMBED_DUP_PAIRS_LSH,
         "embed_kmeans": SQL_EMBED_KMEANS,
+        "embed_coreset": SQL_EMBED_CORESET,
         "embed_semdedup": SQL_EMBED_SEMDEDUP,
         "embed_lsh_topk": SQL_EMBED_LSH_TOPK,
         "embed_ivf_topk": SQL_EMBED_IVF_TOPK,
