@@ -558,6 +558,147 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q_events_running_total(sf_dir: str):
+    """Per-user running total of ``value`` ordered by (ts, event_id) —
+    the cumulative-metric window verb (stages/window.cumulative_sum:
+    one key-hash groupby, segmented prefix sum per partition, no
+    per-key Python)."""
+    from ..stages.window import cumulative_sum
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = cumulative_sum(ev)
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("running_sum"),
+            "running_sum",
+            pa.array(_round6(batch["running_sum"].to_numpy(zero_copy_only=False))),
+        )
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
+SQL_EVENTS_RUNNING_TOTAL = """
+SELECT event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_sum
+FROM events
+"""
+
+
+def q_events_value_mad(sf_dir: str):
+    """Robust per-segment outlier report: per event type, the median /
+    MAD (median absolute deviation) of ``value`` and the count of
+    |v − median| > 3·MAD outliers — the robust anomaly statistic that
+    survives the heavy tails z-scores don't.  All arithmetic is exact
+    integer after the micro-quantization (floor(v·1e6)), and both
+    medians use the pinned quantile_disc index rule, so DuckDB
+    re-derives every number independently.  Shape: two bounded
+    (group, value)-histogram groupbys (stages/topk
+    .exact_quantiles_per_group) + one streaming count pass with the
+    tiny med/mad luts broadcast."""
+    from ..stages.topk import exact_quantiles_per_group
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "vm": pa.array(np.floor(v * 1e6).astype(np.int64)),
+            }
+        )
+
+    vm = ev.map_batches(quantize, batch_format="pyarrow").materialize()
+    med_tbl = exact_quantiles_per_group(vm, "event_type", "vm", {"med": (1, 2)})
+    med_lut = {
+        g: int(m)
+        for g, m in zip(
+            med_tbl["event_type"].to_pylist(), med_tbl["med"].to_pylist()
+        )
+    }
+    med_ref = ray.put(med_lut)
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        lut = ray.get(med_ref)
+        g = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["vm"].to_numpy(zero_copy_only=False)
+        med = np.asarray([lut[x] for x in g], dtype=np.int64)
+        return pa.table(
+            {"event_type": batch["event_type"],
+             "ad": pa.array(np.abs(v - med), type=pa.int64())}
+        )
+
+    dev = vm.map_batches(absdev, batch_format="pyarrow")
+    mad_tbl = exact_quantiles_per_group(dev, "event_type", "ad", {"mad": (1, 2)})
+    mad_lut = {
+        g: int(m)
+        for g, m in zip(
+            mad_tbl["event_type"].to_pylist(), mad_tbl["mad"].to_pylist()
+        )
+    }
+    mad_ref = ray.put(mad_lut)
+
+    def count_outliers(batch: pa.Table) -> pa.Table:
+        med = ray.get(med_ref)
+        mad = ray.get(mad_ref)
+        g = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["vm"].to_numpy(zero_copy_only=False)
+        m = np.asarray([med[x] for x in g], dtype=np.int64)
+        d = np.asarray([mad[x] for x in g], dtype=np.int64)
+        out = np.abs(v - m) > 3 * d
+        df = pd.DataFrame({"event_type": g, "o": out.astype(np.int64)})
+        agg = df.groupby("event_type", as_index=False).agg(
+            n_outliers=("o", "sum"), n=("o", "size")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(agg["event_type"], type=pa.string()),
+                "n_outliers": pa.array(agg["n_outliers"].astype(np.int64)),
+                "n": pa.array(agg["n"].astype(np.int64)),
+            }
+        )
+
+    counts = (
+        vm.map_batches(count_outliers, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n_outliers", alias_name="n_outliers"),
+                   Sum("n", alias_name="n"))
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        med = ray.get(med_ref)
+        mad = ray.get(mad_ref)
+        g = batch["event_type"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "med_micro", pa.array([med[x] for x in g], type=pa.int64())
+        ).append_column(
+            "mad_micro", pa.array([mad[x] for x in g], type=pa.int64())
+        )
+
+    return counts.map_batches(attach, batch_format="pyarrow")
+
+
+SQL_EVENTS_VALUE_MAD = """
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 1000000.0) AS BIGINT) AS vm FROM events
+),
+med AS (SELECT event_type, quantile_disc(vm, 0.5) AS med FROM v GROUP BY 1),
+dev AS (SELECT v.event_type, abs(vm - med) AS ad
+        FROM v JOIN med USING (event_type)),
+mad AS (SELECT event_type, quantile_disc(ad, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT v.event_type,
+       CAST(SUM(CASE WHEN abs(vm - med) > 3 * mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       COUNT(*) AS n,
+       ANY_VALUE(med) AS med_micro,
+       ANY_VALUE(mad) AS mad_micro
+FROM v JOIN med USING (event_type) JOIN mad USING (event_type)
+GROUP BY v.event_type
+"""
+
+
 def q_events_value_zscore(sf_dir: str):
     """Per-group feature standardization: z-score of ``value`` within
     its event_type — the normalize-before-training step of a feature
@@ -5860,6 +6001,116 @@ GROUP BY b.fmt
 """
 
 
+def q_images_cluster_radius(sf_dir: str):
+    """Dedup-cluster TIGHTNESS audit: histogram of per-cluster radius
+    (max popcount(phash_member ⊕ phash_representative)) over the
+    flagship assignment — the quality report a near-dup run is judged
+    by: a fat radius tail means the banding merged things the verify
+    threshold shouldn't have chained.  Shape: two narrow hash joins
+    (assignment ↔ phash, member ↔ its cluster's representative), SWAR
+    popcount per block, per-block (cluster, max) partials → one
+    cluster groupby Max → bounded (radius ≤ 64) histogram groupby.
+    Assignment and signature tables staged; DuckDB re-derives every
+    distance, every radius and the histogram."""
+    from ray.data.aggregate import Max as AggMax
+
+    from ..simhash import hamming64
+
+    res = _flagship_dedup(fixture_dir_for_sf(sf_dir))
+    assign = res.assignment.materialize()
+    _stage(
+        assign.map_batches(
+            lambda t: t.select(["image_id", "cluster_id", "is_representative"]),
+            batch_format="pyarrow",
+        ),
+        "cluster_radius_assign",
+    )
+    sigs = read_images_fixture(sf_dir, columns=["image_id", "phash"])
+    _stage(sigs, "cluster_radius_sigs")
+
+    jn = int(max(2, ray.cluster_resources().get("CPU", 8) // 2))
+    jargs = {"num_cpus": 0.5}
+    members = assign.join(
+        sigs, join_type="inner", num_partitions=jn, on=("image_id",),
+        aggregator_ray_remote_args=jargs,
+    )
+    def rep_rows(t: pa.Table) -> pa.Table:
+        keep = t["is_representative"].to_numpy(zero_copy_only=False)
+        return (
+            t.filter(pa.array(keep))
+            .select(["cluster_id", "phash"])
+            .rename_columns(["cluster_id", "rep_phash"])
+        )
+
+    reps = members.map_batches(rep_rows, batch_format="pyarrow")
+    joined = members.join(
+        reps, join_type="inner", num_partitions=jn, on=("cluster_id",),
+        aggregator_ray_remote_args=jargs,
+    )
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"cluster_id": pa.array([], type=pa.string()),
+                 "dist": pa.array([], type=pa.int64())}
+            )
+        d = hamming64(
+            t["phash"].to_numpy(zero_copy_only=False).view(np.uint64),
+            t["rep_phash"].to_numpy(zero_copy_only=False).view(np.uint64),
+        )
+        df = pd.DataFrame(
+            {"cluster_id": t["cluster_id"].to_numpy(zero_copy_only=False),
+             "dist": d}
+        )
+        g = df.groupby("cluster_id", as_index=False)["dist"].max()
+        return pa.table(
+            {"cluster_id": pa.array(g["cluster_id"], type=pa.string()),
+             "dist": pa.array(g["dist"].to_numpy().astype(np.int64))}
+        )
+
+    radii = (
+        joined.map_batches(dist_partial, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(AggMax("dist", alias_name="radius"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"radius": pa.array([], type=pa.int64()),
+                 "n_clusters": pa.array([], type=pa.int64())}
+            )
+        u, c = np.unique(
+            t["radius"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"radius": pa.array(u.astype(np.int64)),
+             "n_clusters": pa.array(c.astype(np.int64))}
+        )
+
+    return (
+        radii.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("radius")
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+    )
+
+
+SQL_IMAGES_CLUSTER_RADIUS = f"""
+WITH a AS (SELECT image_id, cluster_id, is_representative
+           FROM read_parquet('{_staged("cluster_radius_assign")}')),
+s AS (SELECT image_id, phash FROM read_parquet('{_staged("cluster_radius_sigs")}')),
+m AS (SELECT a.cluster_id, s.phash, a.is_representative
+      FROM a JOIN s USING (image_id)),
+r AS (SELECT cluster_id, phash AS rep FROM m WHERE is_representative),
+cr AS (
+  SELECT m.cluster_id, MAX(bit_count(xor(m.phash, r.rep))) AS radius
+  FROM m JOIN r USING (cluster_id)
+  GROUP BY m.cluster_id
+)
+SELECT radius, COUNT(*) AS n_clusters FROM cr GROUP BY radius
+"""
+
+
 WEIGHTED_SAMPLE_K = 100
 
 
@@ -6389,6 +6640,8 @@ def ray_queries() -> dict:
         "events_cohorts": q_events_cohorts,
         "events_value_corr": q_events_value_corr,
         "events_value_psi": q_events_value_psi,
+        "events_value_mad": q_events_value_mad,
+        "events_running_total": q_events_running_total,
         "doc_paragraph_dedup_unique": q_doc_paragraph_dedup_unique,
         "doc_quality_prune": q_doc_quality_prune,
         "embed_dedup_clusters": q_embed_dedup_clusters,
@@ -6410,6 +6663,7 @@ def ray_queries() -> dict:
         "images_dedup": q_images_dedup,
         "images_dedup_report": q_images_dedup_report,
         "images_cluster_sizes": q_images_cluster_sizes,
+        "images_cluster_radius": q_images_cluster_radius,
         "images_sig_bitstats": q_images_sig_bitstats,
         "images_hamming_topk": q_images_hamming_topk,
         "images_dedup_dihedral": q_images_dedup_dihedral,
@@ -6514,6 +6768,8 @@ def oracle_sqls() -> dict:
         "events_cohorts": SQL_EVENTS_COHORTS,
         "events_value_corr": SQL_EVENTS_VALUE_CORR,
         "events_value_psi": SQL_EVENTS_VALUE_PSI,
+        "events_value_mad": SQL_EVENTS_VALUE_MAD,
+        "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
         "doc_paragraph_dedup_unique": SQL_DOC_PARAGRAPH_DEDUP_UNIQUE,
         "doc_quality_prune": SQL_DOC_QUALITY_PRUNE,
         "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,
@@ -6543,6 +6799,7 @@ def oracle_sqls() -> dict:
         "images_dedup": SQL_IMAGES_DEDUP,
         "images_dedup_report": SQL_IMAGES_DEDUP_REPORT,
         "images_cluster_sizes": SQL_IMAGES_CLUSTER_SIZES,
+        "images_cluster_radius": SQL_IMAGES_CLUSTER_RADIUS,
         "images_sig_bitstats": SQL_IMAGES_SIG_BITSTATS,
         "images_hamming_topk": SQL_IMAGES_HAMMING_TOPK,
         "images_dedup_dihedral": SQL_IMAGES_DEDUP_DIHEDRAL,

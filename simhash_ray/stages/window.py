@@ -688,3 +688,85 @@ def transition_counts(
     return partials.groupby(["from_type", "to_type"]).aggregate(
         Sum("n", alias_name="n")
     )
+
+
+def cumulative_sum(
+    events: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    n_parts: int = 64,
+) -> rd.Dataset:
+    """Per-key RUNNING TOTAL ordered by (ts, id) — SQL's
+    ``SUM(val) OVER (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED
+    PRECEDING)``, the cumulative-metric window verb (lifetime spend,
+    session depth).  Output: (id, running_sum).
+
+    One coarse groupby on the key hash; each partition does a single
+    lexsort + one global ``np.cumsum`` with per-run offset subtraction
+    (segmented prefix sum) — no per-key Python.  numpy's cumsum is
+    sequential in sort order, matching the SQL window's incremental
+    accumulation, so float64 results agree to summation-order noise
+    (both engines round for comparison)."""
+    from ..functions.hashing import part_of_ints, part_of_strings
+    from .base import map_groups_typed
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        if pa.types.is_integer(keys.type):
+            part = part_of_ints(
+                n_parts, keys.to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        else:
+            part = part_of_strings(
+                np.asarray(keys.to_numpy(zero_copy_only=False), dtype=object),
+                n_parts,
+            )
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "k": batch[key_col],
+                "t": batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+                "v": batch[val_col].cast(pa.float64()),
+                "part": pa.array(part, type=pa.int32()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], type=pa.int64()),
+            "running_sum": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def per_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return empty
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        import pandas as _pd
+
+        codes = _pd.factorize(k)[0]
+        order = np.lexsort((ids, t, codes))
+        codes, v_s, ids_s = codes[order], v[order], ids[order]
+        cs = np.cumsum(v_s)
+        new_run = np.ones(len(cs), dtype=bool)
+        new_run[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(new_run)
+        lengths = np.diff(np.append(starts, len(cs)))
+        prev = np.concatenate([[0.0], cs[starts[1:] - 1]])
+        run_off = np.repeat(prev, lengths)
+        return pa.table(
+            {
+                id_col: pa.array(ids_s, type=pa.int64()),
+                "running_sum": pa.array(cs - run_off, type=pa.float64()),
+            }
+        )
+
+    tagged = events.select_columns(
+        [id_col, key_col, ts_col, val_col]
+    ).map_batches(tag, batch_format="pyarrow")
+    return map_groups_typed(tagged, "part", per_part, empty)

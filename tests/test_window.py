@@ -228,3 +228,60 @@ def test_window_dedup_matches_naive_and_layout_invariant():
         ).to_pandas()
         assert sorted(out["event_id"]) == expect, parts
         assert set(out.columns) == {"event_id", "user_id", "event_type", "ts"}
+
+
+# ---------------------------------------------------------------------------
+# cumulative_sum (running total)
+
+
+def test_cumulative_sum_matches_pandas_window():
+    import pandas as pd
+
+    from simhash_ray.stages.window import cumulative_sum
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 40, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10_000, n), unit="s", origin="2024-01-01"
+            ),
+            "value": rng.normal(size=n),
+        }
+    )
+    out = (
+        cumulative_sum(rd.from_pandas(df).repartition(7), n_parts=8)
+        .to_pandas()
+        .set_index("event_id")["running_sum"]
+        .sort_index()
+    )
+    truth = (
+        df.sort_values(["user_id", "ts", "event_id"])
+        .assign(rs=lambda d: d.groupby("user_id")["value"].cumsum())
+        .set_index("event_id")["rs"]
+        .sort_index()
+    )
+    assert np.allclose(out.to_numpy(), truth.to_numpy(), atol=1e-9)
+
+
+def test_cumulative_sum_ts_tie_broken_by_id():
+    import pandas as pd
+
+    from simhash_ray.stages.window import cumulative_sum
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.array([3, 1, 2], dtype=np.int64),
+            "user_id": np.array([7, 7, 7], dtype=np.int64),
+            "ts": pd.to_datetime(["2024-01-01"] * 3),  # all tied
+            "value": [10.0, 1.0, 100.0],
+        }
+    )
+    out = (
+        cumulative_sum(rd.from_pandas(df), n_parts=2)
+        .to_pandas()
+        .set_index("event_id")["running_sum"]
+    )
+    assert out[1] == 1.0 and out[2] == 101.0 and out[3] == 111.0
