@@ -480,6 +480,62 @@ def _run_bench() -> dict:
             n_images / timings["hamming_topk"], 1
         )
 
+        # cross-table similarity JOIN: 1/4 of the captions as the
+        # probe shard vs the other 3/4 as the corpus — the "screen the
+        # new crawl against the existing corpus" operator (cross-side
+        # pairing only; within-side dup mass is not paid for)
+        def run_similarity_join():
+            from simhash_ray.stages.minhash import minhash_similarity_join
+
+            caps = _captions()
+
+            def split(want_probe: bool):
+                def fn(t: _pa.Table) -> _pa.Table:
+                    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+                    m = (ids % 4 == 0) == want_probe
+                    return t.filter(_pa.array(m))
+
+                return fn
+
+            probe = caps.map_batches(split(True), batch_format="pyarrow")
+            corpus = caps.map_batches(split(False), batch_format="pyarrow")
+            return minhash_similarity_join(
+                probe, corpus, theta=0.5, concurrency=(1, 16)
+            ).count()
+
+        n_sim = timed("similarity_join", run_similarity_join)
+        timings["similarity_join_pairs"] = n_sim
+        timings["similarity_join_docs_per_sec"] = round(
+            n_images / timings["similarity_join"], 1
+        )
+
+        # exact distributed NTILE over caption length: the global
+        # rank-bucketing verb WITHOUT a global sort (boundary ranks
+        # from the bounded length histogram + order-statistic rounds)
+        def run_ntile():
+            import pyarrow.compute as _pc
+
+            from simhash_ray.stages.topk import exact_ntile
+
+            def with_len(t: _pa.Table) -> _pa.Table:
+                return _pa.table(
+                    {
+                        "doc_id": t["doc_id"],
+                        "n_chars": _pc.cast(
+                            _pc.utf8_length(t["text"]), _pa.int64()
+                        ),
+                    }
+                )
+
+            lens = _captions().map_batches(with_len, batch_format="pyarrow")
+            return exact_ntile(lens, "n_chars", 10, id_col="doc_id").count()
+
+        n_nt = timed("ntile_10", run_ntile)
+        assert n_nt == n_images, (n_nt, n_images)
+        timings["ntile_images_per_sec"] = round(
+            n_images / timings["ntile_10"], 1
+        )
+
     # untimed: score the headline run's cluster assignment against the
     # fixture's planted-duplicate truth table (the north rule's
     # "dup-pair recall >= 0.99" criterion, measured per bench run, not
