@@ -558,6 +558,83 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q_events_window_distinct_hll(sf_dir: str):
+    """Distinct users per DAY window via per-key HyperLogLog — the
+    streaming-analytics cardinality verb at scale: register partials
+    keyed by window fold through one tiny (window, bucket) groupby,
+    never a (window, user) distinct shuffle (the exact counterpart —
+    events_cohorts' distinct pass — pays that shuffle).  The staged
+    partial stream lets DuckDB re-fold the registers and reproduce the
+    estimate bit-for-bit (exact-integer harmonic denominator, the
+    doc_distinct_hll recipe, grouped by window)."""
+    from ray.data.aggregate import Max as AggMax
+
+    from ..stages.sketch import hll_estimate, hll_partials_by_key
+
+    ev = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        day = pc.floor(pc.divide(ts.combine_chunks() if isinstance(
+            ts, pa.ChunkedArray) else ts, 86_400_000_000))
+        return pa.table(
+            {"win": day.cast(pa.int64()), "user_id": batch["user_id"]}
+        )
+
+    parts = hll_partials_by_key(
+        ev.map_batches(keyed, batch_format="pyarrow"), "win", "user_id", p=12
+    ).materialize()
+    _stage(parts, "events_hll_partials")
+
+    folded = (
+        parts.groupby(["key", "bucket"])
+        .aggregate(AggMax("rho", alias_name="rho"))
+        .to_pandas()
+    )
+    rows = {"win": [], "n_users_est": [], "n_zero": [], "denom": []}
+    for w, sub in folded.groupby("key", sort=True):
+        est = hll_estimate(
+            sub["bucket"].to_numpy(), sub["rho"].to_numpy(), p=12
+        )
+        rows["win"].append(int(w))
+        rows["n_users_est"].append(est["n_distinct_est"])
+        rows["n_zero"].append(est["n_zero"])
+        rows["denom"].append(est["denom"])
+    return pa.table(
+        {
+            "win": pa.array(rows["win"], type=pa.int64()),
+            "n_users_est": pa.array(rows["n_users_est"], type=pa.float64()),
+            "n_zero": pa.array(rows["n_zero"], type=pa.int64()),
+            "denom": pa.array(rows["denom"], type=pa.string()),
+        }
+    )
+
+
+SQL_EVENTS_WINDOW_DISTINCT_HLL = f"""
+WITH part AS (SELECT key AS win, bucket, rho
+              FROM read_parquet('{_staged("events_hll_partials")}')),
+regs AS (SELECT win, bucket, MAX(rho) AS rho FROM part GROUP BY win, bucket),
+s AS (SELECT win, COUNT(*) AS n_used,
+             COALESCE(SUM(CAST(POWER(2, 64 - rho) AS HUGEINT)), 0) AS dn
+      FROM regs GROUP BY win),
+c AS (SELECT win, CAST(4096 - n_used AS BIGINT) AS n_zero,
+             dn + (4096 - n_used) * CAST('18446744073709551616' AS HUGEINT)
+               AS denom
+      FROM s),
+e AS (SELECT win, n_zero, denom,
+             0.7213 / (1 + 1.079 / 4096.0) * 4096 * 4096
+               * 18446744073709551616.0 / CAST(denom AS DOUBLE) AS raw
+      FROM c)
+SELECT win,
+       ROUND(CASE WHEN raw <= 10240.0 AND n_zero > 0
+                  THEN 4096 * ln(4096.0 / n_zero)
+                  ELSE raw END, 6) AS n_users_est,
+       n_zero,
+       CAST(denom AS VARCHAR) AS denom
+FROM e
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-user running total of ``value`` ordered by (ts, event_id) —
     the cumulative-metric window verb (stages/window.cumulative_sum:
@@ -6524,6 +6601,44 @@ SELECT tok, n FROM t, tot WHERE n * 150 >= 1 * total
 """
 
 
+def q_doc_cume_dist(sf_dir: str):
+    """Per-row cumulative-distribution rank of document length —
+    ``CUME_DIST() OVER (ORDER BY n_chars)`` (ties share the rank of
+    their last member, per the SQL spec).  Distributed as ONE bounded
+    distinct-value histogram groupby (stages/topk._value_histogram —
+    the exact_quantiles cardinality assumption) + one stateless pass
+    mapping each row's value to cum_count(value ≤ v) / n — no sort, no
+    per-row window machinery.  The ratio is one IEEE double divide of
+    two exact integers, identical in both engines."""
+    from ..stages.topk import _value_histogram
+
+    docs = _docs(sf_dir, columns=["doc_id", "n_chars"]).materialize()
+    vals, cum = _value_histogram(docs, "n_chars", 10_000_000)
+    n = float(cum[-1]) if len(cum) else 0.0
+    vref = ray.put((vals, cum))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        vs, cs = ray.get(vref)
+        v = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(vs, v)  # exact match: vals holds every value
+        cd = cs[idx].astype(np.float64) / n
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "cume_dist": pa.array(np.round(cd, 6), type=pa.float64()),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_DOC_CUME_DIST = """
+SELECT doc_id,
+       ROUND(CUME_DIST() OVER (ORDER BY n_chars), 6) AS cume_dist
+FROM documents
+"""
+
+
 def q_doc_ntile(sf_dir: str):
     """Global percentile-cohort bucketing — ``NTILE(7) OVER (ORDER BY
     n_chars, doc_id)`` — the "split the corpus into equal-size length
@@ -6597,6 +6712,7 @@ def ray_queries() -> dict:
         "doc_decontaminate": q_doc_decontaminate,
         "orders_topk_per_segment": q_orders_topk_per_segment,
         "doc_ntile": q_doc_ntile,
+        "doc_cume_dist": q_doc_cume_dist,
         "doc_token_heavyhitters": q_doc_token_heavyhitters,
         "doc_len_quantiles": q_doc_len_quantiles,
         "doc_len_quantiles_sampled": q_doc_len_quantiles_sampled,
@@ -6642,6 +6758,7 @@ def ray_queries() -> dict:
         "events_value_psi": q_events_value_psi,
         "events_value_mad": q_events_value_mad,
         "events_running_total": q_events_running_total,
+        "events_window_distinct_hll": q_events_window_distinct_hll,
         "doc_paragraph_dedup_unique": q_doc_paragraph_dedup_unique,
         "doc_quality_prune": q_doc_quality_prune,
         "embed_dedup_clusters": q_embed_dedup_clusters,
@@ -6729,6 +6846,7 @@ def oracle_sqls() -> dict:
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "orders_topk_per_segment": SQL_ORDERS_TOPK_PER_SEGMENT,
         "doc_ntile": SQL_DOC_NTILE,
+        "doc_cume_dist": SQL_DOC_CUME_DIST,
         "doc_token_heavyhitters": SQL_DOC_TOKEN_HEAVYHITTERS,
         "doc_len_quantiles": SQL_DOC_LEN_QUANTILES,
         "doc_len_quantiles_sampled": SQL_DOC_LEN_QUANTILES_SAMPLED,
@@ -6770,6 +6888,7 @@ def oracle_sqls() -> dict:
         "events_value_psi": SQL_EVENTS_VALUE_PSI,
         "events_value_mad": SQL_EVENTS_VALUE_MAD,
         "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
+        "events_window_distinct_hll": SQL_EVENTS_WINDOW_DISTINCT_HLL,
         "doc_paragraph_dedup_unique": SQL_DOC_PARAGRAPH_DEDUP_UNIQUE,
         "doc_quality_prune": SQL_DOC_QUALITY_PRUNE,
         "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,

@@ -639,3 +639,58 @@ def token_heavy_hitters(
         return batch.filter(pa.array(keep))
 
     return agg.map_batches(threshold, batch_format="pyarrow")
+
+
+def hll_partials_by_key(
+    ds: rd.Dataset, key_col: str, col: str, p: int = 12
+) -> rd.Dataset:
+    """Per-KEY HyperLogLog register partials: one streaming pass
+    emitting (key, bucket, rho) rows — the per-block MAX-fold of each
+    value's register update within its key group (the windowed /
+    per-segment cardinality shape: distinct users per time window
+    WITHOUT shuffling a (key, value) distinct table).  Register folds
+    are idempotent maxes, so any partitioning merges to the exact
+    serial register file per key; the downstream groupby shuffles at
+    most blocks × keys-per-block × nnz-registers tiny rows.
+
+    NULL values are skipped (COUNT(DISTINCT) convention); NULL keys
+    are skipped too (no stratum to charge)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+    empty = pa.table(
+        {
+            "key": pa.array([], type=pa.int64()),
+            "bucket": pa.array([], type=pa.int64()),
+            "rho": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        vals = batch[col].to_numpy(zero_copy_only=False)
+        ok = ~pd.isna(keys) & ~pd.isna(vals)
+        if not ok.any():
+            return empty
+        keys = keys[ok].astype(np.int64)
+        h = BloomFilter._hash(vals[ok]).astype(np.uint64)
+        bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h << np.uint64(p)
+        rho = np.where(
+            w == 0, np.int64(64 - p + 1), np.int64(65) - _bit_length_u64(w)
+        ).astype(np.int64)
+        kcodes, kuniq = pd.factorize(keys)
+        regs = np.zeros((len(kuniq), m), dtype=np.int64)
+        np.maximum.at(regs, (kcodes, bucket), rho)
+        ki, bi = np.nonzero(regs)
+        return pa.table(
+            {
+                "key": pa.array(kuniq[ki].astype(np.int64)),
+                "bucket": pa.array(bi.astype(np.int64)),
+                "rho": pa.array(regs[ki, bi]),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow")

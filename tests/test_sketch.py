@@ -313,3 +313,65 @@ def test_bloom_build_sparse_dense_and_tree_fold_equal():
     serial2 = BloomFilter.empty(1 << 12, 5)
     serial2.add(vals)
     assert np.array_equal(bf2.words, serial2.words)
+
+
+def test_hll_partials_by_key_fold_equals_serial_and_accuracy():
+    import pandas as pd
+
+    from simhash_ray.stages.sketch import (
+        hll_estimate,
+        hll_partials,
+        hll_partials_by_key,
+    )
+
+    rng = np.random.default_rng(6)
+    n = 6000
+    df = pd.DataFrame(
+        {
+            "win": rng.integers(0, 4, n).astype(np.int64),
+            "user": rng.integers(0, 700, n).astype(np.int64),
+        }
+    )
+    p = 12
+    parts = (
+        hll_partials_by_key(
+            rd.from_pandas(df).repartition(9), "win", "user", p=p
+        )
+        .to_pandas()
+        .groupby(["key", "bucket"], as_index=False)["rho"]
+        .max()
+    )
+    for w, sub in parts.groupby("key"):
+        # serial reference: single-partition per-key registers
+        one = df[df["win"] == w][["user"]]
+        ref = (
+            hll_partials(rd.from_pandas(one).repartition(1), "user", p=p)
+            .to_pandas()
+            .groupby("bucket", as_index=False)["rho"]
+            .max()
+        )
+        got = sub[["bucket", "rho"]].reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.sort_values("bucket").reset_index(drop=True),
+            ref.sort_values("bucket").reset_index(drop=True),
+        )
+        est = hll_estimate(sub["bucket"].to_numpy(), sub["rho"].to_numpy(), p)
+        exact = one["user"].nunique()
+        assert abs(est["n_distinct_est"] - exact) / exact < 0.08  # ~3 sigma
+
+
+def test_hll_partials_by_key_skips_nulls():
+    import pandas as pd
+
+    from simhash_ray.stages.sketch import hll_partials_by_key
+
+    df = pd.DataFrame(
+        {
+            "win": pd.array([1, 1, None, 2], dtype="Int64"),
+            "user": pd.array([10, None, 5, 7], dtype="Int64"),
+        }
+    )
+    parts = hll_partials_by_key(rd.from_pandas(df), "win", "user").to_pandas()
+    # only (win=1,user=10) and (win=2,user=7) contribute
+    assert set(parts["key"]) == {1, 2}
+    assert len(parts) == 2
