@@ -455,6 +455,44 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_simjoin(args) -> int:
+    """Cross-table similarity JOIN: screen a probe table against a
+    corpus/blocklist at est-Jaccard ≥ θ (stages/minhash
+    .minhash_similarity_join).  Writes pairs/ (a = probe id, b =
+    corpus id, est_jaccard) + metrics.json."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.minhash import minhash_similarity_join
+
+    probe = rd.read_parquet(args.probe, columns=[args.id_col, args.text_col])
+    corpus = rd.read_parquet(args.corpus, columns=[args.id_col, args.text_col])
+    os.makedirs(args.out, exist_ok=True)
+    pairs = minhash_similarity_join(
+        probe,
+        corpus,
+        theta=args.theta,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        shingle_k=args.shingle_k,
+        n_parts=args.n_parts,
+    ).materialize()
+    pairs.write_parquet(os.path.join(args.out, "pairs"))
+    n_pairs = pairs.count()
+    n_probe_matched = (
+        pairs.groupby("a").count().count() if n_pairs else 0
+    )
+    metrics = {
+        "n_pairs": n_pairs,
+        "n_probe_matched": n_probe_matched,
+        "theta": args.theta,
+    }
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics))
+    return 0
+
+
 def cmd_convert(args) -> int:
     """Format conversion: stream any supported source into any
     supported sink (distributed, partitioned output) — the on-ramp
@@ -616,6 +654,23 @@ def main(argv=None) -> int:
                      help="docs domain: id column (match the base run)")
     ing.add_argument("--out", required=True, help="output directory")
     ing.set_defaults(fn=cmd_ingest)
+
+    sj = sub.add_parser(
+        "simjoin",
+        help="similarity-JOIN a probe table against a corpus/blocklist "
+        "(MinHash banding, cross-side pairs only)",
+    )
+    sj.add_argument("probe", help="Parquet file/dir of the probe rows")
+    sj.add_argument("--corpus", required=True, help="Parquet file/dir to "
+                    "match against (id spaces must be disjoint)")
+    sj.add_argument("--out", required=True, help="output directory")
+    sj.add_argument("--theta", type=float, default=0.7,
+                    help="est-Jaccard threshold")
+    sj.add_argument("--text-col", default="text")
+    sj.add_argument("--id-col", default="doc_id")
+    sj.add_argument("--shingle-k", type=int, default=2)
+    sj.add_argument("--n-parts", type=int, default=64)
+    sj.set_defaults(fn=cmd_simjoin)
 
     cv = sub.add_parser(
         "convert",

@@ -618,3 +618,49 @@ def test_cli_dedup_docs_idf(tmp_path):
         capture_output=True, text=True, env=env, timeout=120,
     )
     assert bad.returncode == 2
+
+
+def test_cli_simjoin(tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{i}" for i in range(200)]
+    corpus_rows = [
+        " ".join(rng.choice(vocab, size=25)) for _ in range(60)
+    ]
+    # probe: 5 near-copies of corpus rows (1 token edited) + 5 fresh
+    probe_rows = []
+    for i in range(5):
+        toks = corpus_rows[i * 7].split()
+        toks[3] = "edited"
+        probe_rows.append(" ".join(toks))
+    probe_rows += [" ".join(rng.choice(vocab, size=25)) for _ in range(5)]
+
+    corpus_pq = tmp_path / "corpus.parquet"
+    probe_pq = tmp_path / "probe.parquet"
+    pd.DataFrame(
+        {"doc_id": range(60), "text": corpus_rows}
+    ).to_parquet(corpus_pq)
+    pd.DataFrame(
+        {"doc_id": range(1000, 1010), "text": probe_rows}
+    ).to_parquet(probe_pq)
+
+    out = tmp_path / "out"
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "simhash_ray", "--num-cpus", "8",
+            "simjoin", str(probe_pq), "--corpus", str(corpus_pq),
+            "--out", str(out), "--theta", "0.5",
+        ],
+        capture_output=True, text=True, timeout=540,
+        cwd="/root/repo", env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    metrics = json.loads(res.stdout.strip().splitlines()[-1])
+    assert metrics["n_pairs"] >= 4  # near-copies found
+    assert metrics["n_probe_matched"] >= 4
+    pdf = pq.read_table(str(out / "pairs")).to_pandas()
+    assert set(pdf["a"]).issubset(set(range(1000, 1010)))
+    assert set(pdf["b"]).issubset(set(range(60)))
