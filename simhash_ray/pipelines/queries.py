@@ -2647,7 +2647,12 @@ GROUP BY 1
 
 
 def _minhash_staged_pairs(
-    sf_dir: str, sig_name: str, cand_name: str, encoder: str = "classic"
+    sf_dir: str,
+    sig_name: str,
+    cand_name: str,
+    encoder: str = "classic",
+    shingle_k: int = 2,
+    theta: float = 0.7,
 ):
     """Shared staging decomposition for the MinHash queries: identical
     composition/parameters to minhash_dup_pairs(theta=0.7, shingle_k=2,
@@ -2670,7 +2675,7 @@ def _minhash_staged_pairs(
 
     sig_fn = oph_signatures if encoder == "oph" else minhash_signatures
     docs = _docs(sf_dir, columns=["doc_id", "text"])
-    sig_ds = sig_fn(docs, shingle_k=2, concurrency=(1, 4)).materialize()
+    sig_ds = sig_fn(docs, shingle_k=shingle_k, concurrency=(1, 4)).materialize()
 
     def unpack(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -2693,7 +2698,7 @@ def _minhash_staged_pairs(
         pairs.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow"),
         cand_name,
     )
-    return docs, _verify_broadcast(pairs, sig_ds, 0.7, 64)
+    return docs, _verify_broadcast(pairs, sig_ds, theta, 64)
 
 
 def q_doc_minhash_pairs(sf_dir: str):
@@ -2790,6 +2795,83 @@ est AS (
 )
 SELECT a, b, est_jaccard FROM est
 WHERE est_jaccard >= 0.5 AND a % 10 = 0 AND b % 10 <> 0
+"""
+
+
+def q_doc_minhash_recall(sf_dir: str):
+    """MinHash quality EVALUATION (the doc twin of embed_ann_recall):
+    recall and precision of the full MinHash operator (banding + 64-perm
+    agreement verify, shingle_k=1 so the estimated quantity is
+    token-set Jaccard) against the EXACT token-set-Jaccard ≥ 0.7 truth
+    from the audited all-pairs engine.  One summary row (n_true,
+    n_found, n_hit, recall, precision).  The truth side is an
+    oracle-scale operator (all_pairs_jaccard's broadcast regime —
+    delegation documented there); the measured side is the production
+    operator.  DuckDB independently re-derives the exact truth from
+    the documents view AND re-verifies the staged candidates, then
+    recomputes all five numbers."""
+    _, verified = _minhash_staged_pairs(
+        sf_dir, "mhrecall_sigs", "mhrecall_cands", shingle_k=1
+    )
+    found = verified.to_pandas()
+    truth = all_pairs_jaccard(
+        _docs(sf_dir, columns=["doc_id", "text"]), 7, 10, use_token_sets=True
+    ).to_pandas()
+    fset = set(zip(found["a"], found["b"]))
+    tset = set(zip(truth["a"], truth["b"]))
+    n_hit = len(fset & tset)
+    n_true, n_found = len(tset), len(fset)
+    return pa.table(
+        {
+            "n_true": pa.array([n_true], type=pa.int64()),
+            "n_found": pa.array([n_found], type=pa.int64()),
+            "n_hit": pa.array([n_hit], type=pa.int64()),
+            "recall": pa.array(
+                [round(n_hit / n_true, 6) if n_true else None],
+                type=pa.float64(),
+            ),
+            "precision": pa.array(
+                [round(n_hit / n_found, 6) if n_found else None],
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+SQL_DOC_MINHASH_RECALL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+  FROM documents
+),
+tp AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks)) * 10
+        >= 7 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+    AND len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) > 0
+),
+sig AS (SELECT doc_id, perm, minval FROM read_parquet('{_staged("mhrecall_sigs")}')),
+cand AS (SELECT a, b FROM read_parquet('{_staged("mhrecall_cands")}')),
+fp AS (
+  SELECT a, b FROM (
+    SELECT c.a, c.b,
+           SUM(CASE WHEN sa.minval = sb.minval THEN 1 ELSE 0 END) / 64.0 AS est
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.a
+    JOIN sig sb ON sb.doc_id = c.b AND sb.perm = sa.perm
+    GROUP BY c.a, c.b
+  ) WHERE est >= 0.7
+),
+h AS (SELECT COUNT(*) AS n_hit FROM tp JOIN fp USING (a, b)),
+nt AS (SELECT COUNT(*) AS n_true FROM tp),
+nf AS (SELECT COUNT(*) AS n_found FROM fp)
+SELECT n_true, n_found, n_hit,
+       CASE WHEN n_true > 0
+            THEN ROUND(n_hit / CAST(n_true AS DOUBLE), 6) END AS recall,
+       CASE WHEN n_found > 0
+            THEN ROUND(n_hit / CAST(n_found AS DOUBLE), 6) END AS precision
+FROM nt, nf, h
 """
 
 
@@ -6729,6 +6811,7 @@ def ray_queries() -> dict:
         "doc_cap_per_source": q_doc_cap_per_source,
         "doc_token_budget": q_doc_token_budget,
         "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_minhash_recall": q_doc_minhash_recall,
         "doc_similarity_join": q_doc_similarity_join,
         "doc_minhash_oph_pairs": q_doc_minhash_oph_pairs,
         "doc_minhash_bbit_pairs": q_doc_minhash_bbit_pairs,
@@ -6896,6 +6979,7 @@ def oracle_sqls() -> dict:
         "doc_simhash_sigs": SQL_DOC_SIMHASH_SIGS,
         "doc_simhash_idf_sigs": SQL_DOC_SIMHASH_IDF_SIGS,
         "doc_minhash_pairs": SQL_DOC_MINHASH_PAIRS,
+        "doc_minhash_recall": SQL_DOC_MINHASH_RECALL,
         "doc_similarity_join": SQL_DOC_SIMILARITY_JOIN,
         "doc_minhash_oph_pairs": SQL_DOC_MINHASH_OPH_PAIRS,
         "doc_minhash_bbit_pairs": SQL_DOC_MINHASH_BBIT_PAIRS,
