@@ -4417,6 +4417,112 @@ SELECT step, vec_id FROM pick
 """
 
 
+def q_embed_centroid_classify(sf_dir: str):
+    """Nearest-centroid classification over the labeled embedding
+    table — the reference's train → infer → argmax chain
+    (`/root/reference/src/Htm/V2.hs:97-108`, argmax
+    `src/Htm/Utils.hs:57-63`, eval pass `src/Htm/Model.hs:58-69`)
+    re-expressed ORDER-INDEPENDENTLY so Ray Data can parallelize the
+    fit: "training" is one per-(label, dim) partial-sum groupby (a
+    pure aggregate, unlike the reference's sequential online learner,
+    SURVEY §2.4 A5), inference is a broadcast argmax-of-cosine per
+    batch.  Output: per-row (vec_id, pred_label, correct).  Oracle:
+    the fitted centroids are staged and DuckDB re-runs the entire
+    inference (list_cosine_similarity + the (sim DESC, label) tie
+    rule) and the correctness flags."""
+    vecs = read_table(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks() if isinstance(
+            batch["embedding"], pa.ChunkedArray) else batch["embedding"]
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch.num_rows
+        dim = len(flat) // max(1, n)
+        mat = flat.reshape(n, dim)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(labels)
+        sums = np.zeros((len(uniq), dim), dtype=np.float64)
+        np.add.at(sums, codes, mat)
+        cnt = np.bincount(codes).astype(np.int64)
+        li, di = np.indices(sums.shape)
+        return pa.table(
+            {
+                "label": pa.array(uniq[li.ravel()], type=pa.int64()),
+                "dim": pa.array(di.ravel().astype(np.int64)),
+                "s": pa.array(sums.ravel(), type=pa.float64()),
+                "cnt": pa.array(cnt[li.ravel()], type=pa.int64()),
+            }
+        )
+
+    folded = (
+        vecs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values(["label", "dim"])
+    )
+    labels_sorted = np.sort(folded["label"].unique())
+    dim = folded["dim"].max() + 1
+    cmat = (
+        folded["s"].to_numpy() / folded["cnt"].to_numpy()
+    ).reshape(len(labels_sorted), dim)
+    _stage(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "label": pa.array(labels_sorted, type=pa.int64()),
+                    "centroid": pa.array(
+                        [list(row) for row in cmat], type=pa.list_(pa.float64())
+                    ),
+                }
+            )
+        ),
+        "centroid_classifier",
+    )
+    cref = ray.put((labels_sorted, cmat / np.linalg.norm(cmat, axis=1, keepdims=True)))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        labs, cm = ray.get(cref)
+        emb = batch["embedding"].combine_chunks() if isinstance(
+            batch["embedding"], pa.ChunkedArray) else batch["embedding"]
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch.num_rows
+        mat = flat.reshape(n, -1)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        sim = mat @ cm.T
+        # argmax with (sim DESC, label ASC) ties — labels are sorted, so
+        # np.argmax's first-max rule IS the tie rule
+        pred = labs[np.argmax(sim, axis=1)]
+        true = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "pred_label": pa.array(pred, type=pa.int64()),
+                "correct": pa.array(pred == true, type=pa.bool_()),
+            }
+        )
+
+    return vecs.map_batches(classify, batch_format="pyarrow")
+
+
+SQL_EMBED_CENTROID_CLASSIFY = f"""
+WITH c AS (SELECT label AS cl, centroid
+           FROM read_parquet('{_staged("centroid_classifier")}')),
+s AS (
+  SELECT e.vec_id, e.label, c.cl,
+         list_cosine_similarity(e.embedding::DOUBLE[], c.centroid) AS sim
+  FROM embeddings e CROSS JOIN c
+)
+SELECT vec_id, CAST(cl AS BIGINT) AS pred_label,
+       (cl = label) AS correct
+FROM (
+  SELECT vec_id, label, cl,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cl) AS rn
+  FROM s
+) WHERE rn = 1
+"""
+
+
 def q_embed_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup pairs at the rational threshold 2/5
     (float64 on both sides; ids-only output avoids float hashing)."""
@@ -6852,6 +6958,7 @@ def ray_queries() -> dict:
         "embed_label_stats": q_embed_label_stats,
         "embed_dup_pairs": q_embed_dup_pairs,
         "embed_coreset": q_embed_coreset,
+        "embed_centroid_classify": q_embed_centroid_classify,
         "embed_kmeans": q_embed_kmeans,
         "embed_semdedup": q_embed_semdedup,
         "embed_dup_pairs_lsh": q_embed_dup_pairs_lsh,
@@ -6987,6 +7094,7 @@ def oracle_sqls() -> dict:
         "embed_dup_pairs_lsh": SQL_EMBED_DUP_PAIRS_LSH,
         "embed_kmeans": SQL_EMBED_KMEANS,
         "embed_coreset": SQL_EMBED_CORESET,
+        "embed_centroid_classify": SQL_EMBED_CENTROID_CLASSIFY,
         "embed_semdedup": SQL_EMBED_SEMDEDUP,
         "embed_lsh_topk": SQL_EMBED_LSH_TOPK,
         "embed_ivf_topk": SQL_EMBED_IVF_TOPK,
