@@ -635,6 +635,40 @@ FROM e
 """
 
 
+def q_events_value_quantiles_exact(sf_dir: str):
+    """EXACT median / p90 / p99 of the micro-quantized event value —
+    an UNBOUNDED-cardinality column where the histogram-based
+    exact_quantiles path is off the table: each quantile resolves by
+    order-statistic refinement rounds over the value range
+    (stages/topk.exact_quantiles_unbounded — bucket-count groupbys,
+    never a distinct-value shuffle), the third leg of the quantile
+    family (exact-bounded / sampled / exact-unbounded)."""
+    from ..stages.topk import exact_quantiles_unbounded
+
+    ev = read_table(sf_dir, "events", columns=["value"])
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"vm": pa.array(np.floor(v * 1e6).astype(np.int64))})
+
+    vm = ev.map_batches(quantize, batch_format="pyarrow")
+    return rd.from_arrow(
+        exact_quantiles_unbounded(
+            vm, "vm",
+            {"p50": (1, 2), "p90": (9, 10), "p99": (99, 100)},
+        )
+    )
+
+
+SQL_EVENTS_VALUE_QUANTILES_EXACT = """
+WITH v AS (SELECT CAST(floor(value * 1000000.0) AS BIGINT) AS vm FROM events)
+SELECT quantile_disc(vm, 0.5)  AS p50,
+       quantile_disc(vm, 0.9)  AS p90,
+       quantile_disc(vm, 0.99) AS p99
+FROM v
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-user running total of ``value`` ordered by (ts, event_id) —
     the cumulative-metric window verb (stages/window.cumulative_sum:
@@ -6948,6 +6982,7 @@ def ray_queries() -> dict:
         "events_value_mad": q_events_value_mad,
         "events_running_total": q_events_running_total,
         "events_window_distinct_hll": q_events_window_distinct_hll,
+        "events_value_quantiles_exact": q_events_value_quantiles_exact,
         "doc_paragraph_dedup_unique": q_doc_paragraph_dedup_unique,
         "doc_quality_prune": q_doc_quality_prune,
         "embed_dedup_clusters": q_embed_dedup_clusters,
@@ -7079,6 +7114,7 @@ def oracle_sqls() -> dict:
         "events_value_mad": SQL_EVENTS_VALUE_MAD,
         "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
         "events_window_distinct_hll": SQL_EVENTS_WINDOW_DISTINCT_HLL,
+        "events_value_quantiles_exact": SQL_EVENTS_VALUE_QUANTILES_EXACT,
         "doc_paragraph_dedup_unique": SQL_DOC_PARAGRAPH_DEDUP_UNIQUE,
         "doc_quality_prune": SQL_DOC_QUALITY_PRUNE,
         "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,

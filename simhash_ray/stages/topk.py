@@ -349,6 +349,110 @@ def _id_order_statistic(
     return int(ids[m - before - 1])
 
 
+def _order_statistic(
+    narrow: rd.Dataset,
+    m: int,
+    n_in: int,
+    col: str,
+    n_buckets: int = 4096,
+    collect_limit: int = 1_000_000,
+) -> int:
+    """The m-th smallest (1-based, duplicates counted) value of an
+    integer column — found WITHOUT any bounded-cardinality assumption:
+    rounds of ≤ ``n_buckets``-key bucket-count groupbys over the value
+    range narrow the candidate interval ~``n_buckets``× per round;
+    the final ≤ ``collect_limit`` candidate rows are collected for the
+    exact pick.  An interval collapsed to one value short-circuits
+    (every candidate equals it), so pathological multiplicity cannot
+    force an unbounded collect.  This is the exact-quantile scale path
+    for unbounded-cardinality columns (the histogram-based
+    :func:`exact_quantiles` needs bounded distincts; the sampled
+    variant trades exactness)."""
+    lo: int | None = None
+    hi: int | None = None
+    before = 0
+
+    while n_in > collect_limit:
+        if lo is None:
+            mm = narrow.aggregate(AggMin(col), AggMax(col))
+            lo, hi = int(mm[f"min({col})"]), int(mm[f"max({col})"])
+        span = hi - lo + 1
+        if span <= 1:
+            return lo
+        k = min(n_buckets, span)
+        width = (span + k - 1) // k
+        iv = (lo, hi, width)
+
+        def part(batch: pa.Table, iv=iv) -> pa.Table:
+            b_lo, b_hi, b_w = iv
+            v = batch[col].to_numpy(zero_copy_only=False)
+            msk = (v >= b_lo) & (v <= b_hi)
+            if not msk.any():
+                return pa.table(
+                    {"bucket": pa.array([], type=pa.int64()),
+                     "cnt": pa.array([], type=pa.int64())}
+                )
+            b = (v[msk] - b_lo) // b_w
+            cnts = np.bincount(b).astype(np.int64)
+            nz = np.flatnonzero(cnts)
+            return pa.table(
+                {"bucket": pa.array(nz, type=pa.int64()),
+                 "cnt": pa.array(cnts[nz], type=pa.int64())}
+            )
+
+        agg = (
+            narrow.map_batches(part, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+            .sort_values("bucket")
+            .reset_index(drop=True)
+        )
+        cum = before + agg["cnt"].cumsum()
+        j = int((cum >= m).idxmax())
+        before += int(agg["cnt"].iloc[:j].sum())
+        lo_new = lo + int(agg["bucket"].iloc[j]) * width
+        hi = min(hi, lo_new + width - 1)
+        lo = lo_new
+        n_in = int(agg["cnt"].iloc[j])
+
+    flt = None
+    if lo is not None:
+        flt = f"{col} >= {lo} and {col} <= {hi}"
+    seg = narrow.filter(expr=flt) if flt else narrow
+    vals = np.sort(seg.to_pandas()[col].to_numpy().astype(np.int64))
+    return int(vals[m - before - 1])
+
+
+def exact_quantiles_unbounded(
+    ds: rd.Dataset,
+    col: str,
+    quantiles: dict[str, tuple[int, int]],
+    n_buckets: int = 4096,
+    collect_limit: int = 1_000_000,
+) -> pa.Table:
+    """EXACT discrete quantiles of an integer column with UNBOUNDED
+    value cardinality — one :func:`_order_statistic` refinement per
+    requested quantile instead of :func:`exact_quantiles`' whole-column
+    histogram (same ``ceil(n·q)−1`` quantile_disc index rule).  Each
+    quantile costs O(log_{n_buckets}(range)) streaming passes; for the
+    common 2–5 requested quantiles that is a handful of narrow
+    bucket-count groupbys, never a distinct-value shuffle."""
+    narrow = ds.select_columns([col]).materialize()
+    n = narrow.count()
+    out = {}
+    for name, (num, den) in quantiles.items():
+        if n == 0:
+            out[name] = pa.array([None], type=pa.int64())
+            continue
+        m = _disc_index(n, num, den) + 1
+        out[name] = pa.array(
+            [_order_statistic(narrow, m, n, col, n_buckets, collect_limit)],
+            type=pa.int64(),
+        )
+    return pa.table(out)
+
+
 _INT64_MAX = (1 << 63) - 1
 
 

@@ -136,3 +136,62 @@ def test_sampled_quantiles_partition_invariant_and_near_exact(ray_session):
         assert abs(rank - q) < 4 * np.sqrt(q * (1 - q) / m) + 1 / m, (
             name, est, rank, exact[name][0],
         )
+
+
+# ---------------------------------------------------------------------------
+# exact quantiles at UNBOUNDED cardinality (order-statistic refinement)
+
+
+def test_exact_quantiles_unbounded_matches_bounded_and_numpy():
+    import ray.data as rd
+
+    from simhash_ray.stages.topk import (
+        _disc_index,
+        exact_quantiles,
+        exact_quantiles_unbounded,
+    )
+
+    rng = np.random.default_rng(8)
+    # near-unique values (unbounded-cardinality shape) + heavy dup mass
+    vals = np.concatenate(
+        [rng.integers(-10**12, 10**12, 5000), np.full(2000, 42)]
+    ).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(7)
+    q = {"p50": (1, 2), "p90": (9, 10), "p1": (1, 100)}
+    fast = exact_quantiles_unbounded(ds, "v", q)
+    ref = exact_quantiles(ds, "v", q)  # histogram path, already pinned
+    for name in q:
+        assert fast[name][0].as_py() == ref[name][0].as_py()
+    # numpy cross-check of the disc rule
+    s = np.sort(vals)
+    for name, (num, den) in q.items():
+        assert fast[name][0].as_py() == int(s[_disc_index(len(s), num, den)])
+
+
+def test_exact_quantiles_unbounded_forced_refinement_rounds():
+    import ray.data as rd
+
+    from simhash_ray.stages.topk import exact_quantiles, exact_quantiles_unbounded
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 10**9, 4000).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(5)
+    q = {"p50": (1, 2), "p99": (99, 100)}
+    slow = exact_quantiles_unbounded(ds, "v", q, n_buckets=16, collect_limit=50)
+    ref = exact_quantiles(ds, "v", q)
+    for name in q:
+        assert slow[name][0].as_py() == ref[name][0].as_py()
+
+
+def test_exact_quantiles_unbounded_single_value_multiplicity():
+    import ray.data as rd
+
+    from simhash_ray.stages.topk import exact_quantiles_unbounded
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"v": np.full(3000, 7, dtype=np.int64)})
+    ).repartition(3)
+    out = exact_quantiles_unbounded(
+        ds, "v", {"p50": (1, 2)}, collect_limit=10
+    )
+    assert out["p50"][0].as_py() == 7
