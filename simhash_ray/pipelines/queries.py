@@ -706,8 +706,11 @@ def q_events_value_mad(sf_dir: str):
     medians use the pinned quantile_disc index rule, so DuckDB
     re-derives every number independently.  Shape: two bounded
     (group, value)-histogram groupbys (stages/topk
-    .exact_quantiles_per_group) + one streaming count pass with the
-    tiny med/mad luts broadcast."""
+    .exact_quantiles_per_group — bounded-distinct assumption asserted;
+    at cardinalities beyond it run the per-group medians through
+    stages/topk.exact_quantiles_unbounded's order-statistic rounds
+    per group, or the sampled path) + one streaming count pass with
+    the tiny med/mad luts broadcast."""
     from ..stages.topk import exact_quantiles_per_group
 
     ev = read_table(sf_dir, "events", columns=["event_type", "value"])
@@ -2114,6 +2117,24 @@ def q_doc_jaccard_pairs(sf_dir: str):
     threshold; scalable probabilistic counterpart: minhash query)."""
     docs = _docs(sf_dir, columns=["doc_id", "text"])
     return all_pairs_jaccard(docs, 9, 10, use_token_sets=True)
+
+
+def q_doc_jaccard_pairs_prefix(sf_dir: str):
+    """The SAME exact token-set Jaccard ≥ 9/10 pairs as
+    doc_jaccard_pairs, computed by the SCALABLE engine: prefix-filter
+    candidate generation (SSJoin/PPJoin family, stages/ssjoin) instead
+    of the all-pairs broadcast matrix — narrow (doc, token-hash) rows,
+    one df groupby, rarity-ordered per-doc prefixes, token-bucket
+    pairing with the size filter, exact sorted-merge verify.  Closes
+    the "scalable exact candidates would be a prefix-filter inverted
+    index" delegation documented on all_pairs_jaccard.  The oracle is
+    the fully independent brute-force SQL — identical to
+    doc_jaccard_pairs' — so the driver checks the exactness claim
+    itself."""
+    from ..stages.ssjoin import prefix_jaccard_pairs
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return prefix_jaccard_pairs(docs, 9, 10)
 
 
 def q_doc_containment_pairs(sf_dir: str):
@@ -6929,6 +6950,7 @@ def ray_queries() -> dict:
         "doc_snapshot_diff": q_doc_snapshot_diff,
         "doc_tokenset_dedup": q_doc_tokenset_dedup,
         "doc_jaccard_pairs": q_doc_jaccard_pairs,
+        "doc_jaccard_pairs_prefix": q_doc_jaccard_pairs_prefix,
         "doc_containment_pairs": q_doc_containment_pairs,
         "doc_substring_pairs": q_doc_substring_pairs,
         "doc_decontaminate": q_doc_decontaminate,
@@ -7066,6 +7088,7 @@ def oracle_sqls() -> dict:
         "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
         "doc_tokenset_dedup": SQL_DOC_TOKENSET_DEDUP,
         "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
+        "doc_jaccard_pairs_prefix": SQL_DOC_JACCARD_PAIRS,
         "doc_containment_pairs": SQL_DOC_CONTAINMENT_PAIRS,
         "doc_substring_pairs": SQL_DOC_SUBSTRING_PAIRS,
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,

@@ -616,11 +616,13 @@ def all_pairs_jaccard(
     (bit-exact vs a SQL oracle — a float θ literal would disagree with
     SQL on boundary pairs).  The full shingle-set table is broadcast via
     ``ray.put`` once and compared per batch — valid while the corpus
-    fits a worker heap (validation/oracle scale); the scalable
-    counterpart is :func:`minhash_dup_pairs` for Jaccard, and for
-    containment a prefix-filter (rarest-token inverted index) candidate
-    stage — not wired; this operator raises no pretence of scaling
-    past the broadcast regime.
+    fits a worker heap (validation/oracle scale); the scalable EXACT
+    counterpart for token-set Jaccard is
+    :func:`..stages.ssjoin.prefix_jaccard_pairs` (prefix-filter
+    inverted index, wired and pinned equal), the probabilistic one is
+    :func:`minhash_dup_pairs`; for containment a prefix-filter variant
+    (index the rarest ⌈(1−t)·|x|⌉+1 tokens) remains unwired — this
+    operator raises no pretence of scaling past the broadcast regime.
     """
     if measure not in ("jaccard", "containment"):
         raise ValueError(f"unknown measure {measure!r}")
