@@ -536,6 +536,48 @@ def _run_bench() -> dict:
             n_images / timings["ntile_10"], 1
         )
 
+        # EXACT set-similarity self-join via prefix filtering, in the
+        # honest composition: exact-dup collapse first (identical-set
+        # classes defeat every exact pair enumerator), then the
+        # prefix-filter join over the distinct-caption representatives
+        def run_prefix_jaccard():
+            from simhash_ray.stages.ssjoin import prefix_jaccard_pairs
+
+            caps = _captions()
+
+            def first_wins(t: _pa.Table) -> _pa.Table:
+                import pandas as _pd
+
+                df = _pd.DataFrame(
+                    {
+                        "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+                        "text": t["text"].to_numpy(zero_copy_only=False),
+                    }
+                )
+                df = df.sort_values("doc_id").drop_duplicates("text")
+                return _pa.Table.from_pandas(df, preserve_index=False)
+
+            # block-local pre-collapse then one text groupby election
+            from ray.data.aggregate import Min as _Min
+
+            distinct = (
+                caps.map_batches(first_wins, batch_format="pyarrow")
+                .groupby("text")
+                .aggregate(_Min("doc_id", alias_name="doc_id"))
+            )
+            # shingle mode: the setting where prefix filtering bites —
+            # the shingle universe is combinatorially large, so
+            # df-ordered prefixes are genuinely rare (the unigram mode
+            # degenerates on this fixture's tiny 2000-token vocab, see
+            # ssjoin module doc)
+            return prefix_jaccard_pairs(distinct, 9, 10, shingle_k=2).count()
+
+        n_pj = timed("prefix_jaccard", run_prefix_jaccard)
+        timings["prefix_jaccard_pairs"] = n_pj
+        timings["prefix_jaccard_docs_per_sec"] = round(
+            n_images / timings["prefix_jaccard"], 1
+        )
+
     # untimed: score the headline run's cluster assignment against the
     # fixture's planted-duplicate truth table (the north rule's
     # "dup-pair recall >= 0.99" criterion, measured per bench run, not

@@ -99,11 +99,45 @@ def _ceil_mul(n: np.ndarray | int, num: int, den: int):
     return (n * num + den - 1) // den
 
 
-def _doc_token_hashes(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
-    """(doc, th, n) distinct token-hash rows, n = the doc's set size.
-    Hash identical to all_pairs_jaccard's token-set mode."""
-    ft = tokens_flat(batch[text_col])
+def _doc_token_hashes(
+    batch: pa.Table, text_col: str, id_col: str, shingle_k: int | None = None
+) -> pa.Table:
+    """(doc, th, n) distinct element-hash rows, n = the doc's set size.
+
+    ``shingle_k=None``: elements are tokens (hash identical to
+    all_pairs_jaccard's token-set mode).  ``shingle_k=k``: elements are
+    word k-gram shingles (the same u64 shingle hashes as the MinHash
+    encoder and all_pairs_jaccard's default measure) — the setting
+    where prefix filtering actually bites on web text: the shingle
+    universe is combinatorially large and Zipf-shaped, so
+    document-frequency-ordered prefixes are genuinely rare.  A tiny
+    uniform vocabulary (every token df ≈ n·len/|V|) degenerates prefix
+    selectivity toward all-pairs — a known property of the filter, and
+    the reason the unigram mode is for validation-scale corpora."""
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if shingle_k is not None:
+        from .minhash import _shingle_hashes
+
+        sets = _shingle_hashes(batch[text_col], shingle_k)
+        rows_l, th_l = [], []
+        for r, s in enumerate(sets):
+            if len(s):
+                u = np.unique(s)
+                rows_l.append(np.full(len(u), r, dtype=np.int64))
+                th_l.append(u.view(np.int64))
+        if not rows_l:
+            return _EMPTY_DT
+        rows = np.concatenate(rows_l)
+        uth = np.concatenate(th_l)
+        n_per_row = np.bincount(rows, minlength=len(ids)).astype(np.int64)
+        return pa.table(
+            {
+                "doc": pa.array(ids[rows], type=pa.int64()),
+                "th": pa.array(uth, type=pa.int64()),
+                "n": pa.array(n_per_row[rows], type=pa.int64()),
+            }
+        )
+    ft = tokens_flat(batch[text_col])
     if len(ft.flat) == 0:
         return _EMPTY_DT
     th = pd.util.hash_array(ft.to_object_array()).view(np.int64)
@@ -146,16 +180,18 @@ def prefix_jaccard_pairs(
     n_parts: int = 64,
     run_cap: int = 100_000,
     broadcast_limit: int = 50_000_000,
+    shingle_k: int | None = None,
 ) -> rd.Dataset:
-    """(a, b, inter, uni) pairs with token-set Jaccard ≥
-    theta_num/theta_den — exact, via prefix filtering (module doc)."""
+    """(a, b, inter, uni) pairs with token-set (or, with ``shingle_k``,
+    shingle-set) Jaccard ≥ theta_num/theta_den — exact, via prefix
+    filtering (module doc; shingle mode is the scale setting)."""
     if not 0 < theta_num <= theta_den:
         raise ValueError(f"theta must be in (0, 1], got {theta_num}/{theta_den}")
 
     dt = (
         docs.select_columns([id_col, text_col])
         .map_batches(
-            lambda t: _doc_token_hashes(t, text_col, id_col),
+            lambda t: _doc_token_hashes(t, text_col, id_col, shingle_k),
             batch_format="pyarrow",
         )
         .materialize()
@@ -170,32 +206,13 @@ def prefix_jaccard_pairs(
              "df": pa.array(c.astype(np.int64), type=pa.int64())}
         )
 
-    df = (
-        dt.map_batches(df_part, batch_format="pyarrow")
-        .groupby("th")
-        .aggregate(Sum("df", alias_name="df"))
-    )
+    n_tokens = dt.count()
+    broadcast_regime = n_tokens <= broadcast_limit
     n_join = int(max(2, min(8, ray.cluster_resources().get("CPU", 8) // 2)))
-    joined = dt.join(
-        df, join_type="inner", num_partitions=n_join, on=("th",),
-        aggregator_ray_remote_args={"num_cpus": 0.5},
-    )
 
-    def tag_doc_part(batch: pa.Table) -> pa.Table:
-        d = batch["doc"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "part", pa.array(part_of_ints(n_parts, d), type=pa.int32())
-        )
-
-    keyed = joined.map_batches(tag_doc_part, batch_format="pyarrow")
-
-    def prefix_rows(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return _EMPTY_PREFIX
-        doc = group["doc"].to_numpy(zero_copy_only=False)
-        th = group["th"].to_numpy(zero_copy_only=False)
-        n = group["n"].to_numpy(zero_copy_only=False)
-        dfv = group["df"].to_numpy(zero_copy_only=False)
+    def _prefix_kernel(
+        doc: np.ndarray, th: np.ndarray, n: np.ndarray, dfv: np.ndarray
+    ) -> pa.Table:
         order = np.lexsort((th, dfv, doc))  # canonical (df, hash) per doc
         doc, th, n = doc[order], th[order], n[order]
         new_run = np.ones(len(doc), dtype=bool)
@@ -217,7 +234,71 @@ def prefix_jaccard_pairs(
             }
         )
 
-    prefixes = map_groups_typed(keyed, "part", prefix_rows, _EMPTY_PREFIX)
+    # _doc_token_hashes emits each doc's rows CONTIGUOUSLY within its
+    # block (np.unique sorts by (row, th); a Ray block split can only
+    # ADD prefix rows — part-local rank ≤ global rank — which the
+    # verify discards), so in the broadcast regime prefixes compute per
+    # BLOCK with a searchsorted df attach — no token join, no
+    # doc-keyed shuffle — and the df fold itself happens driver-side
+    # from the per-block partials (bounded by the same envelope as the
+    # df broadcast: ≤ n_tokens rows; the 2.7M-group Ray groupby this
+    # replaces alone cost 30 of the pre-fix 43 s).  Above the limit the
+    # groupby + join + doc-hash-groupby path preserves correctness.
+    if broadcast_regime:
+        th_parts, df_parts = [], []
+        for b in dt.map_batches(df_part, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=1 << 20
+        ):
+            th_parts.append(b["th"].to_numpy(zero_copy_only=False))
+            df_parts.append(b["df"].to_numpy(zero_copy_only=False))
+        th_all = np.concatenate(th_parts) if th_parts else np.empty(0, np.int64)
+        df_all = np.concatenate(df_parts) if df_parts else np.empty(0, np.int64)
+        ths_sorted, inv = np.unique(th_all, return_inverse=True)
+        dfs = np.bincount(inv, weights=df_all).astype(np.int64)
+        dref = ray.put((ths_sorted, dfs))
+
+        def prefix_block(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _EMPTY_PREFIX
+            ths_sorted, dfs = ray.get(dref)
+            doc = batch["doc"].to_numpy(zero_copy_only=False)
+            th = batch["th"].to_numpy(zero_copy_only=False)
+            n = batch["n"].to_numpy(zero_copy_only=False)
+            dfv = dfs[np.searchsorted(ths_sorted, th)]
+            return _prefix_kernel(doc, th, n, dfv)
+
+        prefixes = dt.map_batches(prefix_block, batch_format="pyarrow")
+    else:
+        df = (
+            dt.map_batches(df_part, batch_format="pyarrow")
+            .groupby("th")
+            .aggregate(Sum("df", alias_name="df"))
+            .materialize()
+        )
+        joined = dt.join(
+            df, join_type="inner", num_partitions=n_join, on=("th",),
+            aggregator_ray_remote_args={"num_cpus": 0.5},
+        )
+
+        def tag_doc_part(batch: pa.Table) -> pa.Table:
+            d = batch["doc"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "part", pa.array(part_of_ints(n_parts, d), type=pa.int32())
+            )
+
+        keyed = joined.map_batches(tag_doc_part, batch_format="pyarrow")
+
+        def prefix_rows(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return _EMPTY_PREFIX
+            return _prefix_kernel(
+                group["doc"].to_numpy(zero_copy_only=False),
+                group["th"].to_numpy(zero_copy_only=False),
+                group["n"].to_numpy(zero_copy_only=False),
+                group["df"].to_numpy(zero_copy_only=False),
+            )
+
+        prefixes = map_groups_typed(keyed, "part", prefix_rows, _EMPTY_PREFIX)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -286,8 +367,7 @@ def prefix_jaccard_pairs(
 
     pairs = map_groups_typed(raw_pairs, "part", dedupe, _EMPTY_PAIRS)
 
-    n_tokens = dt.count()
-    if n_tokens <= broadcast_limit:
+    if broadcast_regime:
         return _verify_pairs_broadcast(pairs, dt, theta_num, theta_den)
     return _verify_pairs_join(pairs, dt, theta_num, theta_den, n_join)
 
