@@ -635,6 +635,55 @@ FROM e
 """
 
 
+def q_events_window_distinct_kmv(sf_dir: str):
+    """Distinct users per DAY window via per-key KMV bottom-64 — the
+    fully-SQL-replayable twin of events_window_distinct_hll: md5 +
+    per-key ORDER BY/LIMIT is a deterministic function of the value
+    sets, so DuckDB re-derives EVERY estimate independently (no
+    staging).  One partial pass (≤ 64 rows per window per block) + one
+    key-hash groupby."""
+    from ..stages.sketch import kmv_distinct_by_key
+
+    ev = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        win = pc.divide(ts, 86_400_000_000)  # integer epoch-day
+        return pa.table(
+            {"win": win.cast(pa.int64()), "user_id": batch["user_id"]}
+        )
+
+    out = kmv_distinct_by_key(
+        ev.map_batches(keyed, batch_format="pyarrow"), "win", "user_id", k=64
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["win", "n_users_est", "kmv_k"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_WINDOW_DISTINCT_KMV = """
+WITH v AS (
+  SELECT epoch_us(ts) // 86400000000 AS win, user_id FROM events
+),
+d AS (SELECT DISTINCT win, md5(CAST(user_id AS VARCHAR)) AS h FROM v),
+r AS (SELECT win, h,
+             row_number() OVER (PARTITION BY win ORDER BY h) AS rn
+      FROM d),
+o AS (SELECT win, COUNT(*) AS c, MAX(h) AS kth
+      FROM r WHERE rn <= 64 GROUP BY win)
+SELECT win,
+       CASE WHEN c < 64 THEN ROUND(CAST(c AS DOUBLE), 6)
+            ELSE ROUND(63 / (('0x' || substr(kth, 1, 16))::UBIGINT
+                             / 18446744073709551616.0), 6)
+       END AS n_users_est,
+       CAST(64 AS BIGINT) AS kmv_k
+FROM o
+"""
+
+
 def q_events_value_quantiles_exact(sf_dir: str):
     """EXACT median / p90 / p99 of the micro-quantized event value —
     an UNBOUNDED-cardinality column where the histogram-based
@@ -7005,6 +7054,7 @@ def ray_queries() -> dict:
         "events_running_total": q_events_running_total,
         "events_window_distinct_hll": q_events_window_distinct_hll,
         "events_value_quantiles_exact": q_events_value_quantiles_exact,
+        "events_window_distinct_kmv": q_events_window_distinct_kmv,
         "doc_paragraph_dedup_unique": q_doc_paragraph_dedup_unique,
         "doc_quality_prune": q_doc_quality_prune,
         "embed_dedup_clusters": q_embed_dedup_clusters,
@@ -7138,6 +7188,7 @@ def oracle_sqls() -> dict:
         "events_running_total": SQL_EVENTS_RUNNING_TOTAL,
         "events_window_distinct_hll": SQL_EVENTS_WINDOW_DISTINCT_HLL,
         "events_value_quantiles_exact": SQL_EVENTS_VALUE_QUANTILES_EXACT,
+        "events_window_distinct_kmv": SQL_EVENTS_WINDOW_DISTINCT_KMV,
         "doc_paragraph_dedup_unique": SQL_DOC_PARAGRAPH_DEDUP_UNIQUE,
         "doc_quality_prune": SQL_DOC_QUALITY_PRUNE,
         "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,

@@ -694,3 +694,91 @@ def hll_partials_by_key(
         )
 
     return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def kmv_distinct_by_key(
+    ds: rd.Dataset, key_col: str, col: str, k: int = 64, n_parts: int = 64
+) -> rd.Dataset:
+    """Per-KEY bottom-k (KMV) distinct-count estimates: one row
+    (key, n_distinct_est, kmv_k) per key — the keyed twin of
+    :func:`kmv_distinct` and the fully-SQL-replayable alternative to
+    :func:`hll_partials_by_key` (md5 + per-key ORDER BY/LIMIT k is a
+    deterministic function of the value sets, so an oracle re-derives
+    every estimate independently — no staging needed).
+
+    Shape: per-block (key, h) bottom-k partials (≤ k rows per key per
+    block) → one key-hash groupby where each key's rows land together
+    → per-key bottom-k fold + finalize in one vectorized pass.  NULL
+    keys and NULL values are skipped."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from ..functions.hashing import part_of_ints
+
+    empty_part = pa.table(
+        {
+            "key": pa.array([], type=pa.int64()),
+            "h": pa.array([], type=pa.string()),
+            "part": pa.array([], type=pa.int32()),
+        }
+    )
+    out_schema = pa.schema(
+        [("key", pa.int64()), ("n_distinct_est", pa.float64()),
+         ("kmv_k", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        vals = batch[col].to_numpy(zero_copy_only=False)
+        ok = ~pd.isna(keys) & ~pd.isna(vals)
+        if not ok.any():
+            return empty_part
+        df = pd.DataFrame(
+            {"key": keys[ok].astype(np.int64), "v": vals[ok]}
+        ).drop_duplicates()
+        df["h"] = [
+            hashlib.md5(str(v).encode("utf-8")).hexdigest() for v in df["v"]
+        ]
+        df = df.sort_values(["key", "h"]).groupby("key").head(k)
+        kk = df["key"].to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(kk, type=pa.int64()),
+                "h": pa.array(df["h"].to_numpy(dtype=object), type=pa.string()),
+                "part": pa.array(part_of_ints(n_parts, kk), type=pa.int32()),
+            }
+        )
+
+    def finalize_group(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        df = pd.DataFrame(
+            {
+                "key": g["key"].to_numpy(zero_copy_only=False),
+                "h": g["h"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates().sort_values(["key", "h"]).groupby("key").head(k)
+        keys_out, est_out = [], []
+        for key, sub in df.groupby("key", sort=True):
+            hs = sub["h"].to_numpy()
+            if len(hs) < k:
+                est = float(len(hs))
+            else:
+                frac = int(hs[k - 1][:16], 16) / _TWO64
+                est = (k - 1) / frac
+            keys_out.append(int(key))
+            est_out.append(np.round(est, 6))
+        return pa.table(
+            {
+                "key": pa.array(keys_out, type=pa.int64()),
+                "n_distinct_est": pa.array(est_out, type=pa.float64()),
+                "kmv_k": pa.array([k] * len(keys_out), type=pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return map_groups_typed(parts, "part", finalize_group, out_schema.empty_table())

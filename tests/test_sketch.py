@@ -375,3 +375,71 @@ def test_hll_partials_by_key_skips_nulls():
     # only (win=1,user=10) and (win=2,user=7) contribute
     assert set(parts["key"]) == {1, 2}
     assert len(parts) == 2
+
+
+def test_kmv_by_key_matches_serial_and_is_accurate():
+    import pandas as pd
+
+    from simhash_ray.stages.sketch import kmv_distinct_by_key
+
+    rng = np.random.default_rng(12)
+    n = 8000
+    df = pd.DataFrame(
+        {
+            "win": rng.integers(0, 5, n).astype(np.int64),
+            "user": rng.integers(0, 900, n).astype(np.int64),
+        }
+    )
+    out = (
+        kmv_distinct_by_key(
+            rd.from_pandas(df).repartition(11), "win", "user", k=64
+        )
+        .to_pandas()
+        .set_index("key")
+        .sort_index()
+    )
+    import hashlib as _hl
+
+    for w, sub in df.groupby("win"):
+        hs = sorted(
+            _hl.md5(str(v).encode()).hexdigest() for v in sub["user"].unique()
+        )
+        if len(hs) < 64:
+            ref = float(len(hs))
+        else:
+            ref = 63 / (int(hs[63][:16], 16) / 2.0**64)
+        assert out.loc[w, "n_distinct_est"] == round(ref, 6)
+        exact = sub["user"].nunique()
+        assert abs(out.loc[w, "n_distinct_est"] - exact) / exact < 0.4  # k=64
+
+    # partition invariance
+    out2 = (
+        kmv_distinct_by_key(
+            rd.from_pandas(df).repartition(3), "win", "user", k=64
+        )
+        .to_pandas()
+        .set_index("key")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_kmv_by_key_exact_branch_and_nulls():
+    import pandas as pd
+
+    from simhash_ray.stages.sketch import kmv_distinct_by_key
+
+    df = pd.DataFrame(
+        {
+            "win": pd.array([1, 1, 1, 2, None], dtype="Int64"),
+            "user": pd.array([5, 5, 9, 7, 3], dtype="Int64"),
+        }
+    )
+    out = (
+        kmv_distinct_by_key(rd.from_pandas(df), "win", "user", k=64)
+        .to_pandas()
+        .set_index("key")
+    )
+    assert out.loc[1, "n_distinct_est"] == 2.0  # exact below k
+    assert out.loc[2, "n_distinct_est"] == 1.0
+    assert set(out.index) == {1, 2}  # null key skipped
