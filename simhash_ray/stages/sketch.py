@@ -584,10 +584,14 @@ def token_heavy_hitters(
             schema=_CAND_SCHEMA,
         )
 
-    parts = pa.concat_tables(
+    part_tables = list(
         docs.select_columns([text_col])
         .map_batches(local_candidates, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow", batch_size=65536)
+    )
+    parts = (
+        pa.concat_tables(part_tables) if part_tables
+        else _CAND_SCHEMA.empty_table()
     )
     if parts.num_rows > candidate_limit:
         raise ValueError(
