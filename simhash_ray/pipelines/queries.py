@@ -6869,6 +6869,55 @@ GROUP BY fc.event_type
 """
 
 
+def q_doc_ntile_per_lang(sf_dir: str):
+    """Per-GROUP percentile-cohort bucketing — ``NTILE(4) OVER
+    (PARTITION BY lang ORDER BY n_chars, doc_id)`` — the within-segment
+    curriculum/quality-quartile verb.  Composition: one
+    :func:`stages.topk.exact_ntile` per language over the filtered
+    stream (languages are a bounded, driver-known set — one tiny
+    distinct groupby — so the loop is over a handful of partitions,
+    each resolved by the same rank-boundary search; no global or
+    per-group sort)."""
+    from ray.data.aggregate import Count as _Count
+
+    from ..stages.topk import exact_ntile
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"]).materialize()
+    langs = sorted(
+        r["lang"]
+        for r in docs.groupby("lang").aggregate(_Count()).take_all()
+    )
+    outs = []
+    for lang in langs:
+
+        def pick(batch: pa.Table, lang=lang) -> pa.Table:
+            m = batch["lang"].to_numpy(zero_copy_only=False) == lang
+            return batch.filter(pa.array(m))
+
+        sub = docs.map_batches(pick, batch_format="pyarrow")
+        tiles = exact_ntile(sub, "n_chars", 4, id_col="doc_id")
+        outs.append(
+            tiles.map_batches(
+                lambda t, lang=lang: t.append_column(
+                    "lang", pa.array([lang] * t.num_rows, type=pa.string())
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    ds = outs[0]
+    for o in outs[1:]:
+        ds = ds.union(o)
+    return ds
+
+
+SQL_DOC_NTILE_PER_LANG = """
+SELECT doc_id, lang,
+       CAST(NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+            AS BIGINT) AS tile
+FROM documents
+"""
+
+
 def q_doc_token_heavyhitters(sf_dir: str):
     """Exact φ-heavy hitters of the corpus token stream (φ = 1/150):
     the boilerplate/stopword detector behind corpus-health dashboards.
@@ -7006,6 +7055,7 @@ def ray_queries() -> dict:
         "orders_topk_per_segment": q_orders_topk_per_segment,
         "doc_ntile": q_doc_ntile,
         "doc_cume_dist": q_doc_cume_dist,
+        "doc_ntile_per_lang": q_doc_ntile_per_lang,
         "doc_token_heavyhitters": q_doc_token_heavyhitters,
         "doc_len_quantiles": q_doc_len_quantiles,
         "doc_len_quantiles_sampled": q_doc_len_quantiles_sampled,
@@ -7145,6 +7195,7 @@ def oracle_sqls() -> dict:
         "orders_topk_per_segment": SQL_ORDERS_TOPK_PER_SEGMENT,
         "doc_ntile": SQL_DOC_NTILE,
         "doc_cume_dist": SQL_DOC_CUME_DIST,
+        "doc_ntile_per_lang": SQL_DOC_NTILE_PER_LANG,
         "doc_token_heavyhitters": SQL_DOC_TOKEN_HEAVYHITTERS,
         "doc_len_quantiles": SQL_DOC_LEN_QUANTILES,
         "doc_len_quantiles_sampled": SQL_DOC_LEN_QUANTILES_SAMPLED,

@@ -124,3 +124,17 @@ def test_join_verify_path_equivalence():
     ).to_pandas()
     key = lambda df: sorted(map(tuple, df[["a", "b"]].to_numpy().tolist()))
     assert key(a) == key(b)
+
+
+def test_bucket_pair_cap_truncates_without_error():
+    left, right, _ = _with_planted_cross_dups(seed=17)
+    full = minhash_similarity_join(
+        rd.from_pandas(left), rd.from_pandas(right), theta=0.5,
+        concurrency=(1, 2),
+    ).to_pandas()
+    capped = minhash_similarity_join(
+        rd.from_pandas(left), rd.from_pandas(right), theta=0.5,
+        concurrency=(1, 2), bucket_pair_cap=1,  # force truncation
+    ).to_pandas()
+    key = lambda df: set(map(tuple, df[["a", "b"]].to_numpy().tolist()))
+    assert key(capped).issubset(key(full))  # truncation only removes
