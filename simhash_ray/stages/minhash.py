@@ -968,8 +968,13 @@ def make_cross_pair_generator(n_parts: int = 64, bucket_pair_cap: int = 1 << 20)
                         gl, gr, bucket_pair_cap,
                     )
                     _cross_cap_warned = True
-            i = np.repeat(np.arange(gl), gr)[:bucket_pair_cap]
-            j = np.tile(np.arange(gr), gl)[:bucket_pair_cap]
+            # build only the truncated index range: materializing the full
+            # gl*gr cross product before slicing would allocate O(gl*gr)
+            # memory for a hot bucket, defeating the cap's purpose
+            m = min(gl * gr, bucket_pair_cap)
+            lin = np.arange(m, dtype=np.int64)
+            i = lin // gr
+            j = lin % gr
             a_i.append((runs[:, None] + i[None, :]).ravel())
             b_i.append((runs[:, None] + gl + j[None, :]).ravel())
         if not a_i:

@@ -402,6 +402,10 @@ def cms_point_estimates(
 
 
 _HLL_PART_SCHEMA = pa.schema([("bucket", pa.int64()), ("rho", pa.int64())])
+# per-batch dense register-matrix element cap for hll_partials_by_key
+# (keys × m entries, int64 → 32 MB at the default); above it the sparse
+# segmented-max path runs instead of allocating a gigabyte-scale matrix
+_HLL_DENSE_CAP = 1 << 22
 
 
 def _bit_length_u64(x: np.ndarray) -> np.ndarray:
@@ -584,20 +588,26 @@ def token_heavy_hitters(
             schema=_CAND_SCHEMA,
         )
 
-    part_tables = list(
+    # bound driver memory WHILE streaming: raise as soon as the running row
+    # count exceeds the limit, before concatenating/holding the full set
+    part_tables: list[pa.Table] = []
+    seen_rows = 0
+    for bt in (
         docs.select_columns([text_col])
         .map_batches(local_candidates, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow", batch_size=65536)
-    )
+    ):
+        seen_rows += bt.num_rows
+        if seen_rows > candidate_limit:
+            raise ValueError(
+                f"token_heavy_hitters: >{candidate_limit} candidate rows "
+                f"(candidate_limit); raise phi or the limit"
+            )
+        part_tables.append(bt)
     parts = (
         pa.concat_tables(part_tables) if part_tables
         else _CAND_SCHEMA.empty_table()
     )
-    if parts.num_rows > candidate_limit:
-        raise ValueError(
-            f"token_heavy_hitters: {parts.num_rows} candidate rows exceeds "
-            f"candidate_limit={candidate_limit}; raise phi or the limit"
-        )
     is_total = parts["is_total"].to_numpy(zero_copy_only=False)
     n_total = int(parts["ntot"].to_numpy(zero_copy_only=False)[is_total].sum())
     cands = np.unique(
@@ -646,7 +656,8 @@ def token_heavy_hitters(
 
 
 def hll_partials_by_key(
-    ds: rd.Dataset, key_col: str, col: str, p: int = 12
+    ds: rd.Dataset, key_col: str, col: str, p: int = 12,
+    dense_cap: int = _HLL_DENSE_CAP,
 ) -> rd.Dataset:
     """Per-KEY HyperLogLog register partials: one streaming pass
     emitting (key, bucket, rho) rows — the per-block MAX-fold of each
@@ -686,14 +697,33 @@ def hll_partials_by_key(
             w == 0, np.int64(64 - p + 1), np.int64(65) - _bit_length_u64(w)
         ).astype(np.int64)
         kcodes, kuniq = pd.factorize(keys)
-        regs = np.zeros((len(kuniq), m), dtype=np.int64)
-        np.maximum.at(regs, (kcodes, bucket), rho)
-        ki, bi = np.nonzero(regs)
+        if len(kuniq) * m <= dense_cap:  # dense matrix ≤ 32 MB default
+            regs = np.zeros((len(kuniq), m), dtype=np.int64)
+            np.maximum.at(regs, (kcodes, bucket), rho)
+            ki, bi = np.nonzero(regs)
+            return pa.table(
+                {
+                    "key": pa.array(kuniq[ki].astype(np.int64)),
+                    "bucket": pa.array(bi.astype(np.int64)),
+                    "rho": pa.array(regs[ki, bi]),
+                }
+            )
+        # high key cardinality (fine-grained windows): a dense
+        # (keys × m) matrix would allocate gigabytes — sparse
+        # lexsort + segmented max over (key, bucket) runs instead
+        order = np.lexsort((bucket, kcodes))
+        kc, bu, rh = kcodes[order], bucket[order], rho[order]
+        new = np.ones(len(kc), dtype=bool)
+        new[1:] = (kc[1:] != kc[:-1]) | (bu[1:] != bu[:-1])
+        gid = np.cumsum(new) - 1
+        gmax = np.zeros(int(gid[-1]) + 1, dtype=np.int64)
+        np.maximum.at(gmax, gid, rh)
+        starts = np.flatnonzero(new)
         return pa.table(
             {
-                "key": pa.array(kuniq[ki].astype(np.int64)),
-                "bucket": pa.array(bi.astype(np.int64)),
-                "rho": pa.array(regs[ki, bi]),
+                "key": pa.array(kuniq[kc[starts]].astype(np.int64)),
+                "bucket": pa.array(bu[starts].astype(np.int64)),
+                "rho": pa.array(gmax),
             }
         )
 

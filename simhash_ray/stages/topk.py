@@ -273,6 +273,19 @@ def _value_histogram(
     return hist["val"].to_numpy(), hist["cnt"].to_numpy().cumsum()
 
 
+def _wide_bucket(v: np.ndarray, b_lo: int, b_w: int) -> np.ndarray:
+    """``(v - b_lo) // b_w`` computed overflow-safely: for an int64
+    column whose min/max span more than half the int64 range (hashed
+    values — exactly what the unbounded order-statistic path is
+    advertised for), ``v - b_lo`` in int64 wraps and rows land in wrong
+    buckets.  Two's-complement wraparound in uint64 makes the
+    difference exact for any int64 pair (it is always < 2**64)."""
+    diff = v.astype(np.int64).astype(np.uint64) - np.uint64(
+        b_lo & 0xFFFFFFFFFFFFFFFF
+    )
+    return (diff // np.uint64(b_w)).astype(np.int64)
+
+
 def _id_order_statistic(
     narrow: rd.Dataset,
     value: int,
@@ -316,7 +329,7 @@ def _id_order_statistic(
                     {"bucket": pa.array([], type=pa.int64()),
                      "cnt": pa.array([], type=pa.int64())}
                 )
-            b = (ids[msk] - b_lo) // b_w
+            b = _wide_bucket(ids[msk], b_lo, b_w)
             cnts = np.bincount(b).astype(np.int64)
             nz = np.flatnonzero(cnts)
             return pa.table(
@@ -392,7 +405,7 @@ def _order_statistic(
                     {"bucket": pa.array([], type=pa.int64()),
                      "cnt": pa.array([], type=pa.int64())}
                 )
-            b = (v[msk] - b_lo) // b_w
+            b = _wide_bucket(v[msk], b_lo, b_w)
             cnts = np.bincount(b).astype(np.int64)
             nz = np.flatnonzero(cnts)
             return pa.table(

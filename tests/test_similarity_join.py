@@ -138,3 +138,35 @@ def test_bucket_pair_cap_truncates_without_error():
     ).to_pandas()
     key = lambda df: set(map(tuple, df[["a", "b"]].to_numpy().tolist()))
     assert key(capped).issubset(key(full))  # truncation only removes
+
+
+def test_cross_pair_generator_truncation_is_lowest_id_prefix():
+    """Direct unit test of the capped cross-product arithmetic: the
+    truncated pair set must equal the first `cap` pairs of the full
+    row-major enumeration (lowest-id-first), built WITHOUT ever
+    materializing the full gl*gr index arrays."""
+    import numpy as np
+    import pyarrow as pa
+
+    from simhash_ray.stages.minhash import make_cross_pair_generator
+
+    gl, gr = 37, 53  # one bucket, both sides populated
+    ids = np.concatenate([np.arange(gl), 10_000 + np.arange(gr)])
+    group = pa.table(
+        {
+            "id": pa.array(ids, type=pa.int64()),
+            "band": pa.array(np.zeros(gl + gr, dtype=np.int64)),
+            "key": pa.array(np.zeros(gl + gr, dtype=np.int64)),
+            "left": pa.array([True] * gl + [False] * gr),
+        }
+    )
+    full = make_cross_pair_generator(n_parts=4, bucket_pair_cap=10**6)(group)
+    cap = 101
+    capped = make_cross_pair_generator(n_parts=4, bucket_pair_cap=cap)(group)
+    fa = full["a"].to_numpy(zero_copy_only=False)
+    fb = full["b"].to_numpy(zero_copy_only=False)
+    assert len(fa) == gl * gr
+    ca = capped["a"].to_numpy(zero_copy_only=False)
+    cb = capped["b"].to_numpy(zero_copy_only=False)
+    assert len(ca) == cap
+    assert np.array_equal(ca, fa[:cap]) and np.array_equal(cb, fb[:cap])

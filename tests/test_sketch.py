@@ -443,3 +443,33 @@ def test_kmv_by_key_exact_branch_and_nulls():
     assert out.loc[1, "n_distinct_est"] == 2.0  # exact below k
     assert out.loc[2, "n_distinct_est"] == 1.0
     assert set(out.index) == {1, 2}  # null key skipped
+
+
+def test_hll_partials_by_key_sparse_path_equals_dense():
+    import pandas as pd
+
+    from simhash_ray.stages.sketch import hll_partials_by_key
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "win": rng.integers(0, 50, n).astype(np.int64),
+            "user": rng.integers(0, 900, n).astype(np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(5)
+
+    def fold(parts):
+        return (
+            parts.to_pandas()
+            .groupby(["key", "bucket"], as_index=False)["rho"]
+            .max()
+            .sort_values(["key", "bucket"])
+            .reset_index(drop=True)
+        )
+
+    dense = fold(hll_partials_by_key(ds, "win", "user", p=10))
+    # dense_cap=0 forces the sparse lexsort+segmented-max branch
+    sparse = fold(hll_partials_by_key(ds, "win", "user", p=10, dense_cap=0))
+    pd.testing.assert_frame_equal(dense, sparse)

@@ -195,3 +195,24 @@ def test_exact_quantiles_unbounded_single_value_multiplicity():
         ds, "v", {"p50": (1, 2)}, collect_limit=10
     )
     assert out["p50"][0].as_py() == 7
+
+
+def test_exact_quantiles_unbounded_full_int64_span_no_overflow():
+    """Column spanning more than half the int64 range (hashed-value
+    shape): int64 (v - lo) would wrap; the uint64 bucket arithmetic
+    must still return the exact order statistic."""
+    import ray.data as rd
+
+    from simhash_ray.stages.topk import _disc_index, exact_quantiles_unbounded
+
+    rng = np.random.default_rng(10)
+    lo_half = rng.integers(np.iinfo(np.int64).min, np.iinfo(np.int64).min + 10**6, 2000)
+    hi_half = rng.integers(np.iinfo(np.int64).max - 10**6, np.iinfo(np.int64).max, 2000)
+    vals = np.concatenate([lo_half, hi_half]).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(6)
+    q = {"p25": (1, 4), "p50": (1, 2), "p75": (3, 4)}
+    # collect_limit below n forces the refinement rounds to run
+    out = exact_quantiles_unbounded(ds, "v", q, n_buckets=32, collect_limit=300)
+    s = np.sort(vals)
+    for name, (num, den) in q.items():
+        assert out[name][0].as_py() == int(s[_disc_index(len(s), num, den)])
