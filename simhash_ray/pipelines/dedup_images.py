@@ -106,7 +106,11 @@ def dup_edges(
         for _ in _it.combinations(range(c.n_blocks), c.combo_m)
     )
     n_reps_max = collapsed.count()  # metadata read on materialized input
-    band_parts = int(min(65536, max(256, (n_reps_max * n_bands) // 4096)))
+    # r5 sweep (1M rows / 36.8M band rows, 32 CPUs): 3.3 s at 4096
+    # parts vs 4.1 s at the old rows/4096=10498 — the band shuffle is
+    # flat across 1k-4k parts and degrades above, so size ~1 part per
+    # 8k band rows
+    band_parts = int(min(65536, max(256, (n_reps_max * n_bands) // 8192)))
     cpus = int(ray.cluster_resources().get("CPU", 32))
     sig_cols = sorted({col for _, col, _ in spaces})
     reps = (
@@ -136,15 +140,23 @@ def dup_edges(
 def choose_n_parts(n_rows: int) -> int:
     """Coarse-partition count for a bucket shuffle over ``n_rows``.
 
-    Two opposing costs, both measured at sf0.1 (32 CPUs): Ray's
-    sort-based shuffle degrades on low-cardinality keys (17M rows: 64
-    parts → 50s), while ``map_groups`` schedules one task per group —
-    round 1's ~1 part/1k rows put the 400k-row exact-collapse at 390
-    parts = 11.5 s where 128 parts runs it in 2 s (round-2 sweep in
-    BASELINE.md).  ~1 part per 3-4k rows, bounded, balances the two;
-    the band-bucket shuffle sizes its own parts from the 43×-larger
-    band-row count (see dup_edges)."""
-    return int(min(8192, max(64, n_rows // 3072)))
+    Round-5 sweep (1M rows, 32 CPUs, BASELINE.md "part-count sweep"):
+    the exact-collapse groupby ran 1.37 s at 128 parts, 5.7 s at 325
+    (the old ~1 part/3k-rows rule) and 57 s at 1024 — and the edge
+    dedupe over 5.9M rows showed the same cliff (64p: 2.6 s, 325p:
+    6.9 s, 1024p: 57 s).  Ray's sort-based shuffle cost grows
+    super-linearly with reduce-partition count long before partitions
+    get large, so parts should track the CLUSTER (a few × total CPUs
+    for parallelism) and row count only as a memory bound — not ~1
+    part per few thousand rows.  ~4× CPUs, with a rows/65536 floor so
+    cluster-scale inputs still bound per-partition memory, both
+    clamped."""
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 32)) if (
+        _ray.is_initialized()
+    ) else 32
+    return int(min(65536, max(64, 4 * cpus, n_rows // 65536)))
 
 
 def cluster_broadcast(collapsed: rd.Dataset, cfg: DedupConfig):
@@ -215,6 +227,7 @@ def dedup_images(
     n_parts: int | None = None,
     concurrency=None,
     broadcast_sig_limit: int | None = None,
+    precomputed_sigs: rd.Dataset | None = None,
 ) -> DedupResult:
     """Two regimes, equivalent outputs (tests/test_lsh_paths.py and
     tests/test_pipeline.py::test_distributed_regime_matches_direct;
@@ -237,7 +250,14 @@ def dedup_images(
     if n_parts is None:
         n_parts = choose_n_parts(n_rows)
     limit = BROADCAST_SIG_LIMIT if broadcast_sig_limit is None else broadcast_sig_limit
-    sigs = signatures(images, cfg, concurrency=concurrency)
+    # ``precomputed_sigs``: callers that already hold the (image_id,
+    # simhash, phash) table at the SAME cfg skip the encode pass (the
+    # sf0.01 gate's query-sharing path; must cover every input row)
+    sigs = (
+        precomputed_sigs
+        if precomputed_sigs is not None
+        else signatures(images, cfg, concurrency=concurrency)
+    )
     kept_sigs = None
     if n_rows <= limit:
         sigs = sigs.materialize()
@@ -355,6 +375,7 @@ def tile_dup_pairs(
     broadcast_sig_limit: int | None = None,
     lsh_cfg: LSHConfig | None = None,
     pair_full_threshold: int | None = None,
+    exact_identical_pairs_cap: int | None = None,
 ) -> rd.Dataset:
     """Crop/occlusion-robust image near-dup pairs: a pair is a dup iff
     ≥ ``k_min`` of the 4 quadrant hashes (stages/multimodal.TilePhash)
@@ -387,11 +408,15 @@ def tile_dup_pairs(
     identical-sig buckets, and unlike the clustering pipelines there
     is no exact-collapse upstream to absorb them, so this operator
     needs a much larger full-pair threshold than the clustering
-    default of 256).  Buckets beyond it fall back to lsh.py's
-    chain+head-triu scheme, which preserves CLUSTER connectivity but
-    can undercount enumerated pairs when >threshold images share an
-    identical tile hash — lsh.py logs the oversized fallback."""
-    from ..stages.lsh import OVERSIZED_EXACT_CAP
+    default of 256).  PAST the threshold, identical-sig runs still
+    enumerate their exact C(r,2) pairs up to
+    ``exact_identical_pairs_cap`` pairs per run (default
+    lsh.EXACT_IDENTICAL_PAIRS_CAP ≈ 16.7M ⇔ ~5800 identical members
+    — round-4 verdict item 4: a pairs-emitting operator must not
+    silently undercount), degrading to the connectivity chain with a
+    loud log only beyond that bound; distinct-sig heads keep lsh.py's
+    triu/star scheme."""
+    from ..stages.lsh import EXACT_IDENTICAL_PAIRS_CAP, OVERSIZED_EXACT_CAP
     from ..stages.multimodal import tile_signatures
 
     if not 1 <= k_min <= 4:
@@ -408,6 +433,10 @@ def tile_dup_pairs(
     threshold = (
         OVERSIZED_EXACT_CAP if pair_full_threshold is None else pair_full_threshold
     )
+    id_cap = (
+        EXACT_IDENTICAL_PAIRS_CAP
+        if exact_identical_pairs_cap is None else exact_identical_pairs_cap
+    )
     if n > limit:
         import logging
 
@@ -415,8 +444,12 @@ def tile_dup_pairs(
             "tile_dup_pairs: %d rows exceed broadcast_sig_limit=%d; "
             "using the distributed banding regime", n, limit,
         )
-        return _tile_pairs_distributed(sigs, n, tau, k_min, cfg, threshold)
-    ids, arrs, ai, bi = _tile_candidates(sigs.to_pandas(), tau, cfg, threshold)
+        return _tile_pairs_distributed(
+            sigs, n, tau, k_min, cfg, threshold, exact_identical_cap=id_cap
+        )
+    ids, arrs, ai, bi = _tile_candidates(
+        sigs.to_pandas(), tau, cfg, threshold, exact_identical_cap=id_cap
+    )
     return rd.from_arrow(_tile_verify(arrs, ids, ai, bi, tau, k_min))
 
 
@@ -437,6 +470,7 @@ def _tile_pairs_distributed(
     cfg: LSHConfig,
     pair_full_threshold: int,
     n_parts: int | None = None,
+    exact_identical_cap: int = 0,
 ) -> rd.Dataset:
     """Cluster-scale regime of tile_dup_pairs: the 4 tile columns band
     as 4 LSH spaces through ONE bucket groupby with fused per-space
@@ -449,7 +483,7 @@ def _tile_pairs_distributed(
     import itertools as _it
 
     n_bands = 4 * sum(1 for _ in _it.combinations(range(cfg.n_blocks), cfg.combo_m))
-    band_parts = int(min(65536, max(256, (n * n_bands) // 4096)))
+    band_parts = int(min(65536, max(256, (n * n_bands) // 8192)))
     cpus = int(ray.cluster_resources().get("CPU", 32))
     spaces = [(t, f"t{t}", cfg) for t in range(4)]
     bands = sigs.repartition(max(32, cpus)).map_batches(
@@ -460,6 +494,7 @@ def _tile_pairs_distributed(
         bands,
         pair_full_threshold=pair_full_threshold,
         taus={t: tau for t in range(4)},
+        exact_identical_cap=exact_identical_cap,
     )
     pair_parts = choose_n_parts(n)
 
@@ -525,7 +560,10 @@ def _tile_pairs_distributed(
     return map_groups_typed(parted, "part", count_tiles, _EMPTY_TILE_PAIRS)
 
 
-def _tile_candidates(df, tau: int, cfg: LSHConfig, pair_full_threshold: int):
+def _tile_candidates(
+    df, tau: int, cfg: LSHConfig, pair_full_threshold: int,
+    exact_identical_cap: int = 0,
+):
     """Shared candidate half of the tile near-dup (collected pandas
     signature frame → (ids, per-tile sig arrays, ai, bi) index pairs)
     — used by tile_dup_pairs and by the oracle-staging query so the
@@ -540,6 +578,7 @@ def _tile_candidates(df, tau: int, cfg: LSHConfig, pair_full_threshold: int):
         [(t, cfg) for t in range(4)],
         taus={t: tau for t in range(4)},
         pair_full_threshold=pair_full_threshold,
+        exact_identical_cap=exact_identical_cap,
     )
     return ids, arrs, ai, bi
 
@@ -701,13 +740,111 @@ def attach_clusters(
     # collapse-only exact-dup clusters in the distributed regime, so the
     # CLI metrics differed between regimes and across a resume)
     assignment = assignment.materialize()
-    n_clusters = (
-        assignment.filter(expr="is_representative == False")
-        .groupby("cluster_id")
-        .count()
-        .count()
-    )
+    n_clusters = _count_distinct_clusters(assignment)
     return assignment, n_clusters, n_nodes
+
+
+# Per-block-unique cluster-id rows collected for the exact distinct
+# count before falling back to the groupby path (strings ≈ 20 B → the
+# bound is ~1 GB of driver ids; the r5 part-count sweep measured the
+# groupby alternative at 5.7-6.7 s for a metric scalar).
+NCLUSTERS_COLLECT_LIMIT = 50_000_000
+
+
+def _count_distinct_clusters(assignment: rd.Dataset) -> int:
+    """Exact count of distinct ``cluster_id`` among non-representative
+    rows: per-block unique partials stream to the driver (bounded by
+    NCLUSTERS_COLLECT_LIMIT) for one np.unique; past the bound the
+    distributed groupby-count path runs instead (equivalence-tested in
+    tests/test_pipeline.py by forcing the bound to 0)."""
+    def block_unique(t: pa.Table) -> pa.Table:
+        nr = t.filter(pc.invert(t["is_representative"]))
+        return pa.table({"cluster_id": pc.unique(nr["cluster_id"])})
+
+    partials = assignment.map_batches(block_unique, batch_format="pyarrow")
+    collected: list = []
+    total = 0
+    for bt in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+        total += bt.num_rows
+        if total > NCLUSTERS_COLLECT_LIMIT:
+            return (
+                partials.groupby("cluster_id").count().count()
+            )
+        collected.append(bt["cluster_id"].to_numpy(zero_copy_only=False))
+    if not collected:
+        return 0
+    return int(len(np.unique(np.concatenate(collected))))
+
+
+def _edge_shard_fns(
+    collapsed: rd.Dataset, cfg: DedupConfig, n_shards: int
+) -> tuple[list, str]:
+    """Deterministic band-partition-range shards of the dup_edges
+    computation (round-4 verdict item 8: at 10^12 rows the band +
+    verify pass is hours long, so `edges` needs the same per-shard
+    resume granularity signatures already have).
+
+    Shard i re-runs the band expansion over the rep table but filters
+    to its contiguous ``part`` range before the bucket groupby — band
+    keys are a pure function of the signatures, so the decomposition
+    is deterministic w.r.t. (collapsed, band_parts, n_shards); the
+    fingerprint suffix pins band_parts so a rep-count change can't
+    silently mix decompositions.  Each shard's output is its verified
+    (a, b) candidate pairs, batch-locally deduped; the caller runs the
+    global dedupe over the shard union (cheap relative to the banding
+    it skips on resume)."""
+    import itertools as _it
+
+    from ..stages.lsh import candidate_pairs, make_band_expander
+
+    spaces = [
+        (TEXT_SPACE, "simhash", cfg.text_lsh),
+        (IMAGE_SPACE, "phash", cfg.image_lsh),
+    ]
+    n_bands = sum(
+        1
+        for _, _, c in spaces
+        for _ in _it.combinations(range(c.n_blocks), c.combo_m)
+    )
+    n_reps_max = collapsed.count()
+    band_parts = int(min(65536, max(256, (n_reps_max * n_bands) // 8192)))
+    cpus = int(ray.cluster_resources().get("CPU", 32))
+    bounds = np.linspace(0, band_parts, num=max(1, n_shards) + 1, dtype=np.int64)
+
+    def make_fn(lo: int, hi: int):
+        def fn() -> rd.Dataset:
+            reps = (
+                collapsed.filter(expr="is_rep == True")
+                .select_columns(["image_id", "simhash", "phash"])
+                .repartition(max(32, cpus))
+            )
+            bands = reps.map_batches(
+                make_band_expander(spaces, id_col="image_id", n_parts=band_parts),
+                batch_format="pyarrow",
+            ).filter(expr=f"part >= {lo} and part < {hi}")
+            verified = candidate_pairs(
+                bands,
+                pair_full_threshold=min(
+                    c.pair_full_threshold for _, _, c in spaces
+                ),
+                taus={sp: c.hamming_tau for sp, _, c in spaces},
+            )
+
+            def local_dedupe(t: pa.Table) -> pa.Table:
+                return (
+                    t.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+                )
+
+            return verified.map_batches(local_dedupe, batch_format="pyarrow")
+
+        return fn
+
+    fns = [
+        make_fn(int(lo), int(hi))
+        for lo, hi in zip(bounds[:-1], bounds[1:])
+        if hi > lo
+    ]
+    return fns, f"bandparts={band_parts}"
 
 
 def _signature_shard_fns(table_path: str, cfg: DedupConfig, n_shards: int):
@@ -740,6 +877,7 @@ def dedup_images_checkpointed(
     input_fingerprint: str = "",
     table_path: str | None = None,
     signature_shards: int = 0,
+    edge_shards: int = 0,
 ) -> DedupResult:
     """Checkpoint-resumable flagship run: each stage commits a Parquet
     directory + lineage manifest (state/manifest.py); a rerun skips
@@ -768,9 +906,24 @@ def dedup_images_checkpointed(
     collapsed = run.stage(
         "collapsed", lambda: collapse_exact(sigs, n_parts), input_fingerprint
     )
-    edges = run.stage(
-        "edges", lambda: dup_edges(collapsed, cfg, n_parts), input_fingerprint
-    )
+    if edge_shards > 0:
+        # per-band-partition-range resume for the (hours-long at 10^12
+        # rows) band+verify pass; the global dedupe over the shard
+        # union commits as its own (cheap) stage
+        from ..stages.cluster import dedupe_edges
+
+        fns, decomp = _edge_shard_fns(collapsed, cfg, edge_shards)
+        cand_fp = f"{input_fingerprint}:{decomp}"
+        cands = run.sharded_stage("edge_cands", fns, cand_fp)
+        edges = run.stage(
+            "edges",
+            lambda: dedupe_edges(cands.select_columns(["a", "b"]), n_parts),
+            cand_fp,
+        )
+    else:
+        edges = run.stage(
+            "edges", lambda: dup_edges(collapsed, cfg, n_parts), input_fingerprint
+        )
     holder: dict = {}
 
     def produce_assignment():

@@ -130,26 +130,76 @@ OVERSIZED_EXACT_CAP = 4096
 _oversized_cap_warned = False
 
 
+# Per-identical-sig-run pair budget for pairs-emitting operators
+# (exact_identical_cap): C(g,2) pairs enumerate exactly up to this many
+# per run (1<<24 ≈ 16.7M pairs ⇔ g ≈ 5800 identical members, ~270 MB of
+# index arrays); past it the run degrades to the connectivity chain
+# with a loud warning.  0 (the clustering default) keeps the chain for
+# every oversized run — clustering only needs connectivity.
+EXACT_IDENTICAL_PAIRS_CAP = 1 << 24
+
+_identical_cap_warned = False
+
+
 def _oversized_bucket_pairs(
-    seg_order: np.ndarray, seg_sig: np.ndarray
-) -> tuple[np.ndarray, np.ndarray]:
+    seg_order: np.ndarray, seg_sig: np.ndarray, exact_identical_cap: int = 0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Edges for one oversized (> pair_full_threshold) bucket whose
-    members are given sig-sorted: (a) Hamming-0 chains through each
-    identical-sig run (keeps hot masses connected when the caller
-    skipped exact-collapse), (b) EXACT triu over the distinct-sig run
-    heads when there are ≤ OVERSIZED_EXACT_CAP of them — cross-sig
-    recall stays 1.0 — else a head-star with a loud warning (the only
-    regime where a within-τ pair can be missed, and only if every
-    band bucket it shares is equally degenerate)."""
+    members are given sig-sorted: (a) identical-sig runs — Hamming-0
+    chains by default (keeps hot masses connected when the caller
+    skipped exact-collapse), or, when ``exact_identical_cap`` > 0
+    (pairs-emitting operators, round-4 verdict item 4), the EXACT
+    C(r,2) triu per run up to that many pairs per run with a
+    chain-and-loud-warning fallback beyond; (b) EXACT triu over the
+    distinct-sig run heads when there are ≤ OVERSIZED_EXACT_CAP of
+    them — cross-sig recall stays 1.0 — else a head-star with a loud
+    warning (the only regime where a within-τ pair can be missed, and
+    only if every band bucket it shares is equally degenerate).
+
+    Returns (a_idx, b_idx, star): ``star`` is False only for the
+    exact identical-sig enumeration (not a fallback), True for chain /
+    head-triu / star edges (the observability flag downstream)."""
     g = len(seg_order)
     head = np.ones(g, dtype=bool)
     head[1:] = seg_sig[1:] != seg_sig[:-1]
     a_parts: list[np.ndarray] = []
     b_parts: list[np.ndarray] = []
-    chain_b = np.flatnonzero(~head)
-    if len(chain_b):
-        a_parts.append(seg_order[chain_b - 1])
-        b_parts.append(seg_order[chain_b])
+    star_parts: list[np.ndarray] = []
+    if exact_identical_cap > 0:
+        starts = np.flatnonzero(head)
+        lengths = np.diff(np.append(starts, g))
+        for s, r in zip(starts, lengths):
+            r = int(r)
+            if r < 2:
+                continue
+            n_pairs = r * (r - 1) // 2
+            if n_pairs <= exact_identical_cap:
+                i, j = np.triu_indices(r, 1)
+                a_parts.append(seg_order[s + i])
+                b_parts.append(seg_order[s + j])
+                star_parts.append(np.zeros(n_pairs, dtype=bool))
+            else:
+                global _identical_cap_warned
+                if not _identical_cap_warned:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "identical-sig run of %d members (%d pairs) exceeds "
+                        "exact_identical_cap=%d: emitting the connectivity "
+                        "chain instead of exact pairs (logged once per "
+                        "worker)", r, n_pairs, exact_identical_cap,
+                    )
+                    _identical_cap_warned = True
+                idxs = seg_order[s : s + r]
+                a_parts.append(idxs[:-1])
+                b_parts.append(idxs[1:])
+                star_parts.append(np.ones(r - 1, dtype=bool))
+    else:
+        chain_b = np.flatnonzero(~head)
+        if len(chain_b):
+            a_parts.append(seg_order[chain_b - 1])
+            b_parts.append(seg_order[chain_b])
+            star_parts.append(np.ones(len(chain_b), dtype=bool))
     run_heads = seg_order[head]
     h = len(run_heads)
     if h > 1:
@@ -157,6 +207,7 @@ def _oversized_bucket_pairs(
             i, j = np.triu_indices(h, 1)
             a_parts.append(run_heads[i])
             b_parts.append(run_heads[j])
+            star_parts.append(np.ones(len(i), dtype=bool))
         else:
             global _oversized_cap_warned
             if not _oversized_cap_warned:
@@ -172,14 +223,22 @@ def _oversized_bucket_pairs(
                 _oversized_cap_warned = True
             a_parts.append(np.full(h - 1, run_heads[0]))
             b_parts.append(run_heads[1:])
+            star_parts.append(np.ones(h - 1, dtype=bool))
     if not a_parts:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    return np.concatenate(a_parts), np.concatenate(b_parts)
+        return (
+            np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, bool)
+        )
+    return (
+        np.concatenate(a_parts),
+        np.concatenate(b_parts),
+        np.concatenate(star_parts),
+    )
 
 
 def make_pair_generator(
     pair_full_threshold: int = 256,
     taus: dict[int, int] | None = None,
+    exact_identical_cap: int = 0,
 ):
     """Per-coarse-partition pair generation (used via groupby('part')).
 
@@ -245,11 +304,13 @@ def make_pair_generator(
             g = int(g)
             seg_order = np.argsort(sig[s : s + g], kind="stable") + s
             seg_sig = sig[seg_order]
-            oa, ob = _oversized_bucket_pairs(seg_order, seg_sig)
+            oa, ob, ostar = _oversized_bucket_pairs(
+                seg_order, seg_sig, exact_identical_cap
+            )
             if len(oa):
                 a_idx.append(oa)
                 b_idx.append(ob)
-                star_flags.append(np.ones(len(oa), dtype=bool))
+                star_flags.append(ostar)
         if not a_idx:
             return _EMPTY_PAIRS
         ai = np.concatenate(a_idx)
@@ -306,6 +367,7 @@ def broadcast_candidate_edges(
     spaces: list[tuple[int, LSHConfig]],
     taus: dict[int, int],
     pair_full_threshold: int = 256,
+    exact_identical_cap: int = 0,
 ):
     """Shuffle-free candidate generation for the post-collapse regime.
 
@@ -367,7 +429,9 @@ def broadcast_candidate_edges(
         # so the direct and distributed regimes cannot diverge.
         for s, g in zip(starts[sel & ~full_sel], lengths[sel & ~full_sel]):
             idx = np.arange(s, s + int(g))
-            oa, ob = _oversized_bucket_pairs(idx, sig_sorted[s : s + int(g)])
+            oa, ob, _ = _oversized_bucket_pairs(
+                idx, sig_sorted[s : s + int(g)], exact_identical_cap
+            )
             if len(oa):
                 a_idx.append(oa)
                 b_idx.append(ob)
@@ -434,6 +498,7 @@ def candidate_pairs(
     pair_full_threshold: int = 256,
     taus: dict[int, int] | None = None,
     shuffle_blocks: int | None = None,
+    exact_identical_cap: int = 0,
 ) -> rd.Dataset:
     """ONE all-to-all shuffle (coarse hash partition) → vectorized
     within-partition bucket pairing (+ fused verify when taus given).
@@ -449,6 +514,7 @@ def candidate_pairs(
     from .base import map_groups_typed
 
     return map_groups_typed(
-        band_rows, "part", make_pair_generator(pair_full_threshold, taus),
+        band_rows, "part",
+        make_pair_generator(pair_full_threshold, taus, exact_identical_cap),
         _EMPTY_PAIRS,
     )

@@ -790,6 +790,73 @@ def levenshtein_capped(a: str, b: str, cap: int) -> int:
     return int(prev[-1]) if prev[-1] <= cap else cap + 1
 
 
+def _levenshtein_dp_batch(av: np.ndarray, bv: np.ndarray, cap: int) -> np.ndarray:
+    """Capped Levenshtein for a GROUP of same-length byte pairs: one
+    numpy recurrence over the whole (m, len_b+1) frontier instead of a
+    Python call per pair (round-4 verdict item 5 — the per-pair loop's
+    interpreter overhead dominated at high candidate volume).  Early
+    exit when every row's frontier minimum exceeds the cap."""
+    m, len_a = av.shape
+    len_b = bv.shape[1]
+    ar = np.arange(len_b + 1, dtype=np.int32)
+    prev = np.broadcast_to(ar, (m, len_b + 1)).copy()
+    for i in range(len_a):
+        sub = prev[:, :-1] + (bv != av[:, i : i + 1])
+        cur = np.empty_like(prev)
+        cur[:, 0] = i + 1
+        cur[:, 1:] = np.minimum(prev[:, 1:] + 1, sub)
+        # left-to-right insertion chain (same recurrence as the scalar)
+        cur = ar + np.minimum.accumulate(cur - ar, axis=1)
+        if (cur.min(axis=1) > cap).all():
+            return np.full(m, cap + 1, dtype=np.int64)
+        prev = cur
+    d = prev[:, -1].astype(np.int64)
+    return np.where(d <= cap, d, cap + 1)
+
+
+def levenshtein_capped_pairs(ta, tb, cap: int) -> np.ndarray:
+    """Vectorized :func:`levenshtein_capped` over aligned string
+    sequences: trivial cases (length gap > cap, byte-equal, empty side)
+    resolve in bulk; the rest group by exact (len_a, len_b) and run
+    one :func:`_levenshtein_dp_batch` per shape (near-dup candidates
+    cluster tightly in length, so groups are large).  Returns int64
+    distances with values > cap reported as cap + 1."""
+    n = len(ta)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    ab = [t.encode("utf-8") for t in ta]
+    bb = [t.encode("utf-8") for t in tb]
+    la = np.fromiter((len(x) for x in ab), dtype=np.int64, count=n)
+    lb = np.fromiter((len(x) for x in bb), dtype=np.int64, count=n)
+    gap = np.abs(la - lb) > cap
+    out[gap] = cap + 1
+    need = ~gap
+    eq = np.fromiter(
+        (ab[i] == bb[i] for i in range(n)), dtype=bool, count=n
+    ) & need
+    need &= ~eq  # equal pairs stay 0
+    empty = need & ((la == 0) | (lb == 0))
+    out[empty] = np.minimum(np.maximum(la[empty], lb[empty]), cap + 1)
+    need &= ~empty
+    idx = np.flatnonzero(need)
+    if len(idx) == 0:
+        return out
+    combo = (la[idx] << np.int64(32)) | lb[idx]
+    for c in np.unique(combo):
+        rows = idx[combo == c]
+        len_a = int(c >> np.int64(32))
+        len_b = int(c & np.int64(0xFFFFFFFF))
+        av = np.frombuffer(
+            b"".join(ab[i] for i in rows), dtype=np.uint8
+        ).reshape(len(rows), len_a)
+        bv = np.frombuffer(
+            b"".join(bb[i] for i in rows), dtype=np.uint8
+        ).reshape(len(rows), len_b)
+        out[rows] = _levenshtein_dp_batch(av, bv, cap)
+    return out
+
+
 def editdist_verify(
     pairs: rd.Dataset,
     docs: rd.Dataset,
@@ -808,21 +875,20 @@ def editdist_verify(
     n_docs = narrow.count()
 
     def verify_arrays(a, b, ta, tb):
-        keep_a, keep_b, dist = [], [], []
-        for i in range(len(a)):
-            x, y = ta[i], tb[i]
-            if x is None or y is None:
-                continue
-            d = levenshtein_capped(x, y, max_dist)
-            if d <= max_dist:
-                keep_a.append(a[i])
-                keep_b.append(b[i])
-                dist.append(d)
+        ta = np.asarray(ta, dtype=object)
+        tb = np.asarray(tb, dtype=object)
+        valid = np.fromiter(
+            (ta[i] is not None and tb[i] is not None for i in range(len(a))),
+            dtype=bool, count=len(a),
+        )
+        a, b, ta, tb = a[valid], b[valid], ta[valid], tb[valid]
+        d = levenshtein_capped_pairs(ta, tb, max_dist)
+        keep = d <= max_dist
         return pa.table(
             {
-                "a": pa.array(np.asarray(keep_a, dtype=np.int64)),
-                "b": pa.array(np.asarray(keep_b, dtype=np.int64)),
-                "dist": pa.array(np.asarray(dist, dtype=np.int64)),
+                "a": pa.array(np.asarray(a[keep], dtype=np.int64)),
+                "b": pa.array(np.asarray(b[keep], dtype=np.int64)),
+                "dist": pa.array(d[keep]),
             }
         )
 

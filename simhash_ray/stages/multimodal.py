@@ -308,6 +308,48 @@ def image_embeddings(
     )
 
 
+def wav_decoder(payload: bytes) -> np.ndarray:
+    """Stdlib PCM WAV decode (``wave`` + numpy, no external audio
+    libs): bytes → 1-D float64 samples in [-1, 1), channels averaged
+    to mono.  Supports 8/16/24/32-bit integer PCM — the one audio
+    format this engine can decode for real in-sandbox."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:  # unsigned 8-bit
+        pcm = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:
+        pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 3:  # packed little-endian 24-bit
+        a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        v = a[:, 0] | (a[:, 1] << 8) | (a[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        pcm = v.astype(np.float64) / float(1 << 23)
+    elif sw == 4:
+        pcm = np.frombuffer(raw, dtype="<i4").astype(np.float64) / float(1 << 31)
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if nch > 1:
+        pcm = pcm.reshape(-1, nch).mean(axis=1)
+    return pcm
+
+
+def _pcm_features(pcm: np.ndarray) -> tuple[int, float, float]:
+    """(n_samples, rms, zero-crossing rate) of a 1-D sample array."""
+    pcm = np.asarray(pcm, dtype=np.float64).ravel()
+    n = pcm.size
+    rms = float(np.sqrt(np.mean(pcm * pcm))) if n else 0.0
+    zcr = (
+        float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+        if n > 1 else 0.0
+    )
+    return n, rms, zcr
+
+
 class AudioFeatures:
     """Audio decode + feature-extract behind an injectable decoder seam
     (round-2 verdict item 10).
@@ -316,16 +358,22 @@ class AudioFeatures:
     ``lambda b: soundfile.read(io.BytesIO(b))[0]`` in production).
     When supplied, the stage emits real features per row — sample
     count, RMS energy, zero-crossing rate — through the same actor
-    pool / schema plumbing tests exercise with a fake decoder.  With
-    the default ``decoder=None`` it degrades to the deterministic
-    byte-level energy proxy and marks every row ``stub=True`` so
-    downstream consumers can't mistake it for a real decode."""
+    pool / schema plumbing tests exercise with a fake decoder.
+
+    With the default ``decoder=None``, rows carrying RIFF/WAVE
+    payloads decode FOR REAL through the stdlib :func:`wav_decoder`
+    (``stub=False``); every other row degrades to the deterministic
+    zero-copy byte-level energy proxy and is marked ``stub=True`` so
+    downstream consumers can't mistake it for a decode.  The proxy is
+    computed off the Arrow offsets/data buffers directly (the
+    cdc._binary_buffers pattern) — payloads are materialized as Python
+    bytes only for the rows actually being WAV-decoded."""
 
     def __init__(self, decoder=None):
         self.decoder = decoder
         self.stub = decoder is None
 
-    STUB = True  # class-level marker: the DEFAULT kernel is a stub
+    STUB = True  # class-level marker: non-WAV rows of the DEFAULT kernel
 
     def _proxy(self, payload: bytes) -> float:
         if len(payload) == 0:
@@ -336,27 +384,74 @@ class AudioFeatures:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         out = batch.drop_columns(["bytes"])
-        payloads = batch["bytes"].to_pylist()
-        if self.stub:
-            feats = [self._proxy(b) for b in payloads]
+        col = batch["bytes"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not self.stub:  # injected decoder: every row decodes
+            payloads = col.to_pylist()
+            n_samples = np.zeros(n, dtype=np.int64)
+            rms = np.zeros(n, dtype=np.float64)
+            zcr = np.zeros(n, dtype=np.float64)
+            for i, b in enumerate(payloads):
+                n_samples[i], rms[i], zcr[i] = _pcm_features(self.decoder(b))
             out = out.append_column(
-                "energy_proxy", pa.array(feats, type=pa.float64())
+                "n_samples", pa.array(n_samples, type=pa.int64())
             )
-            return out.append_column("stub", pa.array([True] * n))
+            out = out.append_column("rms", pa.array(rms, type=pa.float64()))
+            out = out.append_column("zcr", pa.array(zcr, type=pa.float64()))
+            return out.append_column("stub", pa.array([False] * n))
+
+        # default path: zero-copy byte means off the Arrow buffers;
+        # WAV payloads (RIFF....WAVE magic) additionally decode for real
+        arr = col.cast(pa.large_binary())
+        if arr.null_count:  # rare null-bearing batch: simple row path
+            payloads = [b or b"" for b in arr.to_pylist()]
+            lens = np.array([len(b) for b in payloads], dtype=np.int64)
+            energy = np.array([self._proxy(b) for b in payloads])
+            get = lambda i, s, e: payloads[i][s:e]  # noqa: E731
+        else:
+            bufs = arr.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=np.int64)[
+                arr.offset : arr.offset + n + 1
+            ]
+            data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] else (
+                np.empty(0, dtype=np.uint8)
+            )
+            lens = np.diff(offsets)
+            cs = np.zeros(len(data) + 1, dtype=np.int64)
+            np.cumsum(data, dtype=np.int64, out=cs[1:])
+            sums = cs[offsets[1:]] - cs[offsets[:-1]]
+            energy = np.where(lens > 0, sums / np.maximum(lens, 1), 0.0)
+            dv = data  # header peeks + WAV slices below copy per row
+            get = lambda i, s, e: bytes(  # noqa: E731
+                dv[offsets[i] + s : min(offsets[i] + e, offsets[i + 1])]
+            )
         n_samples = np.zeros(n, dtype=np.int64)
         rms = np.zeros(n, dtype=np.float64)
         zcr = np.zeros(n, dtype=np.float64)
-        for i, b in enumerate(payloads):
-            pcm = np.asarray(self.decoder(b), dtype=np.float64).ravel()
-            n_samples[i] = pcm.size
-            if pcm.size:
-                rms[i] = float(np.sqrt(np.mean(pcm * pcm)))
-            if pcm.size > 1:
-                zcr[i] = float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
-        out = out.append_column("n_samples", pa.array(n_samples, type=pa.int64()))
-        out = out.append_column("rms", pa.array(rms, type=pa.float64()))
-        out = out.append_column("zcr", pa.array(zcr, type=pa.float64()))
-        return out.append_column("stub", pa.array([False] * n))
+        is_wav = np.zeros(n, dtype=bool)
+        for i in np.flatnonzero(lens >= 44):  # minimal RIFF+fmt+data size
+            if get(i, 0, 4) == b"RIFF" and get(i, 8, 12) == b"WAVE":
+                try:
+                    pcm = wav_decoder(get(i, 0, int(lens[i])))
+                except Exception:
+                    continue  # malformed header: stays a stub row
+                n_samples[i], rms[i], zcr[i] = _pcm_features(pcm)
+                is_wav[i] = True
+        out = out.append_column(
+            "energy_proxy", pa.array(energy, type=pa.float64())
+        )
+        mask = ~is_wav
+        out = out.append_column(
+            "n_samples", pa.array(n_samples, type=pa.int64(), mask=mask)
+        )
+        out = out.append_column(
+            "rms", pa.array(rms, type=pa.float64(), mask=mask)
+        )
+        out = out.append_column(
+            "zcr", pa.array(zcr, type=pa.float64(), mask=mask)
+        )
+        return out.append_column("stub", pa.array(mask))
 
 
 # Backwards-compatible name for the decoder-less stub configuration.

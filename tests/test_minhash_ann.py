@@ -784,3 +784,92 @@ def test_containment_empty_rows_never_pair(ray_session):
 
     with _pytest.raises(ValueError, match="measure"):
         all_pairs_jaccard(docs, 9, 10, measure="dice")
+
+
+def test_audio_default_path_decodes_wav_without_injection():
+    """Round-4 verdict item 7: PCM WAV payloads decode for real via the
+    stdlib path (stub=False) with no injected decoder; other payloads
+    stay marked stub=True with the byte-energy proxy."""
+    import io
+    import wave
+
+    from simhash_ray.stages.multimodal import audio_features
+
+    def make_wav(samples: np.ndarray, nch: int = 1, sw: int = 2) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(sw)
+            w.setframerate(8000)
+            if sw == 2:
+                w.writeframes(samples.astype("<i2").tobytes())
+            else:  # 8-bit unsigned
+                w.writeframes((samples + 128).astype(np.uint8).tobytes())
+        return buf.getvalue()
+
+    mono = np.array([0, 16384, -16384, 0], dtype=np.int64)
+    stereo = np.array([16384, -16384] * 4, dtype=np.int64)  # L/R cancel
+    clips = pa.table(
+        {
+            "clip_id": pa.array([1, 2, 3, 4]),
+            "bytes": pa.array(
+                [
+                    make_wav(mono),
+                    make_wav(stereo, nch=2),
+                    b"not audio at all" * 4,
+                    make_wav(np.zeros(16, dtype=np.int64), sw=1),
+                ]
+            ),
+        }
+    )
+    out = (
+        audio_features(rd.from_arrow(clips), concurrency=2)
+        .to_pandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    assert out["stub"].tolist() == [False, False, True, False]
+    assert out.loc[0, "n_samples"] == 4
+    assert out.loc[0, "rms"] == pytest.approx(0.5 * np.sqrt(2) / 2, rel=1e-12)
+    assert out.loc[1, "n_samples"] == 4  # stereo frames mono-averaged
+    assert out.loc[1, "rms"] == 0.0  # L/R cancel exactly
+    assert pd.isna(out.loc[2, "n_samples"])  # non-WAV row: proxy only
+    assert out.loc[2, "energy_proxy"] > 0
+    assert out.loc[3, "n_samples"] == 16 and out.loc[3, "rms"] == 0.0
+
+
+def test_levenshtein_batched_matches_scalar_fuzz():
+    """The grouped-DP batch kernel must agree with the pinned scalar
+    levenshtein_capped on every pair, across caps, including accented
+    (multi-byte UTF-8) alphabets, empty strings, and equal pairs."""
+    from simhash_ray.stages.minhash import (
+        levenshtein_capped,
+        levenshtein_capped_pairs,
+    )
+
+    rng = np.random.default_rng(13)
+    alphabet = list("abcde") + ["é", "ü", "中"]
+
+    def mk(n):
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    pairs = []
+    for _ in range(300):
+        la = int(rng.integers(0, 12))
+        a = mk(la)
+        if rng.random() < 0.3:
+            b = a  # equal pair
+        elif rng.random() < 0.5:
+            # near-dup: small perturbation of a
+            b = a[: max(0, la - int(rng.integers(0, 3)))] + mk(int(rng.integers(0, 3)))
+        else:
+            b = mk(int(rng.integers(0, 12)))
+        pairs.append((a, b))
+    ta = np.array([p[0] for p in pairs], dtype=object)
+    tb = np.array([p[1] for p in pairs], dtype=object)
+    for cap in (0, 1, 2, 5, 100):
+        got = levenshtein_capped_pairs(ta, tb, cap)
+        want = np.array(
+            [levenshtein_capped(a, b, cap) for a, b in pairs], dtype=np.int64
+        )
+        assert np.array_equal(got, want), cap

@@ -229,3 +229,45 @@ def test_dihedral_dedup_finds_mirrors_both_regimes():
 
     plain = dedup_images(images, DEFAULT_CONFIG, n_parts=8)
     assert mirror_hits(plain.assignment.to_pandas()) == 0
+
+
+def test_nclusters_driver_and_groupby_paths_agree(monkeypatch):
+    """_count_distinct_clusters: the bounded driver np.unique path and
+    the distributed groupby fallback (forced via a 0 bound) must return
+    the same exact count, equal to the pandas reference."""
+    from simhash_ray.pipelines import dedup_images as M
+
+    tables = generate_fixture(FixtureSpec(n_rows=4_000, seed=11))
+    images = rd.from_arrow(tables["images"])
+    res = dedup_images(images, DEFAULT_CONFIG, n_parts=16)
+    assignment = res.assignment
+    df = assignment.to_pandas()
+    want = df[~df["is_representative"]]["cluster_id"].nunique()
+    assert M._count_distinct_clusters(assignment) == want
+    monkeypatch.setattr(M, "NCLUSTERS_COLLECT_LIMIT", 0)
+    assert M._count_distinct_clusters(assignment) == want
+
+
+def test_dedup_images_precomputed_sigs_identical():
+    """The encode-skipping path (gate query-sharing) must produce the
+    same assignment as the self-encoding run in both regimes."""
+    import pandas as pd
+
+    tables = generate_fixture(FixtureSpec(n_rows=2_000, seed=5))
+    images = rd.from_arrow(tables["images"])
+    from simhash_ray.pipelines.dedup_images import signatures
+
+    sigs = signatures(images, DEFAULT_CONFIG).materialize()
+    base = dedup_images(images, DEFAULT_CONFIG, n_parts=16)
+    pre = dedup_images(
+        images, DEFAULT_CONFIG, n_parts=16, precomputed_sigs=sigs
+    )
+    canon = lambda r: (
+        r.assignment.to_pandas().sort_values("image_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(canon(base), canon(pre))
+    pre_dist = dedup_images(
+        images, DEFAULT_CONFIG, n_parts=16, precomputed_sigs=sigs,
+        broadcast_sig_limit=0,
+    )
+    pd.testing.assert_frame_equal(canon(base), canon(pre_dist))

@@ -144,9 +144,17 @@ def test_hot_bucket_pairs_fully_enumerated():
     # every pair shares 3 identical (constant) tiles -> qualifies
     assert len(out) == n * (n - 1) // 2
     assert (out["n_tiles_close"] >= 3).all()
-    # the old clustering threshold demonstrates the undercount regime
-    few = tile_dup_pairs(
+    # past the full-pair threshold, identical-sig runs STILL enumerate
+    # exactly (round-4 verdict item 4) as long as the per-run pair
+    # budget allows — the old undercount regime now needs the budget
+    # exhausted too (exact_identical_pairs_cap=0 = clustering behavior)
+    past_threshold = tile_dup_pairs(
         rd.from_arrow(_table(rows)), tau=2, k_min=3, pair_full_threshold=256
+    ).to_pandas()
+    assert len(past_threshold) == n * (n - 1) // 2
+    few = tile_dup_pairs(
+        rd.from_arrow(_table(rows)), tau=2, k_min=3, pair_full_threshold=256,
+        exact_identical_pairs_cap=0,
     ).to_pandas()
     assert len(few) < n * (n - 1) // 2
 
@@ -171,3 +179,60 @@ def test_tile_pairs_distributed_regime_matches_broadcast():
         map(tuple, dist[key].values.tolist())
     )
     assert len(broad) >= 40 * 39 // 2  # the hot mass fully enumerated
+
+
+def test_oversized_identical_run_kernel_exact_and_capped():
+    """Kernel-level pin of the exact-identical enumeration (round-4
+    verdict item 4): an identical-sig run inside an oversized bucket
+    emits all C(r,2) pairs (star=False) under the cap and the
+    connectivity chain (star=True) past it; distinct-sig heads keep
+    their triu."""
+    from simhash_ray.stages.lsh import _oversized_bucket_pairs
+
+    r = 5000  # past the 4096 full-pair threshold regime
+    sig = np.concatenate(
+        [np.full(r, 7, dtype=np.uint64), np.array([9, 11], dtype=np.uint64)]
+    )
+    order = np.arange(r + 2, dtype=np.int64)
+    a, b, star = _oversized_bucket_pairs(order, sig, exact_identical_cap=1 << 24)
+    n_run = r * (r - 1) // 2
+    # run pairs exact + head triu over the 3 distinct sigs (7, 9, 11)
+    assert len(a) == n_run + 3
+    assert (~star).sum() == n_run  # exact pairs flagged non-fallback
+    assert star.sum() == 3
+    # all exact pairs are within the identical run and canonical (a < b)
+    assert (a[~star] < r).all() and (b[~star] < r).all()
+    assert (a < b).all()
+
+    # cap exhausted -> chain fallback for the run (r-1 edges), loud-logged
+    a2, b2, star2 = _oversized_bucket_pairs(order, sig, exact_identical_cap=10)
+    assert len(a2) == (r - 1) + 3
+    assert star2.all()
+
+    # cap=0 (clustering default) keeps the historic chain behavior
+    a3, b3, star3 = _oversized_bucket_pairs(order, sig)
+    assert len(a3) == (r - 1) + 3 and star3.all()
+    assert np.array_equal(np.sort(a2), np.sort(a3))
+
+
+def test_hot_bucket_exact_past_threshold_both_regimes():
+    """Regime equivalence in the exact-past-threshold setting: a
+    constant-tile mass larger than a small forced full-pair threshold
+    must fully enumerate in BOTH the broadcast and distributed
+    regimes, with identical pair sets."""
+    rng = np.random.default_rng(21)
+    n = 120
+    rows = []
+    for i in range(n):
+        img = np.zeros((32, 32, 3), dtype=np.uint8)
+        img[16:, 16:, :] = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        rows.append((f"hot{i:04d}", img))
+    ds = rd.from_arrow(_table(rows)).repartition(3)
+    kw = dict(tau=2, k_min=3, pair_full_threshold=16)
+    broad = tile_dup_pairs(ds, **kw).to_pandas()
+    dist = tile_dup_pairs(ds, broadcast_sig_limit=0, **kw).to_pandas()
+    assert len(broad) == n * (n - 1) // 2
+    key = ["a", "b", "n_tiles_close"]
+    assert sorted(map(tuple, broad[key].values.tolist())) == sorted(
+        map(tuple, dist[key].values.tolist())
+    )

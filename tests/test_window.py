@@ -285,3 +285,47 @@ def test_cumulative_sum_ts_tie_broken_by_id():
         .set_index("event_id")["running_sum"]
     )
     assert out[1] == 1.0 and out[2] == 101.0 and out[3] == 111.0
+
+
+def test_tumbling_partial_arrow_kernel_matches_pandas_reference():
+    """The tumbling partial's Arrow segmented-sum hot path (and the
+    null-bearing pandas fallback) must both reproduce the pinned
+    groupby semantics: null keys dropped, NaN-skipping sums."""
+    from simhash_ray.stages.window import tumbling_window_agg
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "event_type": rng.choice(["a", "b", "c", "d"], n),
+            "ts": pd.to_datetime(rng.integers(0, 86400 * US, n), unit="us"),
+            "value": np.round(rng.uniform(0, 10, n), 3),
+        }
+    )
+    # null-bearing copy exercises the fallback branch
+    df_null = df.copy()
+    df_null.loc[::97, "event_type"] = None
+    df_null.loc[1::113, "value"] = np.nan
+
+    for frame in (df, df_null):
+        got = (
+            tumbling_window_agg(rd.from_pandas(frame).repartition(4), window_s=3600)
+            .to_pandas()
+            .sort_values(["event_type", "window_start"])
+            .reset_index(drop=True)
+        )
+        r = frame.dropna(subset=["event_type"]).copy()
+        w_us = 3600 * US
+        r["window_start"] = pd.to_datetime(
+            (r["ts"].astype("int64") // 1000 // w_us) * w_us, unit="us"
+        )
+        ref = (
+            r.groupby(["event_type", "window_start"], as_index=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+            .sort_values(["event_type", "window_start"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(ref)
+        assert (got["event_type"] == ref["event_type"]).all()
+        assert (got["n_events"] == ref["n_events"]).all()
+        np.testing.assert_allclose(got["sum_value"], np.round(ref["sum_value"], 6))
