@@ -578,6 +578,35 @@ def _run_bench() -> dict:
             n_images / timings["prefix_jaccard"], 1
         )
 
+        # batched edit-distance verify throughput (round-4 verdict
+        # item 5): 20k deterministic near-dup candidate pairs from the
+        # caption corpus through the grouped-DP kernel — the verify
+        # half of editdist_dup_pairs, measured at candidate volume
+        ed_holder: dict = {}
+
+        def run_editdist_verify():
+            import numpy as _np2
+
+            from simhash_ray.stages.minhash import levenshtein_capped_pairs
+
+            caps = (
+                read_images(columns=["caption"]).limit(20000).take_all()
+            )
+            ta = _np2.array([r["caption"] for r in caps], dtype=object)
+            # deterministic single-char perturbation → dist ≤ 1 pairs
+            tb = _np2.array(
+                [("x" + c[1:]) if c else "x" for c in ta], dtype=object
+            )
+            ed_holder["n"] = len(ta)
+            d = levenshtein_capped_pairs(ta, tb, 2)
+            return int((d <= 2).sum())
+
+        n_ed = timed("editdist_verify_20k", run_editdist_verify)
+        assert n_ed == ed_holder["n"], (n_ed, ed_holder)
+        timings["editdist_verify_pairs_per_sec"] = round(
+            ed_holder["n"] / timings["editdist_verify_20k"], 1
+        )
+
     # untimed: score the headline run's cluster assignment against the
     # fixture's planted-duplicate truth table (the north rule's
     # "dup-pair recall >= 0.99" criterion, measured per bench run, not

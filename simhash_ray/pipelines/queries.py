@@ -5416,11 +5416,15 @@ def q_images_dedup(sf_dir: str):
     recursive-CTE connected components + min-id representative
     election.  Cross-checks banding, fused Hamming verify, union-find
     and election end-to-end in the north-rule domain."""
-    res = _flagship_dedup(fixture_dir_for_sf(sf_dir))
+    fdir = fixture_dir_for_sf(sf_dir)
+    res = _flagship_dedup(fdir)
     sigs = res.signatures
-    if sigs is None:  # distributed regime: one extra encode pass
-        images = read_images_fixture(sf_dir, columns=["image_id", "caption", "phash"])
-        sigs = flagship.signatures(images, DEFAULT_CONFIG, concurrency=(1, 4))
+    if sigs is None:
+        # distributed regime: the result holds no materialized sig
+        # table — _fixture_sigs reuses/encodes once and caches, so the
+        # oracle staging no longer pays its own extra encode pass per
+        # query (round-4 "what's wrong" item 5)
+        sigs = _fixture_sigs(fdir)
     _stage(sigs, "images_dedup_sigs")
     return res.assignment
 

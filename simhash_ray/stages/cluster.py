@@ -82,35 +82,33 @@ def dedupe_edges(edges: rd.Dataset, n_parts: int = 64) -> rd.Dataset:
     within-partition dedupe."""
 
     def local(batch: pa.Table) -> pa.Table:
-        a = np.asarray(batch["a"].to_numpy(zero_copy_only=False), dtype=object)
-        b = np.asarray(batch["b"].to_numpy(zero_copy_only=False), dtype=object)
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        keep = np.ones(len(a), dtype=bool)
-        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        a, b = a[keep], b[keep]
+        # Arrow hash-distinct (C++) beats the old object-array lexsort
+        # ~2× at millions of rows (r5 distributed-premium work)
+        if batch.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], type=pa.string()),
+                 "b": pa.array([], type=pa.string()),
+                 "part": pa.array([], type=pa.int32())}
+            )
+        t = batch.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+        a = np.asarray(t["a"].to_numpy(zero_copy_only=False), dtype=object)
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False), dtype=object)
         part = (
             (part_of_strings(a, 1 << 30).astype(np.int64) * 31
              + part_of_strings(b, 1 << 30)) % n_parts
         ).astype(np.int32)
         return pa.table(
             {
-                "a": pa.array(a, type=pa.string()),
-                "b": pa.array(b, type=pa.string()),
+                "a": t["a"].cast(pa.string()),
+                "b": t["b"].cast(pa.string()),
                 "part": pa.array(part, type=pa.int32()),
             }
         )
 
     def per_part(group: pa.Table) -> pa.Table:
-        a = np.asarray(group["a"].to_numpy(zero_copy_only=False), dtype=object)
-        b = np.asarray(group["b"].to_numpy(zero_copy_only=False), dtype=object)
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        keep = np.ones(len(a), dtype=bool)
-        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        t = group.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
         return pa.table(
-            {"a": pa.array(a[keep], type=pa.string()),
-             "b": pa.array(b[keep], type=pa.string())}
+            {"a": t["a"].cast(pa.string()), "b": t["b"].cast(pa.string())}
         )
 
     return (
