@@ -157,6 +157,7 @@ def cmd_dedup(args) -> int:
             input_fingerprint=args.table,
             table_path=table_path,
             signature_shards=args.shards if table_path else 0,
+            edge_shards=args.edge_shards,
         )
     else:
         result = flagship.dedup_images(narrow, cfg)
@@ -558,6 +559,11 @@ def main(argv=None) -> int:
         "--shards", type=int, default=8,
         help="per-shard signature checkpointing granularity (with --ckpt "
         "and a single-file table; 0 disables)",
+    )
+    d.add_argument(
+        "--edge-shards", type=int, default=0, dest="edge_shards",
+        help="per-band-partition-range checkpointing of the edges stage "
+        "(with --ckpt; 0 disables)",
     )
     d.add_argument(
         "--survivors", action="store_true",

@@ -5716,9 +5716,31 @@ def q_images_survivor_invariant(sf_dir: str):
     res = _flagship_dedup(fdir)
     surv = flagship.survivors(images, res)
     # decode-bound digest passes: the default (1, 8) actor pool halves
-    # the sf0.01 gate cost vs the old (1, 4) (round-4 verdict item 2)
+    # the sf0.01 gate cost vs the old (1, 4) (round-4 verdict item 2).
+    # The source side digests only rows the verdict join can touch —
+    # the oracle's LEFT JOIN from survivors never reads a source row
+    # whose id isn't a survivor id, so filtering the decode pass to
+    # the representative set changes nothing downstream (and skips
+    # decoding every dropped duplicate).
     sur_d = row_digests(surv).materialize()
-    src_d = row_digests(images).materialize()
+    rep_ids = ray.put(
+        pa.array(
+            res.assignment.filter(expr="is_representative == True")
+            .select_columns(["image_id"])
+            .to_pandas()["image_id"],
+            type=pa.string(),
+        )
+    )
+
+    def only_reps(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch["image_id"].cast(pa.string()), value_set=ray.get(rep_ids)
+        )
+        return batch.filter(keep)
+
+    src_d = row_digests(
+        images.map_batches(only_reps, batch_format="pyarrow")
+    ).materialize()
     _stage(sur_d, "inv_sur_digests")
     _stage(src_d, "inv_src_digests")
     return invariant_verdicts(sur_d, src_d)

@@ -664,3 +664,37 @@ def test_cli_simjoin(tmp_path):
     pdf = pq.read_table(str(out / "pairs")).to_pandas()
     assert set(pdf["a"]).issubset(set(range(1000, 1010)))
     assert set(pdf["b"]).issubset(set(range(60)))
+
+
+def test_cli_dedup_ckpt_edge_shards_smoke(tmp_path):
+    """--ckpt + --edge-shards: the checkpointed run with per-shard edge
+    commits matches the plain CLI output shape and leaves the shard
+    manifests on disk."""
+    import glob
+
+    fdir = write_fixture(
+        default_fixture_dir(FixtureSpec(n_rows=300, seed=13)),
+        FixtureSpec(n_rows=300, seed=13),
+    )
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "simhash_ray", "--num-cpus", "8",
+            "dedup", os.path.join(fdir, "images.parquet"),
+            "--out", str(out), "--ckpt", str(ck), "--edge-shards", "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        cwd="/root/repo",
+        env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    metrics = json.loads(res.stdout.strip().splitlines()[-1])
+    assert metrics["n_rows"] == 300
+    assert len(glob.glob(str(ck / "edge_cands.shard_*.manifest.json"))) == 2
+    adf = pq.read_table(str(out / "assignment")).to_pandas()
+    assert len(adf) == 300 and adf["image_id"].is_unique
