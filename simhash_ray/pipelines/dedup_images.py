@@ -819,9 +819,12 @@ def _edge_shard_fns(
                 .repartition(max(32, cpus))
             )
             bands = reps.map_batches(
-                make_band_expander(spaces, id_col="image_id", n_parts=band_parts),
+                make_band_expander(
+                    spaces, id_col="image_id", n_parts=band_parts,
+                    part_range=(lo, hi),
+                ),
                 batch_format="pyarrow",
-            ).filter(expr=f"part >= {lo} and part < {hi}")
+            )
             verified = candidate_pairs(
                 bands,
                 pair_full_threshold=min(

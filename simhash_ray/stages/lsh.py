@@ -71,10 +71,17 @@ def make_band_expander(
     spaces: list[tuple[int, str, LSHConfig]],
     id_col: str = "image_id",
     n_parts: int = 64,
+    part_range: tuple[int, int] | None = None,
 ):
     """Build the map_batches fn: one pass emits band rows for every
     signature space (text simhash + image phash) — a single downstream
-    shuffle instead of one per space."""
+    shuffle instead of one per space.
+
+    ``part_range=(lo, hi)`` emits only rows whose coarse partition
+    falls in [lo, hi) — the per-shard edge checkpointing path filters
+    INSIDE the expander so out-of-range band rows never materialize
+    (each shard still computes every key, but ships ~1/n_shards of the
+    rows)."""
 
     plans = []
     for space_id, sig_col, cfg in spaces:
@@ -105,13 +112,19 @@ def make_band_expander(
         band = np.concatenate(out_band)
         key = np.concatenate(out_key)
         part = part_of_ints(n_parts, space.astype(np.int64), band.astype(np.int64), key)
+        ids_out = np.concatenate(out_id)
+        sig_out = np.concatenate(out_sig)
+        if part_range is not None:
+            keep = (part >= part_range[0]) & (part < part_range[1])
+            ids_out, space, band = ids_out[keep], space[keep], band[keep]
+            key, sig_out, part = key[keep], sig_out[keep], part[keep]
         return pa.table(
             {
-                "id": pa.array(np.concatenate(out_id), type=pa.string()),
+                "id": pa.array(ids_out, type=pa.string()),
                 "space": space,
                 "band": band,
                 "key": key,
-                "sig": np.concatenate(out_sig),
+                "sig": sig_out,
                 "part": part,
             }
         )

@@ -790,6 +790,11 @@ def levenshtein_capped(a: str, b: str, cap: int) -> int:
     return int(prev[-1]) if prev[-1] <= cap else cap + 1
 
 
+# frontier-element budget per batched-DP chunk (× int32 × a few live
+# arrays ≈ 64 MB); module-level so tests can force the chunked path
+_DP_CHUNK_ELEMS = 1 << 22
+
+
 def _levenshtein_dp_batch(av: np.ndarray, bv: np.ndarray, cap: int) -> np.ndarray:
     """Capped Levenshtein for a GROUP of same-length byte pairs: one
     numpy recurrence over the whole (m, len_b+1) frontier instead of a
@@ -847,13 +852,19 @@ def levenshtein_capped_pairs(ta, tb, cap: int) -> np.ndarray:
         rows = idx[combo == c]
         len_a = int(c >> np.int64(32))
         len_b = int(c & np.int64(0xFFFFFFFF))
-        av = np.frombuffer(
-            b"".join(ab[i] for i in rows), dtype=np.uint8
-        ).reshape(len(rows), len_a)
-        bv = np.frombuffer(
-            b"".join(bb[i] for i in rows), dtype=np.uint8
-        ).reshape(len(rows), len_b)
-        out[rows] = _levenshtein_dp_batch(av, bv, cap)
+        # bound the DP frontier to ~64 MB: m rows × (len_b+1) int32 ×
+        # a few live arrays — long-document groups chunk instead of
+        # allocating an unbounded (m, len_b) matrix
+        chunk = max(1, _DP_CHUNK_ELEMS // (len_b + 1))
+        for s in range(0, len(rows), chunk):
+            rs = rows[s : s + chunk]
+            av = np.frombuffer(
+                b"".join(ab[i] for i in rs), dtype=np.uint8
+            ).reshape(len(rs), len_a)
+            bv = np.frombuffer(
+                b"".join(bb[i] for i in rs), dtype=np.uint8
+            ).reshape(len(rs), len_b)
+            out[rs] = _levenshtein_dp_batch(av, bv, cap)
     return out
 
 

@@ -873,3 +873,27 @@ def test_levenshtein_batched_matches_scalar_fuzz():
             [levenshtein_capped(a, b, cap) for a, b in pairs], dtype=np.int64
         )
         assert np.array_equal(got, want), cap
+
+
+def test_levenshtein_batched_chunked_path_matches(monkeypatch):
+    """Forcing a tiny per-chunk frontier budget exercises the chunked
+    same-shape DP path; distances must be identical to the unchunked
+    run and the scalar kernel."""
+    from simhash_ray.stages import minhash as M
+
+    rng = np.random.default_rng(17)
+    base = "".join(rng.choice(list("abcdef"), 40))
+    ta, tb = [], []
+    for i in range(50):  # one shape group of 50 same-length pairs
+        s = list(base)
+        s[i % 40] = "z"
+        ta.append(base)
+        tb.append("".join(s))
+    ta = np.array(ta, dtype=object)
+    tb = np.array(tb, dtype=object)
+    full = M.levenshtein_capped_pairs(ta, tb, 3)
+    monkeypatch.setattr(M, "_DP_CHUNK_ELEMS", 200)  # chunk = 200//41 = 4
+    chunked = M.levenshtein_capped_pairs(ta, tb, 3)
+    assert np.array_equal(full, chunked)
+    want = np.array([M.levenshtein_capped(a, b, 3) for a, b in zip(ta, tb)])
+    assert np.array_equal(chunked, want)
