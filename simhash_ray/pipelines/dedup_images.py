@@ -76,23 +76,17 @@ def signatures(
     ).select_columns(["image_id", "simhash", "phash"])
 
 
-def dup_edges(
-    collapsed: rd.Dataset,
-    cfg: DedupConfig = DEFAULT_CONFIG,
-    n_parts: int = 64,
-    spaces: list | None = None,
-) -> rd.Dataset:
-    """Distinct-signature nodes → banding → bucket pairs → verified
-    (a, b) dup edges.
+def _band_plan(
+    collapsed: rd.Dataset, cfg: DedupConfig, spaces: list | None = None
+) -> tuple[list, int, int]:
+    """(spaces, n_bands, band_parts) — THE shared banding decomposition
+    for the edges stage, used by both `dup_edges` and the per-shard
+    checkpointing path so the two cannot drift (r5 review finding).
 
-    Shuffle sizing (measured at 400k rows / 17M band rows, 32 CPUs —
-    see BASELINE.md "distributed regime tuning"): the narrow rep table
-    is repartitioned to ~1 block per CPU BEFORE band expansion (moving
-    400k×24 B rows instead of the 43×-larger band table: the round-1
-    post-expansion repartition cost ~2× the whole stage), and the
-    band-bucket groupby keys on ~band_rows/4096 coarse partitions —
-    high enough cardinality for Ray's sort shuffle, low enough not to
-    drown the driver in per-group dispatch."""
+    band_parts sizing (r5 sweep, 1M rows / 36.8M band rows, 32 CPUs):
+    3.3 s at 4096 parts vs 4.1 s at the old rows/4096=10498 — the band
+    shuffle is flat across 1k–4k parts and degrades above, so size ~1
+    part per 8k band rows."""
     import itertools as _it
 
     if spaces is None:  # default: both north-rule signature spaces
@@ -106,11 +100,33 @@ def dup_edges(
         for _ in _it.combinations(range(c.n_blocks), c.combo_m)
     )
     n_reps_max = collapsed.count()  # metadata read on materialized input
-    # r5 sweep (1M rows / 36.8M band rows, 32 CPUs): 3.3 s at 4096
-    # parts vs 4.1 s at the old rows/4096=10498 — the band shuffle is
-    # flat across 1k-4k parts and degrades above, so size ~1 part per
-    # 8k band rows
     band_parts = int(min(65536, max(256, (n_reps_max * n_bands) // 8192)))
+    return spaces, n_bands, band_parts
+
+
+def dup_edges(
+    collapsed: rd.Dataset,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    n_parts: int = 64,
+    spaces: list | None = None,
+    part_range: tuple[int, int] | None = None,
+    candidates_only: bool = False,
+) -> rd.Dataset:
+    """Distinct-signature nodes → banding → bucket pairs → verified
+    (a, b) dup edges.
+
+    Shuffle sizing (measured at 400k rows / 17M band rows, 32 CPUs —
+    see BASELINE.md "distributed regime tuning"): the narrow rep table
+    is repartitioned to ~1 block per CPU BEFORE band expansion (moving
+    400k×24 B rows instead of the 43×-larger band table: the round-1
+    post-expansion repartition cost ~2× the whole stage); band_parts
+    come from :func:`_band_plan`.
+
+    ``part_range``/``candidates_only`` serve the per-shard edge
+    checkpointing path: restrict banding to a coarse-partition range
+    and return the batch-locally-deduped verified pairs WITHOUT the
+    global dedupe (the caller dedupes the shard union)."""
+    spaces, _, band_parts = _band_plan(collapsed, cfg, spaces)
     cpus = int(ray.cluster_resources().get("CPU", 32))
     sig_cols = sorted({col for _, col, _ in spaces})
     reps = (
@@ -122,6 +138,7 @@ def dup_edges(
         spaces,
         id_col="image_id",
         n_parts=band_parts,
+        part_range=part_range,
     )
     bands = reps.map_batches(expander, batch_format="pyarrow")
     verified = candidate_pairs(
@@ -132,6 +149,11 @@ def dup_edges(
         taus={sp: c.hamming_tau for sp, _, c in spaces},
         shuffle_blocks=None,  # pre-partitioned above, narrow side
     )
+    if candidates_only:
+        def local_dedupe(t: pa.Table) -> pa.Table:
+            return t.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
+
+        return verified.map_batches(local_dedupe, batch_format="pyarrow")
     from ..stages.cluster import dedupe_edges
 
     return dedupe_edges(verified.select_columns(["a", "b"]), n_parts)
@@ -784,61 +806,23 @@ def _edge_shard_fns(
     verify pass is hours long, so `edges` needs the same per-shard
     resume granularity signatures already have).
 
-    Shard i re-runs the band expansion over the rep table but filters
-    to its contiguous ``part`` range before the bucket groupby — band
-    keys are a pure function of the signatures, so the decomposition
-    is deterministic w.r.t. (collapsed, band_parts, n_shards); the
-    fingerprint suffix pins band_parts so a rep-count change can't
-    silently mix decompositions.  Each shard's output is its verified
-    (a, b) candidate pairs, batch-locally deduped; the caller runs the
+    Shard i delegates to :func:`dup_edges` with a contiguous
+    ``part_range`` and ``candidates_only=True`` — ONE banding code
+    path for the sharded and unsharded stages, so they cannot drift.
+    Band keys are a pure function of the signatures, so the
+    decomposition is deterministic w.r.t. (collapsed, band_parts,
+    n_shards); the fingerprint suffix pins band_parts so a rep-count
+    change can't silently mix decompositions.  The caller runs the
     global dedupe over the shard union (cheap relative to the banding
     it skips on resume)."""
-    import itertools as _it
-
-    from ..stages.lsh import candidate_pairs, make_band_expander
-
-    spaces = [
-        (TEXT_SPACE, "simhash", cfg.text_lsh),
-        (IMAGE_SPACE, "phash", cfg.image_lsh),
-    ]
-    n_bands = sum(
-        1
-        for _, _, c in spaces
-        for _ in _it.combinations(range(c.n_blocks), c.combo_m)
-    )
-    n_reps_max = collapsed.count()
-    band_parts = int(min(65536, max(256, (n_reps_max * n_bands) // 8192)))
-    cpus = int(ray.cluster_resources().get("CPU", 32))
+    _, _, band_parts = _band_plan(collapsed, cfg)
     bounds = np.linspace(0, band_parts, num=max(1, n_shards) + 1, dtype=np.int64)
 
     def make_fn(lo: int, hi: int):
         def fn() -> rd.Dataset:
-            reps = (
-                collapsed.filter(expr="is_rep == True")
-                .select_columns(["image_id", "simhash", "phash"])
-                .repartition(max(32, cpus))
+            return dup_edges(
+                collapsed, cfg, part_range=(lo, hi), candidates_only=True
             )
-            bands = reps.map_batches(
-                make_band_expander(
-                    spaces, id_col="image_id", n_parts=band_parts,
-                    part_range=(lo, hi),
-                ),
-                batch_format="pyarrow",
-            )
-            verified = candidate_pairs(
-                bands,
-                pair_full_threshold=min(
-                    c.pair_full_threshold for _, _, c in spaces
-                ),
-                taus={sp: c.hamming_tau for sp, _, c in spaces},
-            )
-
-            def local_dedupe(t: pa.Table) -> pa.Table:
-                return (
-                    t.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
-                )
-
-            return verified.map_batches(local_dedupe, batch_format="pyarrow")
 
         return fn
 

@@ -131,17 +131,22 @@ def chunk_boundaries_ref(row: bytes, mask_bits: int) -> list[int]:
 
 def _binary_buffers(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """(data uint8, absolute int64 offsets) of a string/binary column,
-    zero-copy, slice-offset-safe."""
+    zero-copy, slice-offset-safe.  Shared by every zero-copy payload
+    reader (cdc chunking, audio features); null rows are the caller's
+    job to handle first."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     arr = col.cast(pa.large_binary())
     if arr.null_count:
-        raise ValueError("cdc: null text rows are not supported")
+        raise ValueError("null binary rows are not supported here")
     buffers = arr.buffers()
     offsets = np.frombuffer(buffers[1], dtype=np.int64)[
         arr.offset : arr.offset + len(arr) + 1
     ]
-    data = np.frombuffer(buffers[2], dtype=np.uint8)
+    data = (
+        np.frombuffer(buffers[2], dtype=np.uint8)
+        if buffers[2] is not None else np.empty(0, dtype=np.uint8)
+    )
     return data, offsets
 
 

@@ -155,7 +155,8 @@ _identical_cap_warned = False
 
 
 def _oversized_bucket_pairs(
-    seg_order: np.ndarray, seg_sig: np.ndarray, exact_identical_cap: int = 0
+    seg_order: np.ndarray, seg_sig: np.ndarray, exact_identical_cap: int = 0,
+    emit_identical: bool = True,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Edges for one oversized (> pair_full_threshold) bucket whose
     members are given sig-sorted: (a) identical-sig runs — Hamming-0
@@ -178,13 +179,21 @@ def _oversized_bucket_pairs(
     a_parts: list[np.ndarray] = []
     b_parts: list[np.ndarray] = []
     star_parts: list[np.ndarray] = []
-    if exact_identical_cap > 0:
+    if exact_identical_cap > 0 and not emit_identical:
+        # identical-sig members share the same key in EVERY band, so a
+        # pairs-emitting operator enumerates each run exactly once —
+        # from band 0 of its space — instead of n_bands× (the band-0
+        # bucket always contains the full run, enumerated exactly
+        # there); bands > 0 skip identical runs entirely
+        pass
+    elif exact_identical_cap > 0:
         starts = np.flatnonzero(head)
         lengths = np.diff(np.append(starts, g))
-        for s, r in zip(starts, lengths):
+        sel_runs = lengths >= 2  # skip the length-1 runs in bulk — a
+        # Python iteration per distinct sig would dominate degenerate
+        # mostly-distinct oversized buckets
+        for s, r in zip(starts[sel_runs], lengths[sel_runs]):
             r = int(r)
-            if r < 2:
-                continue
             n_pairs = r * (r - 1) // 2
             if n_pairs <= exact_identical_cap:
                 i, j = np.triu_indices(r, 1)
@@ -318,7 +327,8 @@ def make_pair_generator(
             seg_order = np.argsort(sig[s : s + g], kind="stable") + s
             seg_sig = sig[seg_order]
             oa, ob, ostar = _oversized_bucket_pairs(
-                seg_order, seg_sig, exact_identical_cap
+                seg_order, seg_sig, exact_identical_cap,
+                emit_identical=(int(band[s]) == 0),
             )
             if len(oa):
                 a_idx.append(oa)
@@ -418,7 +428,7 @@ def broadcast_candidate_edges(
     # tasks beat 28 concurrent by 1.6×; reserving 2 CPUs/task caps
     # concurrency near the bandwidth sweet spot at every cluster size.
     @ray.remote(num_cpus=2)
-    def band_task(sig_ref, combo, r, tau):
+    def band_task(sig_ref, combo, r, tau, band_idx):
         sig = sig_ref
         key = combo_key(sig, combo, r)
         order = np.lexsort((sig, key))
@@ -443,7 +453,8 @@ def broadcast_candidate_edges(
         for s, g in zip(starts[sel & ~full_sel], lengths[sel & ~full_sel]):
             idx = np.arange(s, s + int(g))
             oa, ob, _ = _oversized_bucket_pairs(
-                idx, sig_sorted[s : s + int(g)], exact_identical_cap
+                idx, sig_sorted[s : s + int(g)], exact_identical_cap,
+                emit_identical=(band_idx == 0),
             )
             if len(oa):
                 a_idx.append(oa)
@@ -462,9 +473,11 @@ def broadcast_candidate_edges(
     futures = []
     for space_id, cfg in spaces:
         r = 64 // cfg.n_blocks
-        for combo in _combos(cfg):
+        for band_idx, combo in enumerate(_combos(cfg)):
             futures.append(
-                band_task.remote(refs[space_id], combo, r, taus[space_id])
+                band_task.remote(
+                    refs[space_id], combo, r, taus[space_id], band_idx
+                )
             )
     parts = ray.get(futures)
     if not parts:

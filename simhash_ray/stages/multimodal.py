@@ -308,6 +308,11 @@ def image_embeddings(
     )
 
 
+# payload bytes per byte-mean chunk (int64 scratch = 8×); module-level
+# so tests can force the multi-chunk path cheaply
+_AUDIO_SUM_CHUNK = 1 << 22
+
+
 def wav_decoder(payload: bytes) -> np.ndarray:
     """Stdlib PCM WAV decode (``wave`` + numpy, no external audio
     libs): bytes → 1-D float64 samples in [-1, 1), channels averaged
@@ -410,17 +415,29 @@ class AudioFeatures:
             energy = np.array([self._proxy(b) for b in payloads])
             get = lambda i, s, e: payloads[i][s:e]  # noqa: E731
         else:
-            bufs = arr.buffers()
-            offsets = np.frombuffer(bufs[1], dtype=np.int64)[
-                arr.offset : arr.offset + n + 1
-            ]
-            data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] else (
-                np.empty(0, dtype=np.uint8)
-            )
+            from .cdc import _binary_buffers
+
+            data, offsets = _binary_buffers(arr)
             lens = np.diff(offsets)
-            cs = np.zeros(len(data) + 1, dtype=np.int64)
-            np.cumsum(data, dtype=np.int64, out=cs[1:])
-            sums = cs[offsets[1:]] - cs[offsets[:-1]]
+            # per-row byte sums via CHUNKED local cumsum: a whole-buffer
+            # int64 cumsum would allocate 8 bytes of scratch per payload
+            # byte (8 GB for a 1 GB batch) — bound the scratch to ~32 MB
+            # by walking row ranges whose payload fits the chunk budget
+            sums = np.zeros(n, dtype=np.int64)
+            row = 0
+            budget = _AUDIO_SUM_CHUNK  # payload bytes/chunk (×8 scratch)
+            while row < n:
+                end = row
+                base = offsets[row]
+                while end < n and offsets[end + 1] - base <= budget:
+                    end += 1
+                end = max(end, row + 1)  # a single giant row goes alone
+                seg = data[offsets[row] : offsets[end]].astype(np.int64)
+                cs = np.zeros(len(seg) + 1, dtype=np.int64)
+                np.cumsum(seg, out=cs[1:])
+                local = offsets[row : end + 1] - base
+                sums[row:end] = cs[local[1:]] - cs[local[:-1]]
+                row = end
             energy = np.where(lens > 0, sums / np.maximum(lens, 1), 0.0)
             dv = data  # header peeks + WAV slices below copy per row
             get = lambda i, s, e: bytes(  # noqa: E731

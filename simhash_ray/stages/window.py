@@ -47,10 +47,17 @@ def tumbling_window_agg(
             key_arr = key_arr.combine_chunks()
         if batch.num_rows == 0:
             return part_schema.empty_table()
+        vals_np = batch[value_col].to_numpy(zero_copy_only=False)
         if (
             key_arr.null_count
             or batch[value_col].null_count
             or batch[ts_col].null_count
+            # a float NaN stored as a VALUE (null_count == 0) must take
+            # the NaN-skipping pandas path too — np.add.reduceat would
+            # propagate it where the pinned semantics skip it
+            or (
+                vals_np.dtype.kind == "f" and bool(np.isnan(vals_np).any())
+            )
         ):
             # rare null-bearing batch: the pandas path preserves the
             # pinned groupby semantics (null keys dropped, NaN-skipping
@@ -82,10 +89,14 @@ def tumbling_window_agg(
             .to_numpy(zero_copy_only=False)
         )
         w_us = window_s * 1_000_000
-        bucket = (ts // w_us) * w_us
+        # truncating (toward-zero) division, matching the pinned
+        # fallback semantics (pc.divide truncates) and the DuckDB
+        # oracle's epoch//W for pre-epoch timestamps — numpy // floors
+        q = np.where(ts >= 0, ts // w_us, -((-ts) // w_us))
+        bucket = q * w_us
         denc = key_arr.dictionary_encode()
         kcodes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = vals_np.astype(np.float64)
         order = np.lexsort((bucket, kcodes))
         kc, bu, va = kcodes[order], bucket[order], vals[order]
         new = np.ones(len(kc), dtype=bool)

@@ -897,3 +897,29 @@ def test_levenshtein_batched_chunked_path_matches(monkeypatch):
     assert np.array_equal(full, chunked)
     want = np.array([M.levenshtein_capped(a, b, 3) for a, b in zip(ta, tb)])
     assert np.array_equal(chunked, want)
+
+
+def test_audio_chunked_byte_sums_match(monkeypatch):
+    """r5 review finding: the byte-mean proxy walks the payload buffer
+    in bounded chunks instead of one whole-buffer int64 cumsum; a tiny
+    forced budget (multi-chunk, incl. a row bigger than the budget)
+    must give the same energies as the unchunked run."""
+    from simhash_ray.stages import multimodal as MM
+
+    rng = np.random.default_rng(23)
+    payloads = [
+        rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        for n in (0, 5, 300, 17, 1000, 3)
+    ]
+    batch = pa.table(
+        {"clip_id": pa.array(range(len(payloads))), "bytes": pa.array(payloads)}
+    )
+    full = MM.AudioFeatures()(batch)["energy_proxy"].to_pylist()
+    monkeypatch.setattr(MM, "_AUDIO_SUM_CHUNK", 64)  # rows 300/1000 > budget
+    chunked = MM.AudioFeatures()(batch)["energy_proxy"].to_pylist()
+    assert chunked == full
+    want = [
+        (np.frombuffer(b, dtype=np.uint8).mean() if len(b) else 0.0)
+        for b in payloads
+    ]
+    np.testing.assert_allclose(chunked, want)

@@ -236,3 +236,26 @@ def test_hot_bucket_exact_past_threshold_both_regimes():
     assert sorted(map(tuple, broad[key].values.tolist())) == sorted(
         map(tuple, dist[key].values.tolist())
     )
+
+
+def test_identical_runs_emit_only_in_band0():
+    """r5 review finding: an identical-sig run collides in EVERY band,
+    so the exact enumeration must come from band 0 only — bands > 0
+    contribute nothing for identical runs (the n_bands× duplication
+    blew up the broadcast driver concat)."""
+    from simhash_ray.stages.lsh import _oversized_bucket_pairs
+
+    sig = np.concatenate(
+        [np.full(50, 7, dtype=np.uint64), np.array([9, 11], dtype=np.uint64)]
+    )
+    order = np.arange(52, dtype=np.int64)
+    a0, b0, star0 = _oversized_bucket_pairs(
+        order, sig, exact_identical_cap=1 << 20, emit_identical=True
+    )
+    aN, bN, starN = _oversized_bucket_pairs(
+        order, sig, exact_identical_cap=1 << 20, emit_identical=False
+    )
+    n_run = 50 * 49 // 2
+    assert len(a0) == n_run + 3  # run pairs + head triu over 3 sigs
+    assert len(aN) == 3  # band>0: head triu only, no identical pairs
+    assert starN.all()

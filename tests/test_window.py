@@ -329,3 +329,59 @@ def test_tumbling_partial_arrow_kernel_matches_pandas_reference():
         assert (got["event_type"] == ref["event_type"]).all()
         assert (got["n_events"] == ref["n_events"]).all()
         np.testing.assert_allclose(got["sum_value"], np.round(ref["sum_value"], 6))
+
+
+def test_tumbling_pre_epoch_and_nan_value_consistency():
+    """r5 review findings: (a) pre-epoch timestamps bucket identically
+    in the hot path and the null-fallback path (both truncate toward
+    zero, matching DuckDB's integer //); (b) a float NaN stored as a
+    VALUE (null_count==0) routes to the NaN-skipping path."""
+    import pyarrow as pa
+
+    from simhash_ray.stages.window import tumbling_window_agg
+
+    ts = pd.to_datetime(
+        [-1, -3600 * US - 1, -7200 * US, 10, 3600 * US + 5], unit="us"
+    )
+    base = pd.DataFrame(
+        {"event_type": ["a"] * 5, "ts": ts, "value": [1.0] * 5}
+    )
+    hot = (
+        tumbling_window_agg(rd.from_pandas(base), window_s=3600)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    # force the fallback path with one extra null-key row
+    with_null = pd.concat(
+        [base, pd.DataFrame({"event_type": [None], "ts": [ts[0]], "value": [1.0]})],
+        ignore_index=True,
+    )
+    fb = (
+        tumbling_window_agg(rd.from_pandas(with_null), window_s=3600)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(hot, fb)
+    # truncation semantics: ts=-1us and ts=+10us share window 0
+    w0 = hot[hot["window_start"] == pd.Timestamp(0)]
+    assert int(w0["n_events"].iloc[0]) == 2
+
+    # NaN stored as a value (arrow null_count == 0) must be skipped
+    tbl = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "b"]),
+            "ts": pa.array([pd.Timestamp(10, unit="us")] * 3, type=pa.timestamp("us")),
+            "value": pa.array(np.array([1.0, np.nan, 2.0]), type=pa.float64()),
+        }
+    )
+    assert tbl["value"].null_count == 0  # genuinely a value, not a null
+    out = (
+        tumbling_window_agg(rd.from_arrow(tbl), window_s=3600)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "sum_value"] == 1.0  # NaN skipped, not propagated
+    assert out.loc[0, "n_events"] == 2
