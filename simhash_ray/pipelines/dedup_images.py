@@ -111,6 +111,7 @@ def dup_edges(
     spaces: list | None = None,
     part_range: tuple[int, int] | None = None,
     candidates_only: bool = False,
+    first_band_only: bool = False,
 ) -> rd.Dataset:
     """Distinct-signature nodes → banding → bucket pairs → verified
     (a, b) dup edges.
@@ -125,7 +126,15 @@ def dup_edges(
     ``part_range``/``candidates_only`` serve the per-shard edge
     checkpointing path: restrict banding to a coarse-partition range
     and return the batch-locally-deduped verified pairs WITHOUT the
-    global dedupe (the caller dedupes the shard union)."""
+    global dedupe (the caller dedupes the shard union).
+
+    ``first_band_only`` (OPT-IN): emit each exactly-enumerated pair
+    only from its first-colliding band — shrinks the dedupe input
+    ~n_bands× (the 100-TB shuffle lever; A/B in BASELINE.md) at the
+    cost of the weaker star-regime recall guarantee documented on
+    ``make_pair_generator``; identical final edge set whenever no
+    band bucket exceeds OVERSIZED_EXACT_CAP distinct sigs
+    (equivalence-tested)."""
     spaces, _, band_parts = _band_plan(collapsed, cfg, spaces)
     cpus = int(ray.cluster_resources().get("CPU", 32))
     sig_cols = sorted({col for _, col, _ in spaces})
@@ -148,6 +157,9 @@ def dup_edges(
         pair_full_threshold=min(c.pair_full_threshold for _, _, c in spaces),
         taus={sp: c.hamming_tau for sp, _, c in spaces},
         shuffle_blocks=None,  # pre-partitioned above, narrow side
+        first_band_cfgs=(
+            {sp: c for sp, _, c in spaces} if first_band_only else None
+        ),
     )
     if candidates_only:
         def local_dedupe(t: pa.Table) -> pa.Table:
