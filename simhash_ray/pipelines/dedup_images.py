@@ -410,6 +410,7 @@ def tile_dup_pairs(
     lsh_cfg: LSHConfig | None = None,
     pair_full_threshold: int | None = None,
     exact_identical_pairs_cap: int | None = None,
+    first_band_only: bool = False,
 ) -> rd.Dataset:
     """Crop/occlusion-robust image near-dup pairs: a pair is a dup iff
     ≥ ``k_min`` of the 4 quadrant hashes (stages/multimodal.TilePhash)
@@ -479,7 +480,8 @@ def tile_dup_pairs(
             "using the distributed banding regime", n, limit,
         )
         return _tile_pairs_distributed(
-            sigs, n, tau, k_min, cfg, threshold, exact_identical_cap=id_cap
+            sigs, n, tau, k_min, cfg, threshold, exact_identical_cap=id_cap,
+            first_band_only=first_band_only,
         )
     ids, arrs, ai, bi = _tile_candidates(
         sigs.to_pandas(), tau, cfg, threshold, exact_identical_cap=id_cap
@@ -505,6 +507,7 @@ def _tile_pairs_distributed(
     pair_full_threshold: int,
     n_parts: int | None = None,
     exact_identical_cap: int = 0,
+    first_band_only: bool = False,
 ) -> rd.Dataset:
     """Cluster-scale regime of tile_dup_pairs: the 4 tile columns band
     as 4 LSH spaces through ONE bucket groupby with fused per-space
@@ -529,6 +532,13 @@ def _tile_pairs_distributed(
         pair_full_threshold=pair_full_threshold,
         taus={t: tau for t in range(4)},
         exact_identical_cap=exact_identical_cap,
+        # per-tile-space first-band emission (opt-in, same caveat as
+        # dup_edges): the (a,b,space) dedupe groupby sees one row per
+        # colliding SPACE instead of up to 6 per space — n_tiles_close
+        # (distinct-space count) is unchanged
+        first_band_cfgs=(
+            {t: cfg for t in range(4)} if first_band_only else None
+        ),
     )
     pair_parts = choose_n_parts(n)
 

@@ -259,3 +259,19 @@ def test_identical_runs_emit_only_in_band0():
     assert len(a0) == n_run + 3  # run pairs + head triu over 3 sigs
     assert len(aN) == 3  # band>0: head triu only, no identical pairs
     assert starN.all()
+
+
+def test_tile_first_band_only_distributed_matches():
+    """Opt-in first-band emission in the tile distributed regime: same
+    pairs AND same n_tiles_close (one emission per colliding space
+    suffices for the distinct-space count)."""
+    rows = _corpus()
+    ds = rd.from_arrow(_table(rows)).repartition(4)
+    kw = dict(tau=2, k_min=3, broadcast_sig_limit=0)
+    base = tile_dup_pairs(ds, **kw).to_pandas()
+    fb = tile_dup_pairs(ds, first_band_only=True, **kw).to_pandas()
+    key = ["a", "b", "n_tiles_close"]
+    assert sorted(map(tuple, base[key].values.tolist())) == sorted(
+        map(tuple, fb[key].values.tolist())
+    )
+    assert len(base) > 0
