@@ -2272,6 +2272,61 @@ def q_doc_substring_pairs(sf_dir: str):
     return shared_substring_pairs(docs, window=8, min_shared=3)
 
 
+def q_doc_substring_sa(sf_dir: str):
+    """Suffix-array substring dedup (the north rule's third named
+    technique): (a, b, max_span_len) — the EXACT maximum shared
+    character-span length per candidate pair, measured by a
+    prefix-doubling suffix array + Kasai LCP over each pair's
+    concatenated code points (stages/substring.sa_max_span_pairs).
+    Candidates come from a df-guarded aligned character-window join
+    (pigeonhole recall 1.0 for spans ≥ min_len).
+
+    The oracle is FULLY independent (no staging): DuckDB re-derives
+    the pair set from kept (df ≤ 256) shared 24-char windows and the
+    exact max length via gaps-and-islands over window-match diagonals
+    (a shared span of length s ≥ 24 ⟺ a run of s−23 consecutive
+    aligned windows on one i−j diagonal)."""
+    from ..stages.substring import sa_max_span_pairs
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return sa_max_span_pairs(docs, min_len=24)
+
+
+SQL_DOC_SUBSTRING_SA = r"""
+WITH mx AS (SELECT COALESCE(MAX(len(text)), 0) AS m FROM documents),
+idx AS (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS i),
+occ AS (
+  SELECT doc_id, i, substr(text, i::INT, 24) AS win
+  FROM documents JOIN idx ON i <= len(text) - 23
+),
+d AS (SELECT DISTINCT doc_id, win FROM occ),
+-- candidate gate mirrors the engine's boilerplate guard (max_df=256)
+keep AS (SELECT win FROM d GROUP BY win HAVING COUNT(*) <= 256),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM d x JOIN keep USING (win) JOIN d y USING (win)
+  WHERE x.doc_id < y.doc_id
+),
+-- exact max length from ALL windows (the SA measures the true span,
+-- boilerplate regions included): consecutive aligned windows on one
+-- i-j diagonal form runs of length s-23 for a shared span of s chars
+m AS (
+  SELECT p.a, p.b, x.i AS ia, x.i - y.i AS diag
+  FROM pairs p
+  JOIN occ x ON x.doc_id = p.a
+  JOIN occ y ON y.doc_id = p.b AND y.win = x.win
+),
+runs AS (
+  SELECT a, b, diag, ia,
+         ia - ROW_NUMBER() OVER (PARTITION BY a, b, diag ORDER BY ia) AS grp
+  FROM (SELECT DISTINCT a, b, diag, ia FROM m)
+),
+r2 AS (SELECT a, b, COUNT(*) AS k FROM runs GROUP BY a, b, diag, grp)
+SELECT a, b, MAX(k) + 23 AS max_span_len
+FROM r2 GROUP BY a, b
+"""
+
+
 SQL_DOC_SUBSTRING_PAIRS = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
@@ -7145,6 +7200,7 @@ def ray_queries() -> dict:
         "doc_jaccard_pairs_prefix": q_doc_jaccard_pairs_prefix,
         "doc_containment_pairs": q_doc_containment_pairs,
         "doc_substring_pairs": q_doc_substring_pairs,
+        "doc_substring_sa": q_doc_substring_sa,
         "doc_decontaminate": q_doc_decontaminate,
         "orders_topk_per_segment": q_orders_topk_per_segment,
         "doc_ntile": q_doc_ntile,
@@ -7285,6 +7341,7 @@ def oracle_sqls() -> dict:
         "doc_jaccard_pairs_prefix": SQL_DOC_JACCARD_PAIRS,
         "doc_containment_pairs": SQL_DOC_CONTAINMENT_PAIRS,
         "doc_substring_pairs": SQL_DOC_SUBSTRING_PAIRS,
+        "doc_substring_sa": SQL_DOC_SUBSTRING_SA,
         "doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "orders_topk_per_segment": SQL_ORDERS_TOPK_PER_SEGMENT,
         "doc_ntile": SQL_DOC_NTILE,

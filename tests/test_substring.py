@@ -259,3 +259,101 @@ def test_span_removal_seeded_stress_vs_naive():
             assert (r["text"], r["n_kept"], r["n_removed"]) == (txt, nk, nr), (
                 trial, w, d,
             )
+
+
+# ---------------------------------------------------------------------------
+# suffix-array substring (r5: the north rule's third named technique)
+
+
+def test_suffix_array_matches_brute():
+    from simhash_ray.stages.substring import suffix_array
+
+    rng = np.random.default_rng(5)
+    for n in (0, 1, 2, 7, 50, 200):
+        s = rng.integers(0, 4, size=n)  # small alphabet -> deep ties
+        got = suffix_array(s).tolist()
+        want = sorted(range(n), key=lambda i: tuple(s[i:]))
+        assert got == want, n
+
+
+def test_lcp_kasai_matches_brute():
+    from simhash_ray.stages.substring import lcp_kasai, suffix_array
+
+    rng = np.random.default_rng(6)
+    for n in (1, 2, 13, 120):
+        s = rng.integers(0, 3, size=n)
+        sa = suffix_array(s)
+        lcp = lcp_kasai(s, sa)
+        assert lcp[0] == 0
+
+        def brute_lcp(i, j):
+            k = 0
+            while i + k < n and j + k < n and s[i + k] == s[j + k]:
+                k += 1
+            return k
+
+        for r in range(1, n):
+            assert lcp[r] == brute_lcp(sa[r - 1], sa[r]), (n, r)
+
+
+def test_max_common_substring_matches_brute_dp():
+    from simhash_ray.stages.substring import max_common_substring_chars
+
+    rng = np.random.default_rng(7)
+    alpha = list("abcd") + ["é", "中"]
+
+    def brute(a, b):
+        best = 0
+        for i in range(len(a)):
+            for j in range(len(b)):
+                k = 0
+                while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                    k += 1
+                best = max(best, k)
+        return best
+
+    for _ in range(60):
+        a = "".join(rng.choice(alpha, size=rng.integers(0, 25)))
+        b = "".join(rng.choice(alpha, size=rng.integers(0, 25)))
+        assert max_common_substring_chars(a, b) == brute(a, b), (a, b)
+    # planted long shared span
+    core = "the quick brown fox jumps"
+    assert max_common_substring_chars("xx" + core + "yy", "AA" + core) == len(core)
+
+
+def test_sa_max_span_pairs_operator():
+    """Planted shared spans: pairs sharing >= min_len chars are found
+    with the exact max length; sub-threshold overlaps are not."""
+    from simhash_ray.stages.substring import (
+        max_common_substring_chars,
+        sa_max_span_pairs,
+    )
+
+    span = "a long enough shared span of text that exceeds the window"
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "prefix one " + span + " suffix one",
+                "other start " + span + " other end",
+                "completely unrelated content here with nothing shared",
+                "short overlap only: " + span[:10],
+                span,  # exact containment
+                "yet another unrelated document body text",
+            ],
+        }
+    )
+    out = (
+        sa_max_span_pairs(rd.from_pandas(docs).repartition(3), min_len=24)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    got = {(r.a, r.b): r.max_span_len for r in out.itertuples()}
+    assert set(got) == {(0, 1), (0, 4), (1, 4)}
+    # exact lengths cross-checked against the pinned kernel
+    for (a, b), v in got.items():
+        assert v == max_common_substring_chars(
+            docs.loc[a, "text"], docs.loc[b, "text"]
+        )
+        assert v >= len(span)  # the planted span (+ possible flanks)
