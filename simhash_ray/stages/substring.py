@@ -816,46 +816,76 @@ def sa_max_span_pairs(
         ),
     )
 
-    n_docs = narrow.count()
-    if n_docs > broadcast_limit:
-        raise NotImplementedError(
-            "sa_max_span_pairs text attach above broadcast_limit: use "
-            "editdist_verify's hash-join attach shape (the candidate "
-            "machinery is identical); not exercised in-sandbox"
-        )
-    pdf = narrow.to_pandas()
-    order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
-    s_ids = pdf[id_col].to_numpy()[order]
-    s_txt = pdf[text_col].to_numpy(dtype=object)[order]
-    ref = ray.put((s_ids, s_txt))
+    _OUT_EMPTY = pa.table(
+        {
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+            "max_span_len": pa.array([], type=pa.int64()),
+        }
+    )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        ids_s, txt_s = ray.get(ref)
-        out = pa.table(
-            {
-                "a": pa.array([], type=pa.int64()),
-                "b": pa.array([], type=pa.int64()),
-                "max_span_len": pa.array([], type=pa.int64()),
-            }
-        )
-        if len(a) == 0 or len(ids_s) == 0:
-            return out
-        ia = np.minimum(np.searchsorted(ids_s, a), len(ids_s) - 1)
-        ib = np.minimum(np.searchsorted(ids_s, b), len(ids_s) - 1)
-        ok = (ids_s[ia] == a) & (ids_s[ib] == b)
-        a, b, ia, ib = a[ok], b[ok], ia[ok], ib[ok]
+    def verify_arrays(a, b, ta, tb) -> pa.Table:
         spans = np.empty(len(a), dtype=np.int64)
         for i in range(len(a)):  # candidates ≪ corpus; SA is per PAIR
-            spans[i] = max_common_substring_chars(txt_s[ia[i]], txt_s[ib[i]])
+            spans[i] = max_common_substring_chars(ta[i], tb[i])
         keep = spans >= min_len
         return pa.table(
             {
-                "a": pa.array(a[keep], type=pa.int64()),
-                "b": pa.array(b[keep], type=pa.int64()),
+                "a": pa.array(np.asarray(a[keep], dtype=np.int64)),
+                "b": pa.array(np.asarray(b[keep], dtype=np.int64)),
                 "max_span_len": pa.array(spans[keep], type=pa.int64()),
             }
         )
 
-    return cands.map_batches(verify, batch_format="pyarrow")
+    n_docs = narrow.count()
+    if n_docs <= broadcast_limit:
+        pdf = narrow.to_pandas()
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        s_ids = pdf[id_col].to_numpy()[order]
+        s_txt = pdf[text_col].to_numpy(dtype=object)[order]
+        ref = ray.put((s_ids, s_txt))
+
+        def verify(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            ids_s, txt_s = ray.get(ref)
+            if len(a) == 0 or len(ids_s) == 0:
+                return _OUT_EMPTY
+            ia = np.minimum(np.searchsorted(ids_s, a), len(ids_s) - 1)
+            ib = np.minimum(np.searchsorted(ids_s, b), len(ids_s) - 1)
+            ok = (ids_s[ia] == a) & (ids_s[ib] == b)
+            a, b, ia, ib = a[ok], b[ok], ia[ok], ib[ok]
+            return verify_arrays(a, b, txt_s[ia], txt_s[ib])
+
+        return cands.map_batches(verify, batch_format="pyarrow")
+
+    # cluster-scale attach: two hash joins ship each side's text to its
+    # candidate rows (editdist_verify's shape; forced with
+    # broadcast_limit=0 in tests — equivalence-pinned)
+    jn = int(min(n_parts, max(2, ray.cluster_resources().get("CPU", 8) // 2)))
+
+    def _as(side: str, tcol: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.select([id_col, text_col]).rename_columns([side, tcol])
+
+        return narrow.map_batches(f, batch_format="pyarrow")
+
+    joined = (
+        cands.select_columns(["a", "b"])
+        .join(_as("a", "__ta"), join_type="inner", num_partitions=jn,
+              on=("a",), aggregator_ray_remote_args={"num_cpus": 0.5})
+        .join(_as("b", "__tb"), join_type="inner", num_partitions=jn,
+              on=("b",), aggregator_ray_remote_args={"num_cpus": 0.5})
+    )
+
+    def fn_joined(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _OUT_EMPTY
+        return verify_arrays(
+            batch["a"].to_numpy(zero_copy_only=False),
+            batch["b"].to_numpy(zero_copy_only=False),
+            batch["__ta"].to_numpy(zero_copy_only=False),
+            batch["__tb"].to_numpy(zero_copy_only=False),
+        )
+
+    return joined.map_batches(fn_joined, batch_format="pyarrow")

@@ -357,3 +357,32 @@ def test_sa_max_span_pairs_operator():
             docs.loc[a, "text"], docs.loc[b, "text"]
         )
         assert v >= len(span)  # the planted span (+ possible flanks)
+
+
+def test_sa_max_span_pairs_join_path_matches_broadcast():
+    """broadcast_limit=0 forces the hash-join text attach (the
+    cluster-scale path); output must equal the broadcast path's."""
+    from simhash_ray.stages.substring import sa_max_span_pairs
+
+    span = "another sufficiently long shared span used for the join test"
+    rng = np.random.default_rng(9)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = []
+    for i in range(40):
+        body = " ".join(rng.choice(words, size=12))
+        if i % 7 == 0:
+            body = body[:20] + " " + span + " " + body[20:]
+        texts.append(body)
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(40, dtype=np.int64), "text": texts}
+    )
+    ds = rd.from_pandas(docs).repartition(4)
+    broad = sa_max_span_pairs(ds, min_len=24).to_pandas()
+    joinp = sa_max_span_pairs(
+        ds, min_len=24, broadcast_limit=0, n_parts=2
+    ).to_pandas()
+    key = lambda df: sorted(
+        map(tuple, df[["a", "b", "max_span_len"]].values.tolist())
+    )
+    assert key(broad) == key(joinp)
+    assert len(broad) >= 6 * 5 // 2  # the planted-span clique
